@@ -1,0 +1,72 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}. Each query is executed to completion
+(collect of an already-aggregated/ordered result — the queries themselves
+end in small outputs, so collect cost is plan cost, not transfer cost).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from llm_data_pipeline_spark import queries as Q
+from llm_data_pipeline_spark.session import get_spark
+
+# Headline set: one per operator family. Kept small enough to run per-round
+# but covering scan/filter/agg, joins, windows, and the pipeline operators.
+HEADLINE = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "top_orders_per_customer",
+    "events_sessionization",
+    "events_hourly_rollup",
+    "clean_judge",
+    "clean_reason_distribution",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    Q.load_all()
+    spark = get_spark("llm_data_pipeline_spark-bench")
+    # Warm the JVM/session with a trivial job so the first measured query
+    # doesn't pay session startup.
+    spark.range(1).count()
+
+    times: dict[str, float] = {}
+    names = [n for n in HEADLINE if n in Q.REGISTRY]
+    extra = os.environ.get("BENCH_QUERIES")
+    if extra:
+        names = [n for n in extra.split(",") if n in Q.REGISTRY]
+    for name in names:
+        fn = Q.REGISTRY[name].fn
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count() if len(df.columns) > 8 else len(df.collect())
+        _ = n
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,72 @@
+"""Query registry: every graded operator exposed as (spark_fn, oracle_sql).
+
+Each entry maps a name to a callable ``(spark, sf_dir) -> DataFrame`` and an
+optional ANSI-SQL oracle string that DuckDB runs over the same parquet tables
+(views: region nation customer supplier part orders lineitem events documents
+embeddings). The driver hash-compares values order-insensitively, so every
+query ends with a deterministic ORDER BY and aliases every computed column
+identically on both sides.
+
+Determinism policy:
+- per-row arithmetic (ratios = int/int divisions, regex counts) is left as
+  raw doubles — IEEE division is bit-identical across engines;
+- aggregated doubles (SUM/AVG over shuffled data) are rounded (2-4 dp) since
+  summation order differs between engines;
+- integer sums are cast to BIGINT on the DuckDB side (DuckDB widens to
+  HUGEINT, Spark stays BIGINT).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None = None
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    """Decorator registering a graded query."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, tags=tags)
+        return fn
+
+    return deco
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # Nano-precision parquet timestamps surface as LongType (see session.py);
+    # normalize to microsecond TimestampType the way DuckDB does (truncation).
+    for f in df.schema.fields:
+        if f.name == "ts" and f.dataType.typeName() == "long":
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_all() -> None:
+    """Import every query module so their @query decorators run."""
+    import llm_data_pipeline_spark.queries_relational  # noqa: F401
+    import llm_data_pipeline_spark.queries_pipeline  # noqa: F401
+
+
+def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    load_all()
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_queries() -> dict[str, str]:
+    load_all()
+    return {n: s.oracle for n, s in REGISTRY.items() if s.oracle is not None}

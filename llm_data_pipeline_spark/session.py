@@ -1,0 +1,54 @@
+"""SparkSession factory tuned for the pipeline's workload shape.
+
+Defaults target the test harness (local[N], 32 shuffle partitions) but every
+knob is env-overridable so the same code runs on a real cluster unchanged:
+on a 1000-executor cluster you would leave ``master`` unset (spark-submit
+provides it) and raise ``spark.sql.shuffle.partitions`` to ~2-3x total cores.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "llm_data_pipeline_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-aware defaults.
+
+    - AQE on: runtime coalescing of shuffle partitions + skew-join handling,
+      which is what makes one static ``shuffle.partitions`` setting survive
+      data-size changes between sf0.001 and 100 TB.
+    - Arrow on: every pandas UDF / mapInPandas transfer is Arrow-batched.
+    - Parquet pushdown/pruning left at defaults (on) — operators are written
+      so filters and projections reach the scan.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if master is None:
+        master = os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # testdata events.parquet stores TIMESTAMP(NANOS); Spark has no nanos
+        # type — read as long and convert at the loader (queries.table).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", os.environ.get("SPARK_UI_ENABLED", "false"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

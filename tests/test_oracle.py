@@ -1,0 +1,88 @@
+"""Local mirror of the driver's correctness gate.
+
+For every registered query with an oracle, run the Spark version and the
+DuckDB version on the same sf dir and compare row count, column names, and
+values (order-insensitive, exact for non-floats, bit-exact for floats —
+queries are designed so engine-side float arithmetic is deterministic).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from llm_data_pipeline_spark import queries as Q
+
+Q.load_all()
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _duck(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+ORACLE_QUERIES = sorted(n for n, s in Q.REGISTRY.items() if s.oracle)
+NO_ORACLE = sorted(n for n, s in Q.REGISTRY.items() if not s.oracle)
+
+
+def _normalize(rows, cols):
+    out = []
+    for row in rows:
+        vals = []
+        for c in cols:
+            v = row[c]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+                else:
+                    v = float(v)
+            elif hasattr(v, "timestamp"):  # datetime-like
+                v = str(v)
+            elif isinstance(v, list):
+                v = tuple(v)
+            vals.append(v)
+        out.append(tuple(vals))
+    out.sort(key=lambda t: tuple(str(x) for x in t))
+    return out
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_match(name, spark, sf_dir):
+    spec = Q.REGISTRY[name]
+    sdf = spec.fn(spark, sf_dir)
+    srows = [r.asDict() for r in sdf.collect()]
+    scols = sdf.columns
+
+    con = _duck(sf_dir)
+    ddf = con.execute(spec.oracle).fetch_df()
+    dcols = list(ddf.columns)
+
+    assert sorted(scols) == sorted(dcols), f"{name}: column mismatch {scols} vs {dcols}"
+    assert len(srows) == len(ddf), f"{name}: rowcount {len(srows)} vs {len(ddf)}"
+
+    drows = ddf.to_dict("records")
+    s_n = _normalize(srows, sorted(scols))
+    d_n = _normalize(drows, sorted(scols))
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(s_n, d_n)) if a != b
+    ]
+    assert not mismatches, f"{name}: {len(mismatches)} mismatched rows; first: {mismatches[:3]}"
+
+
+@pytest.mark.parametrize("name", NO_ORACLE)
+def test_rows_only(name, spark, sf_dir):
+    spec = Q.REGISTRY[name]
+    sdf = spec.fn(spark, sf_dir)
+    assert sdf.count() >= 0
+    assert len(sdf.columns) > 0
