@@ -1,0 +1,204 @@
+"""LSH banding, candidate pairs, connected components, canonical selection.
+
+This is the stage the reference collapsed to the driver (bucket dict +
+union-find over ``take_all()``, dedup/dedup.py:158-197, with its own
+"don't do this when edges are large" warning). Here every step is a
+distributed DataFrame op, so the whole dedup scales with the cluster:
+
+  band rows   : explode k/r bands per doc           (narrow, no shuffle)
+  buckets     : groupBy/self-join on (band_id, hash) (1 shuffle, AQE skew)
+  pairs       : per-bucket combinations with a size cap (the O(n^2) guard
+                the reference left as a TODO, dedup/dedup.py:92-93)
+  components  : iterative min-label propagation      (loop of shuffles,
+                converges in O(log n) rounds for near-dup clusters)
+  canonical   : window top-1 per component on (ts, length, doc_id) desc
+  keep        : left-semi join — never a driver-side keep set
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+DEFAULT_ROWS_PER_BAND = 4
+DEFAULT_BUCKET_CAP = 500
+
+
+def band_rows(
+    df_sig: DataFrame,
+    rows_per_band: int = DEFAULT_ROWS_PER_BAND,
+    id_col: str = "doc_id",
+    signature_col: str = "signature",
+) -> DataFrame:
+    """Explode each document into one row per band:
+    (band_id, band_hash, doc_id, ts, length).
+
+    band_hash = sha1 of the comma-joined signature slice (reference
+    dedup/dedup.py:18-24 — signed-long string rendering here, equality-only
+    use makes the representation irrelevant).
+    """
+    ts = F.col("ts") if "ts" in df_sig.columns else F.lit(0).cast("long")
+    length = (
+        F.col("length")
+        if "length" in df_sig.columns
+        else F.length(F.col("text"))
+    )
+    n_bands = F.floor(F.size(F.col(signature_col)) / rows_per_band).cast("int")
+    return (
+        df_sig.select(
+            F.col(id_col).alias("doc_id"),
+            ts.alias("ts"),
+            length.cast("long").alias("length"),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_bands - 1),
+                    lambda b: F.sha1(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(
+                                    F.col(signature_col),
+                                    b * rows_per_band + 1,
+                                    rows_per_band,
+                                ),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ),
+                )
+            ).alias("band_id", "band_hash"),
+        )
+    )
+
+
+def candidate_pairs(
+    bands: DataFrame,
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
+) -> DataFrame:
+    """Distinct candidate edges (u < v) from same-bucket co-occurrence.
+
+    A distributed self-join on (band_id, band_hash); buckets larger than
+    ``bucket_cap`` docs are dropped entirely (a mega-bucket means a
+    degenerate band — joining it would produce O(n^2) edges and its members
+    are connected through other bands anyway). AQE's skew-join handling
+    covers moderate skew below the cap.
+    """
+    sized = bands.withColumn(
+        "bucket_n",
+        F.count("*").over(Window.partitionBy("band_id", "band_hash")),
+    ).where(F.col("bucket_n") <= bucket_cap)
+    left = sized.select("band_id", "band_hash", F.col("doc_id").alias("u"))
+    right = sized.select("band_id", "band_hash", F.col("doc_id").alias("v"))
+    return (
+        left.join(right, ["band_id", "band_hash"])
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .dropDuplicates(["u", "v"])
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Min-label propagation over an undirected edge list.
+
+    Returns (doc_id, component) where component = min doc_id reachable.
+    Each round: every node adopts the minimum label among itself and its
+    neighbors; stop when a round changes nothing. Near-dup clusters are
+    tiny/dense, so this converges in a handful of rounds; localCheckpoint
+    truncates the growing lineage each round (at cluster scale use
+    ``spark.sparkContext.setCheckpointDir`` + reliable checkpoints).
+    """
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym.u == labels.id)
+            .groupBy(F.col("v").alias("id2"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.id == neighbor_min.id2, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", "component")
+                ).alias("component"),
+                (F.coalesce("nbr_component", "component") < F.col("component")).alias(
+                    "_changed"
+                ),
+            )
+        ).localCheckpoint(eager=True)
+        n_changed = updated.where(F.col("_changed")).count()
+        labels = updated.drop("_changed")
+        if n_changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), "component")
+
+
+def canonical_per_component(
+    members: DataFrame,
+) -> DataFrame:
+    """Pick one canonical doc per component by (ts, length, doc_id) DESC —
+    the reference's tie-break (dedup/dedup.py:123-130) as a window top-1."""
+    w = Window.partitionBy("component").orderBy(
+        F.desc("ts"), F.desc("length"), F.desc("doc_id")
+    )
+    return (
+        members.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select("component", F.col("doc_id").alias("canonical_doc_id"))
+    )
+
+
+def minhash_dedup(
+    df_sig: DataFrame,
+    rows_per_band: int = DEFAULT_ROWS_PER_BAND,
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Full LSH dedup over a signature-bearing frame.
+
+    Returns (kept_df, components_df). kept_df = df_sig minus non-canonical
+    duplicates (left-anti join against the removal set — fully distributed,
+    no driver keep-set).
+    """
+    bands = band_rows(df_sig, rows_per_band, id_col=id_col)
+    edges = candidate_pairs(bands, bucket_cap)
+    comps = connected_components(edges)
+    # attach (ts, length) for canonical choice
+    meta_cols = [F.col(id_col).alias("m_doc_id")]
+    meta_cols.append(
+        (F.col("ts") if "ts" in df_sig.columns else F.lit(0).cast("long")).alias("ts")
+    )
+    meta_cols.append(
+        (
+            F.col("length")
+            if "length" in df_sig.columns
+            else F.length("text")
+        ).cast("long").alias("length")
+    )
+    meta = df_sig.select(*meta_cols)
+    members = comps.join(meta, comps.doc_id == meta.m_doc_id).select(
+        "doc_id", "component", "ts", "length"
+    )
+    canon = canonical_per_component(members)
+    removals = (
+        members.join(canon, "component")
+        .where(F.col("doc_id") != F.col("canonical_doc_id"))
+        .select(F.col("doc_id").alias("_rm_doc_id"))
+    )
+    kept = df_sig.join(
+        removals, F.col(id_col) == F.col("_rm_doc_id"), "left_anti"
+    )
+    return kept, comps

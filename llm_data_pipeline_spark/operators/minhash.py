@@ -1,0 +1,114 @@
+"""MinHash signatures, Spark-first.
+
+Pipeline parity: reference dedup/minhash.py:16-125 + dedup/run_minhash.py
+(k=128, seed=42, 5-gram char shingles). Re-architected for Spark:
+
+- **Shingling and base hashing stay in the JVM**: normalize + distinct
+  5-gram substrings with higher-order array functions, then ``xxhash64``
+  per shingle — whole-stage codegen, no Python, no shuffle.
+- **Permutation-min runs in numpy** via an Arrow-batched pandas UDF over the
+  per-row hash arrays: ``min_j (h_j * a_i + b_i) mod 2^64`` for k=128
+  permutation pairs. uint64 wraparound == Java long overflow bit-patterns,
+  and signatures are stored as signed int64 (two's-complement
+  reinterpretation — equality of band slices is all downstream needs,
+  SURVEY.md §1.3).
+
+Not bit-compatible with the reference (Spark's xxhash64 uses seed 42 over
+UTF-8 bytes; the reference hashes with python-xxhash seed 0) — parity is
+semantic: same shingle definition, same permutation family, same seed for
+the (a, b) parameters, same empty-text zero signature.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+DEFAULT_K = 128
+DEFAULT_SEED = 42
+DEFAULT_NGRAM = 5
+
+
+def _perm_params(k: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Universal-hash permutation parameters: k pairs (a odd, b) over the
+    full uint64 range, derived from two 32-bit draws for numpy-version
+    stability (matches the reference's construction recipe)."""
+    rng = np.random.RandomState(seed)
+    a = (rng.randint(0, 2**32, size=k, dtype=np.uint64) << np.uint64(32)) | rng.randint(
+        0, 2**32, size=k, dtype=np.uint64
+    )
+    a |= np.uint64(1)
+    b = (rng.randint(0, 2**32, size=k, dtype=np.uint64) << np.uint64(32)) | rng.randint(
+        0, 2**32, size=k, dtype=np.uint64
+    )
+    return a, b
+
+
+def shingle_hashes(text: Column, ngram: int = DEFAULT_NGRAM) -> Column:
+    """array<long> of xxhash64 values of the distinct char n-gram shingles
+    of the normalized text (JVM-side; one expression, fully codegen)."""
+    norm = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    shingles = F.when(
+        F.length(norm) < ngram, F.array(norm)
+    ).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.length(norm) - ngram),
+                lambda i: F.substring(norm, i + 1, F.lit(ngram)),
+            )
+        )
+    )
+    return F.transform(shingles, lambda s: F.xxhash64(s))
+
+
+def make_signature_udf(k: int = DEFAULT_K, seed: int = DEFAULT_SEED):
+    """pandas UDF: array<long> hashes -> array<long> signature (len k)."""
+    a, b = _perm_params(k, seed)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def signature(hashes: pd.Series) -> pd.Series:
+        out = []
+        for hs in hashes:
+            h = np.asarray(hs, dtype=np.int64).view(np.uint64)
+            if h.size == 0:
+                out.append(np.zeros(k, dtype=np.int64))
+                continue
+            # (N, 1) * (k,) broadcast; uint64 arithmetic wraps mod 2^64.
+            m = h.reshape(-1, 1) * a + b
+            out.append(m.min(axis=0).view(np.int64))
+        return pd.Series(out)
+
+    return signature
+
+
+def add_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = DEFAULT_K,
+    seed: int = DEFAULT_SEED,
+    ngram: int = DEFAULT_NGRAM,
+    signature_col: str = "signature",
+) -> DataFrame:
+    """Append ``signature: array<long>`` (k values) and ``length: int``.
+
+    Empty/null text gets the all-zero signature (reference
+    dedup/minhash.py:92-96)."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    sig_udf = make_signature_udf(k, seed)
+    zero = F.array_repeat(F.lit(0).cast("long"), k)
+    return df.withColumn("length", F.length(text)).withColumn(
+        signature_col,
+        F.when(F.length(F.trim(text)) == 0, zero).otherwise(
+            sig_udf(shingle_hashes(text, ngram))
+        ),
+    )
+
+
+def jaccard_estimate(sig_a: list[int], sig_b: list[int]) -> float:
+    """Driver-side helper: fraction of equal signature positions."""
+    assert len(sig_a) == len(sig_b) and sig_a
+    eq = sum(1 for x, y in zip(sig_a, sig_b) if x == y)
+    return eq / len(sig_a)

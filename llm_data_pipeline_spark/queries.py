@@ -60,6 +60,8 @@ def load_all() -> None:
     """Import every query module so their @query decorators run."""
     import llm_data_pipeline_spark.queries_relational  # noqa: F401
     import llm_data_pipeline_spark.queries_pipeline  # noqa: F401
+    import llm_data_pipeline_spark.queries_pii  # noqa: F401
+    import llm_data_pipeline_spark.queries_dedup  # noqa: F401
 
 
 def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

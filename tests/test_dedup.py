@@ -1,0 +1,109 @@
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from llm_data_pipeline_spark.operators.dedup import (
+    add_simhash,
+    exact_dedup,
+    ngram_jaccard_pairs,
+    simhash_candidate_pairs,
+)
+from llm_data_pipeline_spark.operators.lsh import (
+    band_rows,
+    candidate_pairs,
+    connected_components,
+    minhash_dedup,
+)
+from llm_data_pipeline_spark.operators.minhash import (
+    add_minhash,
+    jaccard_estimate,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from a warm windowsill in the late afternoon sun of a quiet town"
+)
+
+
+def _corpus(spark):
+    rows = [
+        Row(doc_id=1, text=BASE),
+        Row(doc_id=2, text=BASE.replace("quick", "rapid")),       # near-dup of 1
+        Row(doc_id=3, text=BASE),                                  # exact dup of 1
+        Row(doc_id=4, text="completely different content about spark "
+                           "dataframes shuffles and catalyst optimization"),
+        Row(doc_id=5, text=""),
+        Row(doc_id=6, text="tiny"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_minhash_properties(spark):
+    sig = {r.doc_id: r.signature for r in add_minhash(_corpus(spark)).collect()}
+    assert all(len(s) == 128 for s in sig.values())
+    assert sig[1] == sig[3]                      # identical text -> identical sig
+    assert sig[5] == [0] * 128                   # empty text -> zero signature
+    assert jaccard_estimate(sig[1], sig[2]) > 0.6   # near-dup: high estimate
+    assert jaccard_estimate(sig[1], sig[4]) < 0.2   # unrelated: low estimate
+    assert sig[6] != [0] * 128                   # sub-ngram text: single shingle
+
+
+def test_minhash_deterministic(spark):
+    a = {r.doc_id: r.signature for r in add_minhash(_corpus(spark)).collect()}
+    b = {r.doc_id: r.signature for r in add_minhash(_corpus(spark)).collect()}
+    assert a == b
+
+
+def test_band_rows_and_pairs(spark):
+    sig = add_minhash(_corpus(spark))
+    bands = band_rows(sig)
+    assert bands.where(bands.doc_id == 1).count() == 32  # 128/4 bands
+    edges = candidate_pairs(bands)
+    pairs = {(r.u, r.v) for r in edges.collect()}
+    assert (1, 3) in pairs  # exact dups always collide
+    assert (1, 2) in pairs  # near-dups collide in some band w.h.p.
+
+
+def test_connected_components(spark):
+    edges = spark.createDataFrame(
+        [Row(u=1, v=2), Row(u=2, v=3), Row(u=10, v=11)]
+    )
+    comps = {r.doc_id: r.component for r in connected_components(edges).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_minhash_dedup_keeps_canonical(spark):
+    sig = add_minhash(_corpus(spark))
+    kept, comps = minhash_dedup(sig)
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    # cluster {1,2,3}: canonical has max length, tie-broken by max doc_id.
+    # 1 and 3 are identical (len eq) and 2 has same length; max doc_id wins.
+    assert len(kept_ids & {1, 2, 3}) == 1
+    assert {4, 5, 6} <= kept_ids
+
+
+def test_exact_dedup(spark):
+    out = exact_dedup(_corpus(spark))
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    assert 1 in ids and 3 not in ids  # min doc_id representative kept
+    assert {2, 4, 5, 6} <= ids
+
+
+def test_ngram_jaccard(spark):
+    pairs = {
+        (r.u, r.v): r.jaccard
+        for r in ngram_jaccard_pairs(_corpus(spark), threshold=0.3).collect()
+    }
+    assert pairs[(1, 3)] == 1.0
+    assert 0.3 <= pairs[(1, 2)] < 1.0
+    assert (1, 4) not in pairs
+
+
+def test_simhash(spark):
+    sim = {r.doc_id: r.simhash for r in add_simhash(_corpus(spark)).collect()}
+    assert sim[1] == sim[3] and sim[5] == 0
+    hamming_near = bin(sim[1] ^ sim[2]).count("1")
+    hamming_far = bin((sim[1] ^ sim[4]) & ((1 << 64) - 1)).count("1")
+    assert hamming_near < hamming_far
+    pairs = {(r.u, r.v) for r in simhash_candidate_pairs(add_simhash(_corpus(spark)), max_hamming=3).collect()}
+    assert (1, 3) in pairs
