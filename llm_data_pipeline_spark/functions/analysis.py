@@ -1,0 +1,122 @@
+"""Text-analysis functions: language ID, quality scoring, token counting,
+fingerprinting — all pure Column expressions (north-star extensions;
+heuristic LID also serves as the fallback for the model-based quality stage).
+
+Every function here has a line-for-line SQL twin in queries_text.py so the
+DuckDB oracle exercises identical semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from llm_data_pipeline_spark.functions.text import (
+    CJK_CLASS,
+    count_matches,
+    norm_ws,
+)
+
+# Small, fixed stopword profiles. Order matters: ties break toward the
+# earlier language in LANG_ORDER.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "a"),
+    "es": ("el", "la", "de", "que", "y", "los", "una"),
+    "de": ("der", "die", "und", "das", "ist", "ein", "nicht"),
+    "fr": ("le", "et", "les", "des", "un", "une", "dans"),
+}
+LANG_ORDER = ("en", "es", "de", "fr")
+CJK_LANG_THRESHOLD = 0.2
+
+# BPE-ish word/number/symbol tokenization pattern (shared with the oracle).
+WORDLIKE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of normalized text (empty strings filtered)."""
+    return F.filter(F.split(norm_ws(text), " "), lambda x: x != "")
+
+
+def whitespace_token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def wordlike_token_count(text: Column) -> Column:
+    """Count of BPE-ish tokens (letter runs / digit runs / single symbols)."""
+    return F.regexp_count(F.coalesce(text, F.lit("")), F.lit(WORDLIKE_RE))
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tokens(text), lambda t: F.array_contains(words, t)))
+
+
+def cjk_ratio(text: Column) -> Column:
+    n = F.length(text)
+    return F.when(n > 0, count_matches(text, CJK_CLASS) / n).otherwise(F.lit(0.0))
+
+
+def detect_language(text: Column) -> Column:
+    """Deterministic n-gram/stopword language heuristic.
+
+    CJK ratio above threshold → 'zh'; else the language with the highest
+    stopword hit count (ties break in LANG_ORDER); all-zero → 'und'.
+    Serves the role of the reference's fastText LID (quality/model.py) when
+    no model is available — same column contract, documented heuristic.
+    """
+    t = F.coalesce(text, F.lit(""))
+    hits = {lang: stopword_hits(t, lang) for lang in LANG_ORDER}
+    expr = F.when(cjk_ratio(t) > CJK_LANG_THRESHOLD, F.lit("zh"))
+    for i, lang in enumerate(LANG_ORDER):
+        cond = hits[lang] > 0
+        for other in LANG_ORDER[i + 1 :]:
+            cond = cond & (hits[lang] >= hits[other])
+        for prior in LANG_ORDER[:i]:
+            cond = cond & (hits[lang] > hits[prior])
+        expr = expr.when(cond, F.lit(lang))
+    return expr.otherwise(F.lit("und"))
+
+
+def language_score(text: Column) -> Column:
+    """Confidence proxy: winning stopword hits / whitespace token count
+    (0.0 for empty; 1.0 for CJK route)."""
+    t = F.coalesce(text, F.lit(""))
+    n = whitespace_token_count(t)
+    best = F.greatest(*[stopword_hits(t, lang) for lang in LANG_ORDER])
+    return F.when(cjk_ratio(t) > CJK_LANG_THRESHOLD, F.lit(1.0)).otherwise(
+        F.when(n > 0, best / n).otherwise(F.lit(0.0))
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Composite 0..1 heuristic quality score.
+
+    0.25*non_ws_ratio + 0.25*alpha_cjk_ratio + 0.25*(1 - min(punct/0.25, 1))
+    + 0.25*min(4*stopword_ratio, 1) — written in this exact association
+    order on both engines for bit-identical doubles.
+    """
+    from llm_data_pipeline_spark.functions.text import (
+        alpha_cjk_ratio,
+        non_ws_ratio,
+        punct_ratio,
+    )
+
+    t = F.coalesce(text, F.lit(""))
+    n_tok = whitespace_token_count(t)
+    sw_total = None
+    for lang in LANG_ORDER:
+        h = stopword_hits(t, lang)
+        sw_total = h if sw_total is None else sw_total + h
+    sw_ratio = F.when(n_tok > 0, sw_total / n_tok).otherwise(F.lit(0.0))
+    return (
+        F.lit(0.25) * non_ws_ratio(t)
+        + F.lit(0.25) * alpha_cjk_ratio(t)
+        + F.lit(0.25) * (F.lit(1.0) - F.least(punct_ratio(t) / 0.25, F.lit(1.0)))
+        + F.lit(0.25) * F.least(F.lit(4.0) * sw_ratio, F.lit(1.0))
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Stable document fingerprint: md5 of whitespace-normalized text
+    (md5 because the DuckDB oracle lacks sha1; equality-only use)."""
+    return F.md5(norm_ws(F.coalesce(text, F.lit(""))))

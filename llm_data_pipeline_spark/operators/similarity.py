@@ -1,0 +1,149 @@
+"""Similarity search over embedding columns.
+
+- brute_force_topk — exact cosine top-k: broadcast the (small) query set
+  against the corpus; one narrow pass over the corpus per batch of queries,
+  ranked by a per-query window. The baseline and the oracle-checkable path.
+- hyperplane_lsh_topk — the scale path: random-hyperplane (sign) LSH.
+  Corpus and queries are bucketed by an nbits-bit sign signature (seeded
+  hyperplanes, multiple independent tables to raise recall); candidates are
+  re-ranked exactly within buckets. At 100 TB the bucket join replaces the
+  full cross product — cost goes from |Q|x|N| to sum of bucket sizes.
+- near_dup_pairs — all pairs with cosine >= threshold (embedding near-dup
+  dedup); exact via self-join for moderate corpora, LSH-bucketed variant
+  for scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from llm_data_pipeline_spark.functions.vectors import cosine, dot
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k neighbors per query (self-matches excluded).
+
+    Returns (query_id, vec_id, score, rank). Scores are rounded to 6 dp
+    *before* ranking so downstream consumers (and the oracle) rank
+    identically; ties break on vec_id.
+    """
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("_qvec")
+    )
+    joined = corpus.join(F.broadcast(q), F.col(id_col) != F.col(query_id_col))
+    scored = joined.select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col("_qvec"), F.col(vec_col)), 6).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(nbits: int, dim: int, seed: int, n_tables: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal(size=(n_tables, nbits, dim))
+
+
+def add_lsh_signature(
+    df: DataFrame,
+    dim: int,
+    nbits: int = 16,
+    n_tables: int = 4,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Append (table_id, bucket) rows: one row per (vector, table).
+
+    bucket = integer whose bit j is sign(dot(v, hyperplane_j)) — computed
+    natively from literal hyperplane arrays; no Python at row time.
+    """
+    planes = _hyperplanes(nbits, dim, seed, n_tables)
+    sig_cols = []
+    for t in range(n_tables):
+        bucket = F.lit(0).cast("long")
+        for j in range(nbits):
+            plane = F.array(*[F.lit(float(x)) for x in planes[t, j]])
+            bit = F.when(dot(F.col(vec_col), plane) >= 0, F.lit(1 << j)).otherwise(
+                F.lit(0)
+            )
+            bucket = bucket + bit
+        sig_cols.append(bucket.alias(f"_b{t}"))
+    with_sigs = df.select("*", *sig_cols)
+    return with_sigs.select(
+        "*",
+        F.posexplode(
+            F.array(*[F.col(f"_b{t}") for t in range(n_tables)])
+        ).alias("table_id", "bucket"),
+    ).drop(*[f"_b{t}" for t in range(n_tables)])
+
+
+def hyperplane_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    nbits: int = 12,
+    n_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: candidates = same (table, bucket) co-occurrence,
+    then exact cosine re-rank. Recall grows with n_tables; cost is the
+    bucket-join instead of a cross product."""
+    c = add_lsh_signature(corpus, dim, nbits, n_tables, seed, vec_col).select(
+        F.col(id_col), F.col(vec_col).alias("_cvec"), "table_id", "bucket"
+    )
+    q = add_lsh_signature(queries, dim, nbits, n_tables, seed, vec_col).select(
+        F.col(query_id_col), F.col(vec_col).alias("_qvec"), "table_id", "bucket"
+    )
+    cands = (
+        c.join(q, ["table_id", "bucket"])
+        .where(F.col(id_col) != F.col(query_id_col))
+        .select(query_id_col, id_col, "_qvec", "_cvec")
+        .dropDuplicates([query_id_col, id_col])
+    )
+    scored = cands.select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col("_qvec"), F.col("_cvec")), 6).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding near-duplicate pairs (u < v, cosine >= threshold).
+
+    O(n^2) self-join — correct baseline for <= ~10^5 vectors; at larger
+    scale route through add_lsh_signature buckets first (same re-rank).
+    """
+    a = df.select(F.col(id_col).alias("u"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("v"), F.col(vec_col).alias("_vb"))
+    return (
+        a.join(b, F.col("u") < F.col("v"))
+        .select(
+            "u", "v", F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("score")
+        )
+        .where(F.col("score") >= threshold)
+    )

@@ -1,0 +1,172 @@
+"""Similarity-search queries over the embeddings table.
+
+The exact paths (brute-force top-k, near-dup pairs, label centroids, kNN
+label vote) are oracle-checked: Spark's sequential-fold dot product in
+double is bit-identical to DuckDB's list_dot_product, and scores are
+rounded to 6 dp before ranking on both sides. The hyperplane-LSH path is
+approximate and registered rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from llm_data_pipeline_spark.operators.similarity import (
+    brute_force_topk,
+    hyperplane_lsh_topk,
+    near_dup_pairs,
+)
+from llm_data_pipeline_spark.queries import query, table
+
+def cos_sql(a: str, b: str) -> str:
+    """Rounded cosine-similarity SQL between two DOUBLE[] expressions."""
+    return (
+        f"round(CASE WHEN sqrt(list_dot_product({a}, {a})) > 0 "
+        f"AND sqrt(list_dot_product({b}, {b})) > 0 "
+        f"THEN list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * "
+        f"sqrt(list_dot_product({b}, {b}))) ELSE 0.0 END, 6)"
+    )
+
+_PAIR_BASE = """
+e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+"""
+
+
+@query(
+    "embedding_topk_bruteforce",
+    oracle=f"""
+    WITH {_PAIR_BASE.strip()},
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             {cos_sql('qv', 'e.v')} AS score
+      FROM e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, score, rank FROM (
+      SELECT query_id, vec_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+    tags=("similarity", "ann"),
+)
+def embedding_topk_bruteforce(spark: SparkSession, sf_dir: str):
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(emb, queries, k=10).select(
+        "query_id", "vec_id", "score", "rank"
+    ).orderBy("query_id", "rank")
+
+
+@query(
+    "embedding_near_dup_pairs",
+    oracle=f"""
+    WITH {_PAIR_BASE.strip()}
+    SELECT a.vec_id AS u, b.vec_id AS v,
+           {cos_sql('a.v', 'b.v')} AS score
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE {cos_sql('a.v', 'b.v')} >= 0.9
+    ORDER BY u, v
+    """,
+    tags=("similarity", "dedup"),
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str):
+    emb = table(spark, sf_dir, "embeddings")
+    return near_dup_pairs(emb, threshold=0.9).orderBy("u", "v")
+
+
+@query(
+    "embedding_label_centroids",
+    oracle="""
+    SELECT label, i - 1 AS pos,
+           round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS centroid
+    FROM embeddings, generate_series(1, 64) s(i)
+    GROUP BY label, i
+    ORDER BY label, pos
+    """,
+    tags=("similarity", "aggregation"),
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str):
+    emb = table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "label", F.posexplode(F.col("embedding")).alias("pos", "val")
+        )
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("centroid"))
+        .orderBy("label", "pos")
+    )
+
+
+@query(
+    "embedding_knn_label_vote",
+    oracle=f"""
+    WITH {_PAIR_BASE.strip()},
+    q AS (SELECT vec_id AS query_id, label AS true_label, v AS qv
+          FROM e WHERE vec_id % 100 = 0),
+    scored AS (
+      SELECT q.query_id, q.true_label, e.vec_id, e.label,
+             {cos_sql('qv', 'e.v')} AS score
+      FROM e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id
+    ),
+    topk AS (
+      SELECT query_id, true_label, label FROM (
+        SELECT query_id, true_label, label, score, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, vec_id) AS rank
+        FROM scored
+      ) WHERE rank <= 10
+    )
+    SELECT query_id, true_label, label AS voted_label, count(*) AS votes
+    FROM topk
+    GROUP BY query_id, true_label, label
+    ORDER BY query_id, votes DESC, voted_label
+    """,
+    tags=("similarity", "classification"),
+)
+def embedding_knn_label_vote(spark: SparkSession, sf_dir: str):
+    """k-NN label votes per query vector (the building block of
+    embedding-based classification / label propagation)."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    topk = brute_force_topk(emb, queries, k=10)
+    labels = emb.select("vec_id", "label")
+    qlabels = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return (
+        topk.join(labels, "vec_id")
+        .join(F.broadcast(qlabels), "query_id")
+        .groupBy("query_id", "true_label", "label")
+        .agg(F.count("*").alias("votes"))
+        .select(
+            "query_id", "true_label", F.col("label").alias("voted_label"), "votes"
+        )
+        .orderBy("query_id", F.desc("votes"), "voted_label")
+    )
+
+
+@query("embedding_ann_lsh_topk", tags=("similarity", "ann", "approximate"))
+def embedding_ann_lsh_topk(spark: SparkSession, sf_dir: str):
+    """Approximate top-k via random-hyperplane LSH buckets + exact re-rank
+    (the 100 TB path: bucket join instead of cross product). Approximate →
+    rows-only check; recall vs brute force is asserted in unit tests."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # nbits=4/n_tables=16 tuned for this corpus's near-orthogonal neighbors
+    # (top-10 cosine ~0.3); tighter clusters at scale warrant more bits.
+    return hyperplane_lsh_topk(emb, queries, dim=64, k=10, nbits=4, n_tables=16).select(
+        "query_id", "vec_id", "score", "rank"
+    ).orderBy("query_id", "rank")

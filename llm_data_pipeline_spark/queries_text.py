@@ -1,0 +1,193 @@
+"""Text-analysis queries (language ID, quality scoring, token stats,
+fingerprinting) with DuckDB oracles generated from the same constants as
+the Spark implementations (functions/analysis.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from llm_data_pipeline_spark.functions import analysis as A
+from llm_data_pipeline_spark.functions import text as T
+from llm_data_pipeline_spark.operators.quality import run_quality
+from llm_data_pipeline_spark.queries import query, table
+
+# ---------------------------------------------------------------------------
+# SQL twins
+# ---------------------------------------------------------------------------
+
+NORM = "trim(regexp_replace(lower(coalesce(text,'')), '\\s+', ' ', 'g'))"
+TOKS = f"list_filter(string_split({NORM}, ' '), x -> x <> '')"
+RAW = "coalesce(text,'')"
+
+
+def _cnt(expr: str, cc: str) -> str:
+    return f"(length({expr}) - length(regexp_replace({expr}, '{cc}', '', 'g')))"
+
+
+def _ratio(expr: str, cc: str) -> str:
+    return (
+        f"CASE WHEN length({expr}) > 0 THEN {_cnt(expr, cc)} / length({expr}) "
+        f"ELSE 0.0 END"
+    )
+
+
+def _hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in A.STOPWORDS[lang])
+    return f"len(list_filter(toks, t -> list_contains([{words}], t)))"
+
+
+_CJK_COND = (
+    f"(CASE WHEN length(raw) > 0 THEN {_cnt('raw', T.CJK_CLASS)} / length(raw) "
+    f"ELSE 0.0 END) > {A.CJK_LANG_THRESHOLD}"
+)
+
+
+def _lang_case() -> str:
+    branches = [f"WHEN {_CJK_COND} THEN 'zh'"]
+    for i, lang in enumerate(A.LANG_ORDER):
+        conds = [f"h_{lang} > 0"]
+        conds += [f"h_{lang} >= h_{o}" for o in A.LANG_ORDER[i + 1 :]]
+        conds += [f"h_{lang} > h_{p}" for p in A.LANG_ORDER[:i]]
+        branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "CASE " + " ".join(branches) + " ELSE 'und' END"
+
+
+_H_COLS = ",\n         ".join(f"{_hits(lang)} AS h_{lang}" for lang in A.LANG_ORDER)
+_GREATEST = "greatest(" + ", ".join(f"h_{lang}" for lang in A.LANG_ORDER) + ")"
+_SW_SUM = " + ".join(f"h_{lang}" for lang in A.LANG_ORDER)
+
+TEXT_BASE_SQL = f"""
+base AS (
+  SELECT doc_id, {RAW} AS raw, {TOKS} AS toks FROM documents
+), feat AS (
+  SELECT doc_id, raw, len(toks) AS n_tok,
+         {_H_COLS}
+  FROM base
+)
+"""
+
+_LANG_SCORE = (
+    f"CASE WHEN {_CJK_COND} THEN 1.0 "
+    f"WHEN n_tok > 0 THEN {_GREATEST} / n_tok ELSE 0.0 END"
+)
+
+_QUALITY_SCORE = (
+    f"0.25 * ({_ratio('raw', T.NON_WS_CLASS)}) "
+    f"+ 0.25 * (CASE WHEN length(raw) > 0 THEN "
+    f"({_cnt('raw', T.ALPHA_CLASS)} + {_cnt('raw', T.CJK_CLASS)}) / length(raw) "
+    f"ELSE 0.0 END) "
+    f"+ 0.25 * (1.0 - least(({_ratio('raw', T.PUNCT_CLASS)}) / 0.25, 1.0)) "
+    f"+ 0.25 * least(4.0 * (CASE WHEN n_tok > 0 THEN ({_SW_SUM}) / n_tok "
+    f"ELSE 0.0 END), 1.0)"
+)
+
+
+@query(
+    "text_language_detect",
+    oracle=f"""
+    WITH {TEXT_BASE_SQL.strip()}
+    SELECT doc_id, {_lang_case()} AS lang_pred, {_LANG_SCORE} AS lang_score
+    FROM feat
+    ORDER BY doc_id
+    """,
+    tags=("text-analysis", "langid"),
+)
+def text_language_detect(spark: SparkSession, sf_dir: str):
+    docs = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        A.detect_language(t).alias("lang_pred"),
+        A.language_score(t).alias("lang_score"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_quality_scores",
+    oracle=f"""
+    WITH {TEXT_BASE_SQL.strip()}
+    SELECT doc_id, {_QUALITY_SCORE} AS quality_score
+    FROM feat
+    ORDER BY doc_id
+    """,
+    tags=("text-analysis", "quality"),
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str):
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", A.quality_score(F.col("text")).alias("quality_score")
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len({TOKS}) AS ws_tokens,
+           len(regexp_extract_all({RAW}, '{A.WORDLIKE_RE}')) AS wordlike_tokens,
+           md5({NORM}) AS fingerprint
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("text-analysis", "tokens"),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str):
+    docs = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        A.whitespace_token_count(t).alias("ws_tokens"),
+        A.wordlike_token_count(t).cast("long").alias("wordlike_tokens"),
+        A.fingerprint(t).alias("fingerprint"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "quality_keep_decision",
+    oracle=f"""
+    WITH {TEXT_BASE_SQL.strip()},
+    scored AS (
+      SELECT doc_id, {_lang_case()} AS lang_pred, {_LANG_SCORE} AS lang_score
+      FROM feat
+    )
+    SELECT doc_id, lang_pred, lang_score,
+           (lang_pred IN ('zh', 'en') AND lang_score >= 0.4) AS quality_keep
+    FROM scored
+    ORDER BY doc_id
+    """,
+    tags=("pipeline", "quality"),
+)
+def quality_keep_decision(spark: SparkSession, sf_dir: str):
+    """The quality stage on its heuristic (model-free) path — same column
+    contract as the fastText-backed path."""
+    docs = table(spark, sf_dir, "documents")
+    return run_quality(docs).select(
+        "doc_id", "lang_pred", "lang_score", "quality_keep"
+    ).orderBy("doc_id")
+
+
+@query(
+    "language_distribution",
+    oracle=f"""
+    WITH {TEXT_BASE_SQL.strip()},
+    scored AS (
+      SELECT doc_id, {_lang_case()} AS lang_pred, {_LANG_SCORE} AS lang_score
+      FROM feat
+    )
+    SELECT lang_pred,
+           (lang_pred IN ('zh', 'en') AND lang_score >= 0.4) AS quality_keep,
+           count(*) AS n_docs
+    FROM scored
+    GROUP BY 1, 2
+    ORDER BY lang_pred, quality_keep
+    """,
+    tags=("pipeline", "quality", "aggregation"),
+)
+def language_distribution_q(spark: SparkSession, sf_dir: str):
+    docs = table(spark, sf_dir, "documents")
+    from llm_data_pipeline_spark.operators.quality import language_distribution
+
+    return language_distribution(run_quality(docs)).orderBy(
+        "lang_pred", "quality_keep"
+    )

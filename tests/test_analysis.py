@@ -1,0 +1,79 @@
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from llm_data_pipeline_spark.functions import analysis as A
+from llm_data_pipeline_spark.operators.quality import run_quality
+
+
+def _score(spark, texts):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)],
+        "doc_id int, text string",
+    )
+    return (
+        df.select(
+            "doc_id",
+            A.detect_language(F.col("text")).alias("lang"),
+            A.quality_score(F.col("text")).alias("q"),
+            A.whitespace_token_count(F.col("text")).alias("ws"),
+            A.wordlike_token_count(F.col("text")).alias("wl"),
+            A.fingerprint(F.col("text")).alias("fp"),
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+
+
+def test_language_detection(spark):
+    rows = _score(
+        spark,
+        [
+            "the cat and the dog went to the house in a hurry",
+            "el perro y la casa de que los gatos una vez",
+            "der hund und das haus ist ein gutes nicht schlechtes",
+            "le chien et les maisons des un une dans paris",
+            "这是一个中文文档的内容示例没有空格",
+            "zzz qqq xxx www",
+            None,
+        ],
+    )
+    assert [r.lang for r in rows] == ["en", "es", "de", "fr", "zh", "und", "und"]
+
+
+def test_quality_score_ordering(spark):
+    rows = _score(
+        spark,
+        [
+            "the quick brown fox jumps over the lazy dog in a field",
+            "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))",
+        ],
+    )
+    assert rows[0].q > rows[1].q
+    assert 0.0 <= rows[1].q <= 1.0
+
+
+def test_token_counts(spark):
+    rows = _score(spark, ["hello world, it's 42 degrees"])
+    r = rows[0]
+    assert r.ws == 5
+    # hello | world | , | it | ' | s | 42 | degrees
+    assert r.wl == 8
+
+
+def test_fingerprint_normalization_invariance(spark):
+    rows = _score(spark, ["Hello   World", "hello world"])
+    assert rows[0].fp == rows[1].fp
+
+
+def test_run_quality_contract(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the cat and the dog went to the house in a hurry"),
+            Row(doc_id=2, text="el perro y la casa de que los gatos una vez"),
+        ]
+    )
+    out = {r.doc_id: r for r in run_quality(df).collect()}
+    assert out[1].quality_keep and out[1].lang_pred == "en"
+    assert not out[2].quality_keep and out[2].lang_pred == "es"

@@ -1,0 +1,72 @@
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row
+
+from llm_data_pipeline_spark.operators.similarity import (
+    brute_force_topk,
+    hyperplane_lsh_topk,
+    near_dup_pairs,
+)
+
+
+def _vectors(spark):
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0]),
+        Row(vec_id=1, embedding=[0.999, 0.01, 0.0]),   # near-dup of 0
+        Row(vec_id=2, embedding=[0.0, 1.0, 0.0]),
+        Row(vec_id=3, embedding=[0.0, 0.0, 1.0]),
+        Row(vec_id=4, embedding=[0.7, 0.7, 0.0]),
+        Row(vec_id=5, embedding=[0.0, 0.0, 0.0]),      # zero vector
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_brute_force_topk(spark):
+    emb = _vectors(spark)
+    import pyspark.sql.functions as F
+
+    queries = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    res = brute_force_topk(emb, queries, k=3).collect()
+    order = [r.vec_id for r in sorted(res, key=lambda r: r.rank)]
+    assert order[0] == 1                      # nearest is the near-dup
+    assert order[1] == 4
+    assert all(0.0 <= r.score <= 1.0 for r in res)
+
+
+def test_zero_vector_score(spark):
+    emb = _vectors(spark)
+    import pyspark.sql.functions as F
+
+    queries = emb.where(F.col("vec_id") == 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    res = brute_force_topk(emb, queries, k=5).collect()
+    assert all(r.score == 0.0 for r in res)   # zero norm -> defined 0.0
+
+
+def test_near_dup_pairs(spark):
+    pairs = {(r.u, r.v): r.score for r in near_dup_pairs(_vectors(spark), 0.95).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
+    assert all(v >= 0.95 for v in pairs.values())
+
+
+def test_lsh_recall_against_bruteforce(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, queries, k=10)
+    # This corpus's neighbors are near-orthogonal (top-10 cosine ~0.3, i.e.
+    # ~0.61 same-side probability per hyperplane) — so few bits, many
+    # tables. At real scale with tighter clusters, raise nbits.
+    approx = hyperplane_lsh_topk(emb, queries, dim=64, k=10, nbits=4, n_tables=16)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, f"LSH recall too low: {recall}"
