@@ -1,0 +1,220 @@
+"""Graded queries: tokenizer training, encoding, and sequence packing.
+
+Covers SURVEY.md §2 C15/C16 (encode, EOS), M1 (train-then-encode contract),
+T1/T2 (ConstantLengthDataset packing + segment metadata), T3 (meta counts).
+
+The oracle reconstructs the packer *relationally* in ANSI SQL (explode ->
+global row_number -> integer-division chunk assignment), i.e. it is an
+independent re-derivation of the reference's sequential carry-over fold
+(tokenizer/run.py:109-214) — if the Spark prefix-sum plan and the SQL
+window plan agree on every chunk's content checksum and run structure, the
+packing is order-exact.
+
+Chunk content is compared via scalar summaries (first/last token, weighted
+position checksum, segment-run checksum) rather than raw arrays so the
+driver's column-sorted value hash is well-defined.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from llm_data_pipeline_spark.operators.packing import pack_chunks
+from llm_data_pipeline_spark.operators.tokenizer import (
+    TOKEN_PATTERN,
+    encode_via_join,
+    train_word_vocab,
+)
+from llm_data_pipeline_spark.queries import query, table
+
+# The synthetic corpus has only ~31 distinct tokens; cap the vocab below
+# that so the OOV/unk path is actually exercised by the graded queries.
+VOCAB_SIZE = 20
+SEQ_LEN = 512
+
+# Shared SQL fragments -------------------------------------------------------
+
+_SQL_PRELUDE = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '{TOKEN_PATTERN}') AS tl
+  FROM documents
+),
+flat AS (
+  SELECT doc_id, i, tl[i + 1] AS tok
+  FROM toks, unnest(range(len(tl))) t(i)
+),
+vocab AS (
+  SELECT tok, id FROM (
+    SELECT tok,
+           row_number() OVER (ORDER BY count(*) DESC, tok) + 3 AS id,
+           count(*) AS freq
+    FROM flat GROUP BY tok
+  ) WHERE id < {{vocab_size}}
+),
+enc AS (
+  SELECT f.doc_id, f.i, COALESCE(v.id, 0) AS id
+  FROM flat f LEFT JOIN vocab v USING (tok)
+)
+"""
+
+
+def _ids_weighted_checksum(ids: F.Column) -> F.Column:
+    """sum((pos+1) * id) over an id array — pins content AND order."""
+    return F.aggregate(
+        F.zip_with(
+            ids,
+            F.sequence(F.lit(1), F.size(ids)),
+            lambda x, i: x.cast("long") * i,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+@query(
+    "tokenizer_train_vocab",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '{TOKEN_PATTERN}') AS tl
+  FROM documents
+),
+flat AS (
+  SELECT tl[i + 1] AS tok FROM toks, unnest(range(len(tl))) t(i)
+)
+SELECT tok AS token, CAST(id AS BIGINT) AS id, CAST(freq AS BIGINT) AS freq
+FROM (
+  SELECT tok,
+         row_number() OVER (ORDER BY count(*) DESC, tok) + 3 AS id,
+         count(*) AS freq
+  FROM flat GROUP BY tok
+) WHERE id < 104
+ORDER BY id
+""",
+    tags=("tokenize", "vocab", "train"),
+)
+def tokenizer_train_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 frequency-ranked vocabulary (M1 analog: train on corpus)."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        train_word_vocab(docs, vocab_size=104)
+        .select("token", F.col("id").cast("long").alias("id"), "freq")
+        .orderBy("id")
+    )
+
+
+@query(
+    "tokenize_encode_docs",
+    oracle=_SQL_PRELUDE.format(vocab_size=VOCAB_SIZE) + """
+SELECT e.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(*) FILTER (WHERE e.id = 0) AS BIGINT) AS n_unk,
+       CAST(sum((e.i + 1) * e.id) AS BIGINT) AS ids_checksum
+FROM enc e
+GROUP BY e.doc_id
+ORDER BY e.doc_id
+""",
+    tags=("tokenize", "encode"),
+)
+def tokenize_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode every document against the trained vocab (C15 analog).
+
+    Output is a per-doc summary of the id sequence (count, OOV count,
+    position-weighted checksum) — a scalar projection of input_ids that
+    still pins exact ids and their order.
+    """
+    docs = table(spark, sf_dir, "documents")
+    vocab = train_word_vocab(docs, vocab_size=VOCAB_SIZE)
+    enc = encode_via_join(docs, vocab)
+    return (
+        enc.select(
+            "doc_id",
+            F.size("input_ids").cast("long").alias("n_tokens"),
+            F.size(F.filter("input_ids", lambda x: x == 0))
+            .cast("long")
+            .alias("n_unk"),
+            _ids_weighted_checksum(F.col("input_ids")).alias("ids_checksum"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "pack_constant_length",
+    oracle=_SQL_PRELUDE.format(vocab_size=VOCAB_SIZE) + f"""
+, witheos AS (
+  SELECT doc_id, i, id FROM enc
+  UNION ALL
+  SELECT doc_id, len(tl) AS i, 2 AS id FROM toks WHERE len(tl) > 0
+),
+ordered AS (
+  SELECT id,
+         row_number() OVER (ORDER BY doc_id, i) - 1 AS goff,
+         dense_rank() OVER (ORDER BY doc_id) - 1 AS sid
+  FROM witheos
+),
+chunked AS (
+  SELECT goff // {SEQ_LEN} AS chunk_id, goff % {SEQ_LEN} AS cpos, id, sid
+  FROM ordered
+  WHERE goff < ((SELECT count(*) FROM witheos) // {SEQ_LEN}) * {SEQ_LEN}
+),
+seg_ranked AS (
+  SELECT chunk_id, seg_len,
+         row_number() OVER (PARTITION BY chunk_id ORDER BY seg_pos) AS seg_idx
+  FROM (
+    SELECT chunk_id, sid, count(*) AS seg_len, min(cpos) AS seg_pos
+    FROM chunked GROUP BY chunk_id, sid
+  )
+),
+chunk_stats AS (
+  SELECT chunk_id,
+         CAST(min_by(id, cpos) AS BIGINT) AS first_id,
+         CAST(max_by(id, cpos) AS BIGINT) AS last_id,
+         CAST(sum((cpos + 1) * id) AS BIGINT) AS ids_checksum
+  FROM chunked GROUP BY chunk_id
+),
+seg_stats AS (
+  SELECT chunk_id,
+         CAST(count(*) AS BIGINT) AS n_segments,
+         CAST(sum(seg_idx * seg_len) AS BIGINT) AS seg_checksum
+  FROM seg_ranked GROUP BY chunk_id
+)
+SELECT c.chunk_id, c.first_id, c.last_id, c.ids_checksum,
+       s.n_segments, s.seg_checksum
+FROM chunk_stats c JOIN seg_stats s USING (chunk_id)
+ORDER BY c.chunk_id
+""",
+    tags=("tokenize", "pack", "order-sensitive"),
+)
+def pack_constant_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ConstantLengthDataset parity (T1/T2): pack docs into 512-token chunks.
+
+    The Spark side runs the real distributed packer (prefix-sum chunk
+    assignment, native array slicing) and summarizes each produced chunk;
+    the oracle re-derives the same chunks from first principles in SQL.
+    """
+    docs = table(spark, sf_dir, "documents")
+    vocab = train_word_vocab(docs, vocab_size=VOCAB_SIZE)
+    enc = encode_via_join(docs, vocab)
+    chunks = pack_chunks(
+        enc, seq_len=SEQ_LEN, eos_id=2, add_eos=True, ensure_eos=True,
+        drop_remainder=True, order_col="doc_id",
+    )
+    seg_checksum = F.aggregate(
+        F.zip_with(
+            F.col("seq_lens"),
+            F.sequence(F.lit(1), F.size("seq_lens")),
+            lambda x, i: x.cast("long") * i,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return chunks.select(
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.element_at("input_ids", 1).cast("long").alias("first_id"),
+        F.element_at("input_ids", -1).cast("long").alias("last_id"),
+        _ids_weighted_checksum(F.col("input_ids")).alias("ids_checksum"),
+        F.size("seq_lens").cast("long").alias("n_segments"),
+        seg_checksum.alias("seg_checksum"),
+    ).orderBy("chunk_id")
