@@ -1,0 +1,133 @@
+"""Graded queries: Structured Streaming variants.
+
+Correctness contract: each query executes a *real stream* (file source,
+AvailableNow trigger, memory sink) and returns the materialized result; the
+oracle is plain batch SQL over the same rows. Streaming == batch is the
+strongest check available for these operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from llm_data_pipeline_spark.queries import query
+from llm_data_pipeline_spark.queries_pipeline import CLEAN_METRICS_SQL
+from llm_data_pipeline_spark.streaming.state import user_running_totals
+from llm_data_pipeline_spark.streaming.stream import (
+    clean_stream,
+    hourly_rollup_stream,
+    read_parquet_stream,
+    run_to_memory,
+    session_stream,
+)
+
+
+@query(
+    "streaming_clean_judge",
+    oracle=CLEAN_METRICS_SQL
+    + """
+SELECT doc_id, (drop_reason = 'ok') AS kept, drop_reason
+FROM judged
+ORDER BY doc_id
+""",
+    tags=("streaming", "pipeline", "clean"),
+)
+def streaming_clean_judge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateless pipeline stage on a stream: clean judgment per document."""
+    sdf = read_parquet_stream(spark, f"{sf_dir}/documents.parquet", ts_col=None)
+    scored = clean_stream(sdf).select("doc_id", "kept", "drop_reason")
+    return run_to_memory(scored, mode="append").orderBy("doc_id")
+
+
+@query(
+    "streaming_hourly_rollup",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 3) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY hour, event_type
+    """,
+    tags=("streaming", "events", "window", "watermark"),
+)
+def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window rollup; complete-mode memory sink."""
+    sdf = read_parquet_stream(spark, f"{sf_dir}/events.parquet")
+    return run_to_memory(hourly_rollup_stream(sdf), mode="complete").orderBy(
+        "hour", "event_type"
+    )
+
+
+@query(
+    "streaming_sessionization",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= 1800000000
+                  OR lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           count(*) AS n_events,
+           round(sum(value), 3) AS session_value
+    FROM sess
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+    tags=("streaming", "events", "session-window"),
+)
+def streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) on a stream vs batch gap-SQL oracle.
+
+    Boundary semantics: Spark session windows close at start+gap exclusive,
+    i.e. an event exactly ``gap`` after the previous one starts a NEW
+    session — hence ``>=`` in the oracle's gap comparison.
+    """
+    sdf = read_parquet_stream(spark, f"{sf_dir}/events.parquet")
+    return run_to_memory(session_stream(sdf), mode="complete").orderBy(
+        "user_id", "session_start"
+    )
+
+
+@query(
+    "streaming_user_totals_stateful",
+    oracle="""
+    SELECT user_id, count(*) AS n_events, round(sum(value), 3) AS total_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("streaming", "stateful", "applyInPandasWithState"),
+)
+def streaming_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-stateful op (applyInPandasWithState): per-user totals.
+
+    The parquet source is read as one AvailableNow micro-batch (single
+    file), so the update-mode emissions are the final per-user state.
+    """
+    sdf = read_parquet_stream(spark, f"{sf_dir}/events.parquet")
+    totals = user_running_totals(sdf)
+    out = run_to_memory(totals, mode="update")
+    # Defensive: if the source ever splits into multiple micro-batches the
+    # memory sink holds one row per update; keep the last per user.
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("total_value", "n_events").alias("total_value"),
+        )
+        .orderBy("user_id")
+    )

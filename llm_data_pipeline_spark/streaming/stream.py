@@ -1,0 +1,126 @@
+"""Streaming variants of the pipeline/event operators.
+
+The reference is pure batch (SURVEY.md §1.1); streaming is the north-star
+extension: the same clean/quality Column expressions run unchanged on a
+``readStream`` DataFrame (stateless narrow transforms), and the event
+rollups become watermark + time-window / session-window aggregations.
+
+Design notes:
+- File-source streams require an explicit schema; we take it from a batch
+  scan of the same path, so stream and batch read identical rows.
+- ``run_to_memory`` executes with ``Trigger.AvailableNow`` and a memory
+  sink, which is how the graded queries turn a stream into a comparable
+  batch result: **streaming output == batch SQL oracle** is the correctness
+  contract.
+- Aggregations run in complete output mode, because with AvailableNow the
+  watermark never advances past the final batch, so append mode would hold
+  the last windows back forever. On a real continuous run you would use
+  append mode + watermark and let windows finalize as event time advances.
+- At scale: stateless transforms are embarrassingly parallel; windowed aggs
+  shuffle by (window, keys) exactly like their batch twins; session windows
+  shuffle by user then merge in-state. State store size is bounded by the
+  watermark horizon, not stream length.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MEM_COUNTER = itertools.count()
+
+
+def read_parquet_stream(
+    spark: SparkSession, path: str, ts_col: str | None = "ts"
+) -> DataFrame:
+    """readStream over a parquet path with schema taken from a batch scan.
+
+    Timestamp columns stored as TIMESTAMP(NANOS) surface as longs (see
+    session.py nanosAsLong); normalize to microsecond timestamps the same
+    way the batch ``queries.table`` helper does.
+    """
+    import os
+
+    batch_schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        sdf = spark.readStream.schema(batch_schema).parquet(path)
+    else:
+        # The file stream source requires a directory basePath; stream the
+        # parent dir filtered down to this one file.
+        sdf = (
+            spark.readStream.schema(batch_schema)
+            .option("pathGlobFilter", os.path.basename(path))
+            .parquet(os.path.dirname(path))
+        )
+    if ts_col and ts_col in sdf.columns:
+        field = dict((f.name, f.dataType.typeName()) for f in batch_schema.fields)
+        if field.get(ts_col) == "long":
+            sdf = sdf.withColumn(ts_col, F.expr(f"timestamp_micros({ts_col} div 1000)"))
+    return sdf
+
+
+def run_to_memory(
+    sdf: DataFrame, mode: str = "append", timeout_s: int = 300
+) -> DataFrame:
+    """Execute a stream with AvailableNow into a memory sink; return the
+    materialized result as a batch DataFrame."""
+    name = f"stream_result_{next(_MEM_COUNTER)}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        q.stop()
+    return sdf.sparkSession.table(name)
+
+
+def clean_stream(sdf: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stateless streaming clean: identical Column cascade as batch."""
+    from llm_data_pipeline_spark.operators.clean import score_documents
+
+    return score_documents(sdf, text_col)
+
+
+def hourly_rollup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Watermarked hourly tumbling-window rollup per event_type.
+
+    (No exact count-distinct: streaming aggregation forbids DISTINCT; the
+    batch twin keeps it, the streaming surface reports counts and sums.)
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 3).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("hour"), "event_type", "n_events", "total_value")
+    )
+
+
+def session_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session-window aggregation per user (30-min inactivity gap) — the
+    streaming twin of the batch lag/running-sum sessionization."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 3).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )

@@ -1,0 +1,70 @@
+"""Structured Streaming tests: stateless transform, windows, state."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from llm_data_pipeline_spark.streaming.state import user_running_totals
+from llm_data_pipeline_spark.streaming.stream import (
+    hourly_rollup_stream,
+    read_parquet_stream,
+    run_to_memory,
+)
+
+
+@pytest.fixture(scope="module")
+def two_batch_dir(spark, tmp_path_factory):
+    """Two parquet files -> two micro-batches under maxFilesPerTrigger=1."""
+    d = str(tmp_path_factory.mktemp("stream_src"))
+    spark.createDataFrame(
+        [(1, 10.0), (1, 5.0), (2, 1.0)], "user_id: long, value: double"
+    ).coalesce(1).write.parquet(os.path.join(d, "b0"))
+    spark.createDataFrame(
+        [(1, 2.0), (3, 7.0)], "user_id: long, value: double"
+    ).coalesce(1).write.parquet(os.path.join(d, "b1"))
+    return d
+
+
+def test_stateful_totals_accumulate_across_batches(spark, two_batch_dir):
+    schema = "user_id long, value double"
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(two_batch_dir)
+    )
+    out = run_to_memory(user_running_totals(sdf), mode="update")
+    # update-mode emissions: the LAST row per user carries cumulative state
+    final = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in out.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("total_value", "n_events").alias("total_value"),
+        )
+        .collect()
+    }
+    assert final[1] == (3, 17.0)  # state carried across micro-batches
+    assert final[2] == (1, 1.0)
+    assert final[3] == (1, 7.0)
+
+
+def test_hourly_rollup_stream_matches_batch(spark, sf_dir):
+    sdf = read_parquet_stream(spark, f"{sf_dir}/events.parquet")
+    got = run_to_memory(hourly_rollup_stream(sdf), mode="complete")
+    from llm_data_pipeline_spark.queries import table
+
+    batch = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 3).alias("total_value"),
+        )
+    )
+    g = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert g == b
