@@ -1,0 +1,68 @@
+"""Inspect Catalyst physical plans for the properties that matter at scale.
+
+The reference had no optimizer (SURVEY.md §4.1); in the Spark engine the
+optimizer IS the execution strategy, so these helpers make its decisions
+testable: predicate pushdown reaching the parquet scan, column pruning in
+ReadSchema, broadcast joins for dimension tables, whole-stage codegen
+coverage, and absence of cartesian products. tests/test_plans.py pins them
+as regression guards — a plan that silently loses its pushdown or starts
+shuffling a broadcastable dimension fails CI, not the 100 TB run.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    """The `.explain("formatted")` text (captured, not printed)."""
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def simple_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """PushedFilters entries of every parquet scan in the plan."""
+    plan = formatted_plan(df)
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan):
+        body = m.group(1).strip()
+        if body:
+            out.extend(p.strip() for p in body.split(","))
+    return out
+
+
+def scan_read_schemas(df: DataFrame) -> list[str]:
+    """ReadSchema strings of every file scan (column-pruning evidence)."""
+    plan = formatted_plan(df)
+    return [m.group(1) for m in re.finditer(r"ReadSchema: (struct<[^\n]*)", plan)]
+
+
+def broadcast_join_count(df: DataFrame) -> int:
+    return len(re.findall(r"BroadcastHashJoin", formatted_plan(df)))
+
+
+def shuffle_count(df: DataFrame) -> int:
+    """Shuffle Exchange nodes (excludes BroadcastExchange)."""
+    return len(re.findall(r"\(\d+\) Exchange\b", formatted_plan(df)))
+
+
+def wholestage_codegen_spans(df: DataFrame) -> int:
+    """Best-effort: under AQE the pre-execution formatted plan hides
+    codegen stages, so this also scans the simple executed-plan string."""
+    return max(
+        len(re.findall(r"WholeStageCodegen", formatted_plan(df))),
+        len(re.findall(r"WholeStageCodegen", simple_plan(df))),
+    )
+
+
+def assert_no_cartesian(df: DataFrame) -> None:
+    plan = formatted_plan(df)
+    if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+        raise AssertionError("plan contains a cartesian/nested-loop join:\n" + plan)
