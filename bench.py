@@ -24,11 +24,17 @@ HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
     "top_orders_per_customer",
+    "lineitem_global_topk",
     "events_sessionization",
     "events_hourly_rollup",
     "clean_judge",
     "clean_reason_distribution",
+    "fuzzy_dedup_kept",
+    "pack_constant_length",
+    "embedding_topk_bruteforce",
+    "multimodal_decode_metadata",
 ]
 
 

@@ -203,6 +203,53 @@ def encode_sentencepiece(
     return df.select(id_col, text_col).mapInPandas(_encode_batches, schema)
 
 
+def compare_tokenizers(
+    df: DataFrame,
+    vocab_a: DataFrame,
+    vocab_b: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Tokenizer comparison benchmark (M2; reference tokenizer/compare.py:
+    76-181): encode the same corpus with two vocabularies, report token
+    totals, tokens/doc, OOV rates, and relative token saving."""
+    import time
+
+    out: dict[str, dict] = {}
+    for name, vocab in (("a", vocab_a), ("b", vocab_b)):
+        t0 = time.perf_counter()
+        enc = encode_via_udf(df, vocab, text_col, id_col)
+        stats = enc.select(
+            F.count("*").alias("docs"),
+            F.sum(F.size("input_ids")).alias("tokens"),
+            F.sum(F.size(F.filter("input_ids", lambda x: x == UNK_ID))).alias(
+                "oov"
+            ),
+        ).first()
+        elapsed = time.perf_counter() - t0
+        tokens = int(stats["tokens"] or 0)
+        out[name] = {
+            "docs": int(stats["docs"]),
+            "total_tokens": tokens,
+            "tokens_per_doc": round(tokens / max(1, stats["docs"]), 2),
+            "oov_rate": round((stats["oov"] or 0) / max(1, tokens), 6),
+            "elapsed_s": round(elapsed, 3),
+            "tokens_per_s": round(tokens / max(elapsed, 1e-9)),
+        }
+    ta, tb = out["a"]["total_tokens"], out["b"]["total_tokens"]
+    out["token_saving_a_vs_b"] = round(1 - ta / tb, 6) if tb else 0.0
+    return out
+
+
+def inspect_vocab(vocab: DataFrame, n: int = 50) -> list[tuple[int, str]]:
+    """Model inspection (M3; reference tokenizer/inspect_model.py:10-16):
+    the first ``n`` (id, token) pieces in id order."""
+    return [
+        (r["id"], r["token"])
+        for r in vocab.orderBy("id").limit(n).collect()
+    ]
+
+
 def train_and_encode(
     spark: SparkSession,
     df: DataFrame,

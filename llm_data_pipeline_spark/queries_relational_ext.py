@@ -1,0 +1,198 @@
+"""Extended relational coverage: semi-joins, set ops, top-k, distinct aggs.
+
+The reference has no relational surface at all (SURVEY.md §2.5/§2.9); these
+queries pin the generic DataFrame/SQL capabilities a Spark-native engine
+exposes for free, each against a DuckDB oracle. Scale notes inline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from llm_data_pipeline_spark.queries import query, table
+
+
+@query(
+    "tpch_q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= DATE '1995-07-01'
+      AND o_orderdate < DATE '1995-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("relational", "semi-join"),
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as a left-semi join: the lineitem side is pre-filtered
+    before the join (returned items stand in for the late-delivery
+    predicate, which the synthetic schema lacks), so the shuffle carries only
+    qualifying orderkeys."""
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-07-01")
+        & (F.col("o_orderdate") < "1995-10-01")
+    )
+    late = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("relational", "scan-agg"),
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure scan-aggregate: every predicate pushes into the parquet scan,
+    the aggregation is a single partial+final pair — the minimal-shuffle
+    shape that should dominate any 100 TB fact-table query."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1995-01-01")
+        & (F.col("l_shipdate") < "1996-01-01")
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+
+
+@query(
+    "lineitem_global_topk",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 25
+    """,
+    tags=("relational", "top-k"),
+)
+def lineitem_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans orderBy+limit as TakeOrderedAndProject —
+    per-partition heaps then a k-row merge, never a full sort."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round("l_extendedprice", 2).alias("price"),
+            "l_extendedprice",
+        )
+        .orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .limit(25)
+        .drop("l_extendedprice")
+    )
+
+
+@query(
+    "orders_distinct_customers_by_status",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("relational", "distinct-agg"),
+)
+def orders_distinct_customers_by_status(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact distinct-count (two-phase expand under the hood). The
+    approx_count_distinct variant is the 100 TB default; it is exercised in
+    tests rather than here because HLL results are engine-specific."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "nations_setops_suppliers_customers",
+    oracle="""
+    WITH sn AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier),
+         cn AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer)
+    SELECT 'both' AS which, nationkey FROM (SELECT nationkey FROM sn INTERSECT SELECT nationkey FROM cn)
+    UNION ALL
+    SELECT 'customer_only' AS which, nationkey FROM (SELECT nationkey FROM cn EXCEPT SELECT nationkey FROM sn)
+    ORDER BY which, nationkey
+    """,
+    tags=("relational", "set-ops"),
+)
+def nations_setops_suppliers_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INTERSECT / EXCEPT over nation keys — set operations the reference
+    lacked entirely (SURVEY.md §2.5)."""
+    sn = table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    ).distinct()
+    cn = table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    ).distinct()
+    both = sn.intersect(cn).select(F.lit("both").alias("which"), "nationkey")
+    conly = cn.exceptAll(sn).select(
+        F.lit("customer_only").alias("which"), "nationkey"
+    )
+    return both.unionByName(conly).orderBy("which", "nationkey")
+
+
+@query(
+    "supplier_part_grouping_sets",
+    oracle="""
+    SELECT coalesce(p_brand, 'ALL') AS mfgr,
+           coalesce(p_type, 'ALL') AS container,
+           count(*) AS n_parts,
+           round(avg(p_retailprice), 3) AS avg_price
+    FROM part
+    GROUP BY GROUPING SETS ((p_brand, p_type), (p_brand), ())
+    ORDER BY mfgr, container
+    """,
+    tags=("relational", "grouping-sets"),
+)
+def supplier_part_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS (subsumes rollup) — one shuffle with an Expand node,
+    not three scans."""
+    p = table(spark, sf_dir, "part")
+    return (
+        p.groupingSets(
+            [["p_brand", "p_type"], ["p_brand"], []],
+            "p_brand",
+            "p_type",
+        )
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 3).alias("avg_price"),
+        )
+        .select(
+            F.coalesce("p_brand", F.lit("ALL")).alias("mfgr"),
+            F.coalesce("p_type", F.lit("ALL")).alias("container"),
+            "n_parts",
+            "avg_price",
+        )
+        .orderBy("mfgr", "container")
+    )
