@@ -62,8 +62,14 @@ def add_global_offsets(
     strategy: str = "partitioned",
     num_partitions: int | None = None,
     ordinal_col: str | None = None,
+    return_totals: bool = False,
 ) -> DataFrame:
     """Append ``start`` = exclusive prefix sum of ``count_col`` in total order.
+
+    With ``return_totals`` the result is ``(df, (grand_total, n_rows))`` —
+    the partitioned strategy already aggregates these in pass 1, so callers
+    get them for free instead of launching another job (``None`` totals for
+    the window strategy).
 
     If ``ordinal_col`` is set, also append the 0-based global row ordinal
     (an exclusive prefix sum of ones) in the same pass — the packer needs
@@ -88,7 +94,7 @@ def add_global_offsets(
                 ordinal_col,
                 (F.row_number().over(Window.orderBy(*order_cols)) - 1).cast("long"),
             )
-        return out
+        return (out, None) if return_totals else out
 
     spark = df.sparkSession
     if num_partitions is None:
@@ -145,7 +151,8 @@ def add_global_offsets(
 
     # mapInPandas preserves partition-internal order of the sorted input
     # (it is a narrow per-partition transform).
-    return parted.mapInPandas(_cumsum, out_schema)
+    out = parted.mapInPandas(_cumsum, out_schema)
+    return (out, (acc_t, acc_n)) if return_totals else out
 
 
 def pack_chunks(
@@ -173,14 +180,21 @@ def pack_chunks(
         .withColumn("_n", F.size("_ids").cast("long"))
         .select(order_col, "_ids", "_n")
     )
-    docs = add_global_offsets(
-        docs, "_n", [order_col], strategy=prefix_strategy, ordinal_col="_sid"
+    docs, totals = add_global_offsets(
+        docs,
+        "_n",
+        [order_col],
+        strategy=prefix_strategy,
+        ordinal_col="_sid",
+        return_totals=True,
     )
-
-    agg = docs.agg(
-        F.coalesce(F.sum("_n"), F.lit(0)).alias("t"), F.count("*").alias("n")
-    ).first()
-    total, n_samples = int(agg["t"]), int(agg["n"])
+    if totals is not None:
+        total, n_samples = totals
+    else:
+        agg = docs.agg(
+            F.coalesce(F.sum("_n"), F.lit(0)).alias("t"), F.count("*").alias("n")
+        ).first()
+        total, n_samples = int(agg["t"]), int(agg["n"])
     n_full = total // seq_len
     remainder = total - n_full * seq_len
 

@@ -24,6 +24,7 @@ from llm_data_pipeline_spark.operators.packing import pack_chunks
 from llm_data_pipeline_spark.operators.tokenizer import (
     TOKEN_PATTERN,
     encode_via_join,
+    encode_via_udf,
     train_word_vocab,
 )
 from llm_data_pipeline_spark.queries import query, table
@@ -196,7 +197,10 @@ def pack_constant_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = table(spark, sf_dir, "documents")
     vocab = train_word_vocab(docs, vocab_size=VOCAB_SIZE)
-    enc = encode_via_join(docs, vocab)
+    # Zero-shuffle encode (broadcast-dict UDF): tokens never become rows, so
+    # the only shuffles left are the packer's own. encode_via_join has its
+    # dedicated correctness query; both encoders are equivalence-tested.
+    enc = encode_via_udf(docs, vocab)
     chunks = pack_chunks(
         enc, seq_len=SEQ_LEN, eos_id=2, add_eos=True, ensure_eos=True,
         drop_remainder=True, order_col="doc_id",

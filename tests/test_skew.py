@@ -1,0 +1,59 @@
+"""Skew-handling and bucketing tests: correctness + plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from llm_data_pipeline_spark.operators.skew import (
+    read_bucketed_join,
+    salted_group_count,
+    salted_join,
+    write_bucketed,
+)
+from llm_data_pipeline_spark.plans.inspect import formatted_plan
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # one hot key (0) with 5000 rows, 50 cold keys with 10 each
+    hot = spark.range(5000).select(F.lit(0).alias("k"), F.col("id").alias("v"))
+    cold = spark.range(500).select(
+        (F.col("id") % 50 + 1).alias("k"), F.col("id").alias("v")
+    )
+    return hot.unionByName(cold)
+
+
+def test_salted_join_matches_plain_join(spark, skewed):
+    dim = spark.range(51).select(
+        F.col("id").alias("k"), F.concat(F.lit("n"), F.col("id")).alias("name")
+    )
+    plain = skewed.join(dim, "k").groupBy("k").count()
+    salted = salted_join(skewed, dim, "k", n_salts=4).groupBy("k").count()
+    assert {tuple(r) for r in plain.collect()} == {
+        tuple(r) for r in salted.collect()
+    }
+
+
+def test_salted_group_count_correct(skewed):
+    got = {r["k"]: r["n"] for r in salted_group_count(skewed, "k").collect()}
+    assert got[0] == 5000
+    assert all(got[k] == 10 for k in range(1, 51))
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    a = spark.range(1000).select(F.col("id").alias("k"), F.lit(1).alias("a"))
+    b = spark.range(1000).select(F.col("id").alias("k"), F.lit(2).alias("b"))
+    write_bucketed(a, "t_bucket_a", "k", n_buckets=4, path=f"{tmp_path}/a")
+    write_bucketed(b, "t_bucket_b", "k", n_buckets=4, path=f"{tmp_path}/b")
+    try:
+        joined = read_bucketed_join(spark, "t_bucket_a", "t_bucket_b", "k")
+        assert joined.count() == 1000
+        plan = formatted_plan(joined)
+        # co-located buckets: no shuffle Exchange feeding the join
+        import re
+
+        assert not re.search(r"\(\d+\) Exchange\b", plan), plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bucket_a")
+        spark.sql("DROP TABLE IF EXISTS t_bucket_b")
