@@ -162,6 +162,58 @@ def nations_setops_suppliers_customers(
 
 
 @query(
+    "events_asof_last_value",
+    oracle="""
+    WITH lefts AS (
+      SELECT user_id, ts AS probe_ts, event_id
+      FROM events WHERE event_type = 'purchase'
+    ), rights AS (
+      SELECT user_id, ts, value, event_id FROM events WHERE event_type = 'view'
+    )
+    SELECT l.user_id, l.event_id,
+           round(coalesce(r.value, -1.0), 3) AS last_view_value
+    FROM lefts l
+    ASOF LEFT JOIN rights r
+      ON l.user_id = r.user_id AND r.ts <= l.probe_ts
+    ORDER BY l.user_id, l.event_id
+    """,
+    tags=("relational", "asof-join", "custom-operator"),
+)
+def events_asof_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom operator — Spark has no built-in): for every
+    purchase event, the value of that user's latest view at-or-before it.
+    The oracle is DuckDB's native ASOF JOIN; the Spark side is the
+    union+window construction in operators/asof.py."""
+    from llm_data_pipeline_spark.operators.asof import asof_join
+
+    e = table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("probe_ts"), "event_id"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        purchases,
+        views,
+        left_key="user_id",
+        right_key="user_id",
+        left_ts="probe_ts",
+        right_ts="ts",
+        value_cols=["value"],
+    )
+    # unmatched lefts -> -1.0 sentinel (the driver's value-hash normalizes
+    # NULL and NaN differently across engines, so nulls stay out of doubles)
+    return joined.select(
+        "user_id",
+        "event_id",
+        F.round(F.coalesce("asof_value", F.lit(-1.0)), 3).alias(
+            "last_view_value"
+        ),
+    ).orderBy("user_id", "event_id")
+
+
+@query(
     "supplier_part_grouping_sets",
     oracle="""
     SELECT coalesce(p_brand, 'ALL') AS mfgr,
