@@ -158,34 +158,81 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Exact Jaccard-similar pairs (u < v, jaccard >= threshold).
+    """Exact Jaccard-similar pairs (u < v, jaccard >= threshold) with
+    prefix filtering (SSJoin/ppjoin family — lossless).
 
-    explode(shingles) -> self-equi-join on shingle -> per-pair intersection
-    count; |A ∪ B| = |A| + |B| - |A ∩ B|. The join key is a single shingle
-    string: high cardinality, well-distributed — the shuffle is by shingle,
-    and stop-shingle skew is bounded because shingles are n words long.
+    Under one global order (lexicographic here), jaccard(A,B) >= t implies
+    |A∩B| >= t·|A| and >= t·|B|; hence the globally-minimum common shingle
+    must sit inside BOTH sorted prefixes of length |X| - ceil(t·|X|) + 1
+    (were it outside A's prefix, all common shingles would fit in A's
+    ceil(t·|A|)-1 suffix — contradiction). So candidates come from a
+    self-join of the short prefixes only (~(1-t) of the shingles per doc,
+    ~(1-t)² of the candidate pairs), and each surviving pair is verified
+    exactly once via array_intersect on the full sets — no O(common
+    shingles) group-by blow-up. At 100 TB the candidate join shuffles by
+    shingle (high cardinality) and verification shuffles by doc_id.
     """
-    sh = df.select(
+    # Work on hashed shingles throughout: xxhash64 over the n-word tuple
+    # (no per-position string building — concat_ws(slice(...)) inside a
+    # transform costs O(n·len) allocations and dominated the stage), 8-byte
+    # join keys, and long-array intersects. The global order for prefix
+    # filtering is then numeric — any total order works. Tuple-hash equality
+    # == joined-string equality (tokens contain no separator).
+    # Materialize the token array in its own projection FIRST: expressions
+    # passed into higher-order lambdas are inlined per call site, so
+    # building shingles directly over filter(split(...)) re-tokenizes the
+    # document for every element_at — O(positions × n) tokenizations/doc.
+    # A column boundary forces one evaluation per row.
+    tokenized = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(word_ngrams(F.col(text_col), n)).alias("shingle"),
+        F.filter(F.split(norm_ws(F.col(text_col)), " "), lambda x: x != "").alias(
+            "_toks"
+        ),
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    a = sh.select(F.col("doc_id").alias("u"), "shingle")
-    b = sh.select(F.col("doc_id").alias("v"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .where(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count("*").alias("n_common"))
+    toks = F.col("_toks")
+    hashed = F.when(
+        F.size(toks) < n, F.array(F.xxhash64(F.concat_ws(" ", toks)))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.xxhash64(
+                *[F.element_at(toks, i + k + 1) for k in range(n)]
+            ),
+        )
     )
-    sa = sizes.select(F.col("doc_id").alias("u"), F.col("n_shingles").alias("n_u"))
-    sb = sizes.select(F.col("doc_id").alias("v"), F.col("n_shingles").alias("n_v"))
+    docs = (
+        tokenized.select(
+            "doc_id", F.array_sort(F.array_distinct(hashed)).alias("sh")
+        )
+        .withColumn("n_sh", F.size("sh"))
+        # reused three times (prefix explode + both verification sides):
+        # persist so the shingle computation runs once
+        .persist()
+    )
+    prefix_len = (
+        F.col("n_sh") - F.ceil(F.col("n_sh") * threshold) + 1
+    ).cast("int")
+    pre = docs.select(
+        "doc_id", F.explode(F.slice("sh", 1, prefix_len)).alias("shingle")
+    )
+    cands = (
+        pre.alias("a")
+        .join(pre.alias("b"), "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v")
+        )
+        .distinct()
+    )
+    du = docs.select(F.col("doc_id").alias("u"), F.col("sh").alias("sh_u"))
+    dv = docs.select(F.col("doc_id").alias("v"), F.col("sh").alias("sh_v"))
     return (
-        inter.join(sa, "u")
-        .join(sb, "v")
+        cands.join(du, "u")
+        .join(dv, "v")
         .withColumn(
             "jaccard",
-            F.col("n_common") / (F.col("n_u") + F.col("n_v") - F.col("n_common")),
+            F.size(F.array_intersect("sh_u", "sh_v"))
+            / F.size(F.array_union("sh_u", "sh_v")),
         )
         .where(F.col("jaccard") >= threshold)
         .select("u", "v", "jaccard")
