@@ -99,8 +99,16 @@ def dup_line_ratio(text: Column, min_lines: int = 5) -> Column:
     functions — O(L^2) per document in line count, which is fine for
     real documents (L is small); pathological million-line docs should be
     length-capped upstream (max_chars does this).
+
+    Whole-stage codegen's subexpression elimination keeps the repeated
+    ``lines`` sub-expression cheap inside a single projection; callers that
+    already hold a line array can use ``dup_line_ratio_from_lines``.
     """
-    lines = _nonblank_lines(text)
+    return dup_line_ratio_from_lines(_nonblank_lines(text), min_lines)
+
+
+def dup_line_ratio_from_lines(lines: Column, min_lines: int = 5) -> Column:
+    """dup_line_ratio over an already-computed non-blank-line array."""
     nl = F.size(lines)
     dup = F.size(
         F.filter(
