@@ -16,6 +16,7 @@ from pyspark.sql.window import Window
 from llm_data_pipeline_spark.operators.similarity import (
     brute_force_topk,
     hyperplane_lsh_topk,
+    ivf_flat_topk,
     near_dup_pairs,
 )
 from llm_data_pipeline_spark.queries import query, table
@@ -170,3 +171,60 @@ def embedding_ann_lsh_topk(spark: SparkSession, sf_dir: str):
     return hyperplane_lsh_topk(emb, queries, dim=64, k=10, nbits=4, n_tables=16).select(
         "query_id", "vec_id", "score", "rank"
     ).orderBy("query_id", "rank")
+
+
+@query(
+    "embedding_ivf_flat_topk",
+    oracle=f"""
+    WITH {_PAIR_BASE.strip()},
+    cents AS (SELECT vec_id AS list_id, v AS cvec FROM e WHERE vec_id < 16),
+    assign AS (
+      SELECT vec_id, list_id FROM (
+        SELECT e.vec_id, c.list_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos_sql('e.v', 'c.cvec')} DESC,
+                                           c.list_id) AS rn
+        FROM e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+    probes AS (
+      SELECT query_id, list_id FROM (
+        SELECT q.query_id, c.list_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {cos_sql('q.qv', 'c.cvec')} DESC,
+                                           c.list_id) AS rn
+        FROM q CROSS JOIN cents c
+      ) WHERE rn <= 4
+    ),
+    cands AS (
+      SELECT p.query_id, a.vec_id, {cos_sql('q.qv', 'e.v')} AS score
+      FROM probes p
+      JOIN q ON q.query_id = p.query_id
+      JOIN assign a ON a.list_id = p.list_id
+      JOIN e ON e.vec_id = a.vec_id
+      WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, vec_id, score, rank FROM (
+      SELECT query_id, vec_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, vec_id) AS rank
+      FROM cands
+    ) WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+    tags=("similarity", "ann", "ivf"),
+)
+def embedding_ivf_flat_topk(spark: SparkSession, sf_dir: str):
+    """IVF-Flat ANN (inverted lists + probing) with deterministic
+    centroids; the oracle replays the identical build+probe relationally,
+    so the approximation itself is hash-checked, not just row counts."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return (
+        ivf_flat_topk(emb, queries, k=10, n_lists=16, n_probe=4)
+        .select("query_id", "vec_id", "score", "rank")
+        .orderBy("query_id", "rank")
+    )

@@ -70,3 +70,29 @@ def test_lsh_recall_against_bruteforce(spark, sf_dir):
     a = {(r.query_id, r.vec_id) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.6, f"LSH recall too low: {recall}"
+
+
+def test_ivf_flat_recall_vs_bruteforce(spark, sf_dir):
+    from llm_data_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_flat_topk,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(emb, queries, k=10).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_flat_topk(emb, queries, k=10, n_lists=16, n_probe=4).collect()
+    }
+    # probing 4/16 lists must keep a meaningful share of the true top-10
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, recall
+    # every query produced a full candidate ranking
+    assert {q for q, _ in approx} == {q for q, _ in exact}
