@@ -52,13 +52,18 @@ def main() -> None:
     extra = os.environ.get("BENCH_QUERIES")
     if extra:
         names = [n for n in extra.split(",") if n in Q.REGISTRY]
+    failures: dict[str, str] = {}
     for name in names:
         fn = Q.REGISTRY[name].fn
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count() if len(df.columns) > 8 else len(df.collect())
-        _ = n
-        times[name] = round(time.perf_counter() - t0, 3)
+        try:
+            df = fn(spark, sf_dir)
+            n = df.count() if len(df.columns) > 8 else len(df.collect())
+            _ = n
+            times[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # noqa: BLE001 - one bad query must not kill the run
+            failures[name] = f"{type(e).__name__}: {e}"
+            print(f"bench: {name} failed: {failures[name]}", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
     print(
@@ -69,6 +74,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                **({"failures": failures} if failures else {}),
             }
         )
     )

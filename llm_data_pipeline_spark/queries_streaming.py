@@ -103,6 +103,35 @@ def streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_dedup_within_watermark",
+    oracle="""
+    SELECT event_type, count(*) AS n_unique
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("streaming", "dedup", "watermark"),
+)
+def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: every event arrives TWICE (the stream is
+    unioned with itself); dropDuplicatesWithinWatermark on event_id must
+    restore exactly the distinct counts — the streaming twin of the exact
+    dedup stage, with state bounded by the watermark horizon instead of
+    stream length."""
+    sdf = read_parquet_stream(spark, f"{sf_dir}/events.parquet")
+    doubled = sdf.unionByName(sdf)
+    deduped = doubled.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    out = run_to_memory(deduped.select("event_id", "event_type"), mode="append")
+    return (
+        out.groupBy("event_type")
+        .agg(F.count("*").alias("n_unique"))
+        .orderBy("event_type")
+    )
+
+
+@query(
     "streaming_user_totals_stateful",
     oracle="""
     SELECT user_id, count(*) AS n_events, round(sum(value), 3) AS total_value
