@@ -27,15 +27,16 @@ BASE = (
 
 def _corpus(spark):
     rows = [
-        Row(doc_id=1, text=BASE),
-        Row(doc_id=2, text=BASE.replace("quick", "rapid")),       # near-dup of 1
-        Row(doc_id=3, text=BASE),                                  # exact dup of 1
-        Row(doc_id=4, text="completely different content about spark "
-                           "dataframes shuffles and catalyst optimization"),
-        Row(doc_id=5, text=""),
-        Row(doc_id=6, text="tiny"),
+        (1, BASE),
+        (2, BASE.replace("quick", "rapid")),  # near-dup of 1
+        (3, BASE),  # exact dup of 1
+        (4, "completely different content about spark "
+            "dataframes shuffles and catalyst optimization"),
+        (5, ""),
+        (6, "tiny"),
+        (7, None),  # null text (reference dedup/run_minhash.py:41)
     ]
-    return spark.createDataFrame(rows)
+    return spark.createDataFrame(rows, "doc_id: long, text: string")
 
 
 def test_minhash_properties(spark):
@@ -43,6 +44,7 @@ def test_minhash_properties(spark):
     assert all(len(s) == 128 for s in sig.values())
     assert sig[1] == sig[3]                      # identical text -> identical sig
     assert sig[5] == [0] * 128                   # empty text -> zero signature
+    assert sig[7] == [0] * 128                   # null text -> zero signature
     assert jaccard_estimate(sig[1], sig[2]) > 0.6   # near-dup: high estimate
     assert jaccard_estimate(sig[1], sig[4]) < 0.2   # unrelated: low estimate
     assert sig[6] != [0] * 128                   # sub-ngram text: single shingle
@@ -79,7 +81,10 @@ def test_minhash_dedup_keeps_canonical(spark):
     # cluster {1,2,3}: canonical has max length, tie-broken by max doc_id.
     # 1 and 3 are identical (len eq) and 2 has same length; max doc_id wins.
     assert len(kept_ids & {1, 2, 3}) == 1
-    assert {4, 5, 6} <= kept_ids
+    assert {4, 6} <= kept_ids
+    # empty and null text share the all-zero signature -> they cluster, and
+    # exactly one survives (doc_id desc tie-break keeps 7)
+    assert kept_ids & {5, 7} == {7}
 
 
 def test_exact_dedup(spark):
