@@ -214,6 +214,36 @@ def events_asof_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_range_join_pairs",
+    oracle="""
+    SELECT a.user_id,
+           a.event_id AS u, b.event_id AS v,
+           CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS dt_micros
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_id < b.event_id
+     AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 120000000
+    ORDER BY a.user_id, u, v
+    """,
+    tags=("relational", "range-join", "custom-operator"),
+)
+def events_range_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join (custom operator): per-user event pairs within
+    2 minutes of each other, via bucket-join instead of an O(n^2) per-key
+    inequality join. Oracle is the direct inequality join in DuckDB."""
+    from llm_data_pipeline_spark.operators.rangejoin import range_join_within
+
+    e = table(spark, sf_dir, "events")
+    pairs = range_join_within(
+        e, key_col="user_id", ts_col="ts", band_micros=120_000_000,
+        id_col="event_id",
+    )
+    return pairs.select("user_id", "u", "v", "dt_micros").orderBy(
+        "user_id", "u", "v"
+    )
+
+
+@query(
     "supplier_part_grouping_sets",
     oracle="""
     SELECT coalesce(p_brand, 'ALL') AS mfgr,
