@@ -114,12 +114,14 @@ def connected_components(
     sym = edges.union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
-    sym = sym.localCheckpoint(eager=True)
+    # lazy checkpoints: the first iteration's count materializes them, so
+    # lineage truncation costs no extra jobs
+    sym = sym.localCheckpoint(eager=False)
     labels = (
         sym.select(F.col("u").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iterations):
         neighbor_min = (
@@ -138,7 +140,7 @@ def connected_components(
                     "_changed"
                 ),
             )
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         n_changed = updated.where(F.col("_changed")).count()
         labels = updated.drop("_changed")
         if n_changed == 0:
