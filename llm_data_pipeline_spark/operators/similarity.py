@@ -62,22 +62,28 @@ def ivf_flat_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-Flat approximate top-k: inverted lists + probe-then-brute-force.
 
-    Build: centroids are the vectors with the ``n_lists`` smallest ids
-    (deterministic stand-in for k-means — the scale path would sample to
-    the driver, run k-means there, and broadcast the codebook); every
-    corpus vector joins its best-cosine list. Search: each query probes its
-    ``n_probe`` nearest lists and brute-forces only those lists' members —
-    the candidate set shrinks by ~n_probe/n_lists versus exact search.
+    Build: the codebook is either ``centroids`` (list_id, cvec — e.g. from
+    ``ivf_kmeans_codebook``, the scale path) or, by default, the vectors
+    with the ``n_lists`` smallest ids (a deterministic stand-in that keeps
+    the whole query oracle-checkable); every corpus vector joins its
+    best-cosine list. Search: each query probes its ``n_probe`` nearest
+    lists and brute-forces only those lists' members — the candidate set
+    shrinks by ~n_probe/n_lists versus exact search.
 
     All cosine math is the native sequential-fold Column expression
     (bit-identical to the DuckDB oracle); scores round to 6 dp before
     ranking, ties break on id. Returns (query_id, vec_id, score, rank).
     """
-    cents = corpus.where(F.col(id_col) < n_lists).select(
-        F.col(id_col).alias("list_id"), F.col(vec_col).alias("cvec")
+    cents = (
+        centroids
+        if centroids is not None
+        else corpus.where(F.col(id_col) < n_lists).select(
+            F.col(id_col).alias("list_id"), F.col(vec_col).alias("cvec")
+        )
     )
 
     def _best_lists(df: DataFrame, ident: str, vcol: str, n: int) -> DataFrame:
@@ -113,6 +119,41 @@ def ivf_flat_topk(
     w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
     return cands.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
+    )
+
+
+def ivf_kmeans_codebook(
+    corpus: DataFrame,
+    n_lists: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """Scale-path IVF codebook: MLlib k-means over (a sample of) the corpus.
+
+    Returns (list_id, cvec) in the same shape ``ivf_flat_topk`` consumes via
+    its ``cents`` stand-in — swap this in for real clustering quality. At
+    100 TB you fit on a sample (``sample_fraction``) and broadcast the
+    resulting k×d codebook; assignment stays a narrow map either way.
+    Deterministic for a fixed seed + input, but not oracle-checkable
+    (k-means internals are engine-specific), so it is exercised in tests.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    df = corpus.select(F.col(vec_col).alias("_arr"))
+    if sample_fraction:
+        df = df.sample(fraction=sample_fraction, seed=seed)
+    feats = df.select(
+        array_to_vector(F.col("_arr").cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_lists, seed=seed, maxIter=20).fit(feats)
+    return corpus.sparkSession.createDataFrame(
+        [
+            (i, [float(x) for x in c])
+            for i, c in enumerate(model.clusterCenters())
+        ],
+        "list_id: int, cvec: array<double>",
     )
 
 

@@ -96,3 +96,32 @@ def test_ivf_flat_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.2, recall
     # every query produced a full candidate ranking
     assert {q for q, _ in approx} == {q for q, _ in exact}
+
+
+def test_ivf_kmeans_codebook_improves_recall(spark, sf_dir):
+    from llm_data_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_flat_topk,
+        ivf_kmeans_codebook,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = ivf_kmeans_codebook(emb, n_lists=8, seed=42)
+    assert cents.count() == 8
+    assert dict(cents.dtypes)["cvec"] == "array<double>"
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(emb, queries, k=10).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_flat_topk(
+            emb, queries, k=10, n_lists=8, n_probe=3, centroids=cents
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, recall
