@@ -116,6 +116,66 @@ def quality_score(text: Column) -> Column:
     )
 
 
+WINNOW_BASE = 131
+WINNOW_MOD = 1_000_003
+
+
+def add_winnow_fingerprints(
+    df,
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    out_col: str = "fingerprints",
+):
+    """Winnowing document fingerprints (rolling hash + window minima).
+
+    The standard scheme: polynomial rolling hash over every k-char gram
+    (base 131 mod 1e6+3 — products stay < 2^62, safe in BIGINT on any
+    engine), then the minimum hash of every w-length window of consecutive
+    gram hashes; the distinct minima are the document's fingerprint set
+    (robust to local edits — the basis of plagiarism/near-dup detection).
+
+    Fully native Columns; each stage is materialized behind a column
+    boundary so higher-order lambdas index arrays instead of re-deriving
+    them per element (see operators/dedup.py for the same pattern).
+    Short texts (< k chars) hash as a single gram; empty text -> empty set.
+    """
+    codes = F.transform(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), ""), F.ascii
+    )
+    df = df.withColumn("_codes", codes).withColumn("_m", F.size("_codes"))
+    roll = lambda arr: F.aggregate(  # noqa: E731
+        arr,
+        F.lit(0).cast("long"),
+        lambda a, c: (a * WINNOW_BASE + c) % WINNOW_MOD,
+    )
+    hashes = (
+        F.when(F.col("_m") == 0, F.array().cast("array<long>"))
+        .when(F.col("_m") < k, F.array(roll(F.col("_codes"))))
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(0), F.col("_m") - k),
+                lambda i: roll(F.slice("_codes", i + 1, k)),
+            )
+        )
+    )
+    df = df.withColumn("_hs", hashes).withColumn("_t", F.size("_hs"))
+    minima = (
+        F.when(F.col("_t") == 0, F.array().cast("array<long>"))
+        .when(F.col("_t") <= w, F.array(F.array_min("_hs")))
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(0), F.col("_t") - w),
+                lambda i: F.array_min(F.slice("_hs", i + 1, w)),
+            )
+        )
+    )
+    return (
+        df.withColumn(out_col, F.array_sort(F.array_distinct(minima)))
+        .drop("_codes", "_m", "_hs", "_t")
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Stable document fingerprint: md5 of whitespace-normalized text
     (md5 because the DuckDB oracle lacks sha1; equality-only use)."""

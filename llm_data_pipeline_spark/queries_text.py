@@ -191,3 +191,57 @@ def language_distribution_q(spark: SparkSession, sf_dir: str):
     return language_distribution(run_quality(docs)).orderBy(
         "lang_pred", "quality_keep"
     )
+
+
+@query(
+    "text_winnow_fingerprints",
+    oracle=f"""
+WITH codes AS (
+  SELECT doc_id,
+         list_transform(list_filter(string_split_regex(coalesce(text, ''), ''),
+                                    c -> c <> ''),
+                        c -> unicode(c)) AS cs
+  FROM documents
+), hashed AS (
+  SELECT doc_id, CASE
+    WHEN len(cs) = 0 THEN CAST([] AS BIGINT[])
+    WHEN len(cs) < 8 THEN [list_reduce(list_prepend(CAST(0 AS BIGINT), cs),
+                                       (a, b) -> (a * {A.WINNOW_BASE} + b) % {A.WINNOW_MOD})]
+    ELSE list_transform(range(len(cs) - 7),
+           i -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(cs, i + 1, i + 8)),
+                            (a, b) -> (a * {A.WINNOW_BASE} + b) % {A.WINNOW_MOD}))
+  END AS hs FROM codes
+), minima AS (
+  SELECT doc_id, CASE
+    WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+    WHEN len(hs) <= 4 THEN [list_min(hs)]
+    ELSE list_transform(range(len(hs) - 3), i -> list_min(list_slice(hs, i + 1, i + 4)))
+  END AS ms FROM hashed
+)
+SELECT doc_id,
+       CAST(len(list_distinct(ms)) AS BIGINT) AS n_fp,
+       CAST(coalesce(list_aggregate(list_distinct(ms), 'sum'), 0) AS BIGINT) AS fp_sum,
+       CAST(coalesce(list_aggregate(list_distinct(ms), 'min'), -1) AS BIGINT) AS fp_min,
+       CAST(coalesce(list_aggregate(list_distinct(ms), 'max'), -1) AS BIGINT) AS fp_max
+FROM minima
+ORDER BY doc_id
+""",
+    tags=("text-analysis", "fingerprint", "rolling-hash"),
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str):
+    """Winnowing fingerprints (k=8 rolling hash, w=4 window minima) — the
+    rolling-hash document fingerprint; oracle re-derives the identical
+    scheme with DuckDB list primitives."""
+    docs = table(spark, sf_dir, "documents")
+    fp = A.add_winnow_fingerprints(docs, k=8, w=4)
+    fps = F.col("fingerprints")
+    return fp.select(
+        "doc_id",
+        F.size(fps).cast("long").alias("n_fp"),
+        F.coalesce(
+            F.aggregate(fps, F.lit(0).cast("long"), lambda a, x: a + x),
+            F.lit(0),
+        ).alias("fp_sum"),
+        F.coalesce(F.array_min(fps), F.lit(-1)).cast("long").alias("fp_min"),
+        F.coalesce(F.array_max(fps), F.lit(-1)).cast("long").alias("fp_max"),
+    ).orderBy("doc_id")

@@ -77,3 +77,26 @@ def test_run_quality_contract(spark):
     out = {r.doc_id: r for r in run_quality(df).collect()}
     assert out[1].quality_keep and out[1].lang_pred == "en"
     assert not out[2].quality_keep and out[2].lang_pred == "es"
+
+
+def test_winnow_fingerprints_robust_to_local_edits(spark):
+    from llm_data_pipeline_spark.functions.analysis import add_winnow_fingerprints
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then naps in the "
+        "afternoon sun beside the garden wall for quite a long while today"
+    )
+    edited = base.replace("naps", "rests")  # one local edit
+    df = spark.createDataFrame(
+        [(0, base), (1, edited), (2, ""), (3, "ab")],
+        "doc_id: long, text: string",
+    )
+    fp = {
+        r["doc_id"]: set(r["fingerprints"])
+        for r in add_winnow_fingerprints(df).collect()
+    }
+    # winnowing guarantee: fingerprints far from the edit are identical
+    overlap = len(fp[0] & fp[1]) / len(fp[0] | fp[1])
+    assert overlap > 0.6, overlap
+    assert fp[2] == set()  # empty text -> empty fingerprint set
+    assert len(fp[3]) == 1  # sub-k text -> single gram hash
