@@ -140,8 +140,14 @@ def add_winnow_fingerprints(
     them per element (see operators/dedup.py for the same pattern).
     Short texts (< k chars) hash as a single gram; empty text -> empty set.
     """
+    # split("", "") yields [""] — drop empty fragments before coding, like
+    # the oracle's list_filter(c <> '')
     codes = F.transform(
-        F.split(F.coalesce(F.col(text_col), F.lit("")), ""), F.ascii
+        F.filter(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), ""),
+            lambda c: c != "",
+        ),
+        F.ascii,
     )
     df = df.withColumn("_codes", codes).withColumn("_m", F.size("_codes"))
     roll = lambda arr: F.aggregate(  # noqa: E731
