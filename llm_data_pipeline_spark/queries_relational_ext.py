@@ -278,3 +278,55 @@ def supplier_part_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mfgr", "container")
     )
+
+
+@query(
+    "scalar_function_gallery",
+    oracle="""
+    SELECT o_orderkey,
+           upper(substr(o_orderstatus, 1, 1)) AS status_u,
+           length(o_orderpriority) AS prio_len,
+           CAST(replace(o_orderpriority, '-', '_') AS VARCHAR) AS prio_norm,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+           CAST(extract(year FROM o_orderdate) AS BIGINT) AS order_year,
+           CAST(extract(dow FROM o_orderdate) AS BIGINT) AS order_dow,
+           CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_95,
+           round(sqrt(o_totalprice), 4) AS price_sqrt,
+           round(ln(o_totalprice + 1), 6) AS price_ln,
+           round(pow(o_totalprice, 0.25), 6) AS price_pow,
+           CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_k,
+           abs(CAST(o_custkey AS BIGINT) - 750) AS cust_dist,
+           o_custkey % 7 AS cust_mod,
+           concat(o_orderstatus, ':', o_orderpriority) AS status_tag
+    FROM orders
+    WHERE o_orderkey < 200
+    ORDER BY o_orderkey
+    """,
+    tags=("relational", "scalar-functions"),
+)
+def scalar_function_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/date/math scalar-function gallery (SURVEY.md §2.9: a library
+    the reference lacks entirely; every expression is engine-native and
+    must agree cross-engine bit-for-bit or to fixed rounding)."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    return o.select(
+        "o_orderkey",
+        F.upper(F.substring("o_orderstatus", 1, 1)).alias("status_u"),
+        F.length("o_orderpriority").cast("long").alias("prio_len"),
+        F.replace(F.col("o_orderpriority"), F.lit("-"), F.lit("_")).alias(
+            "prio_norm"
+        ),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        (F.dayofweek("o_orderdate") - 1).cast("long").alias("order_dow"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_95"),
+        F.round(F.sqrt("o_totalprice"), 4).alias("price_sqrt"),
+        F.round(F.log(F.col("o_totalprice") + 1), 6).alias("price_ln"),
+        F.round(F.pow("o_totalprice", F.lit(0.25)), 6).alias("price_pow"),
+        F.floor(F.col("o_totalprice") / 1000).cast("long").alias("price_k"),
+        F.abs(F.col("o_custkey") - 750).alias("cust_dist"),
+        (F.col("o_custkey") % 7).alias("cust_mod"),
+        F.concat_ws(":", "o_orderstatus", "o_orderpriority").alias("status_tag"),
+    ).orderBy("o_orderkey")
