@@ -287,7 +287,7 @@ def supplier_part_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
            upper(substr(o_orderstatus, 1, 1)) AS status_u,
            length(o_orderpriority) AS prio_len,
            CAST(replace(o_orderpriority, '-', '_') AS VARCHAR) AS prio_norm,
-           CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month,
            CAST(extract(year FROM o_orderdate) AS BIGINT) AS order_year,
            CAST(extract(dow FROM o_orderdate) AS BIGINT) AS order_dow,
            CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_95,
@@ -316,7 +316,9 @@ def scalar_function_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.replace(F.col("o_orderpriority"), F.lit("-"), F.lit("_")).alias(
             "prio_norm"
         ),
-        F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "order_month"
+        ),
         F.year("o_orderdate").cast("long").alias("order_year"),
         (F.dayofweek("o_orderdate") - 1).cast("long").alias("order_dow"),
         F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
