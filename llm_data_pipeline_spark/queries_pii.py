@@ -160,3 +160,57 @@ def pii_gate_rate_by_lang(spark: SparkSession, sf_dir: str):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "pii_full_stage_with_ner_fallback",
+    oracle=f"""
+WITH aug AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 3 = 0 THEN {PAYLOAD_SQL} || coalesce(text, '')
+              ELSE coalesce(text, '') END AS t
+  FROM documents
+), g AS (
+  SELECT doc_id, lang, t,
+         (regexp_matches(t, '{P.EMAIL_RE}') OR regexp_matches(t, '{P.IPV4_RE}')
+          OR regexp_matches(t, '{P.IPV6_RE}') OR regexp_matches(t, '{P.PHONE_RE}')
+          OR regexp_matches(t, '{P.SSN_RE}') OR contains(t, '@')
+          OR regexp_matches(t, '{P.CONTACT_KW_RE}')
+          OR regexp_matches(t, '{P.NAME_SHAPE_EN_RE}')) AS need_ner,
+         CASE WHEN lang IS NOT NULL AND length(lang) >= 2 THEN lower(substr(lang, 1, 2))
+              WHEN regexp_matches(t, '{P.CJK_ANY_RE}') THEN 'zh' ELSE 'en' END AS ner_lang
+  FROM aug
+), r AS (
+  SELECT doc_id, need_ner, ner_lang, {_redact_sql('t')} AS rt FROM g
+)
+SELECT doc_id,
+       CASE WHEN need_ner AND ner_lang IN ('en', 'zh')
+            THEN regexp_replace(rt, '{P.NAME_SHAPE_EN_RE}', '<NAME>', 'g')
+            ELSE rt END AS redacted
+FROM r
+ORDER BY doc_id
+""",
+    tags=("pipeline", "pii", "ner"),
+)
+def pii_full_stage_with_ner_fallback(spark: SparkSession, sf_dir: str):
+    """The whole PII stage (C7-C10): structured redaction + NER gating +
+    gated slow-path name redaction + union, end to end. In this
+    environment the slow path is the deterministic name-shape fallback
+    (Presidio absent), which the oracle replays — hash-checking the
+    split/process/union plumbing, the gating logic, and both regex
+    dialects at once."""
+    from llm_data_pipeline_spark.operators.pii import run_pii
+
+    docs = table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        "lang",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(_payload_spark(), F.coalesce(F.col("text"), F.lit(""))),
+        )
+        .otherwise(F.coalesce(F.col("text"), F.lit("")))
+        .alias("text"),
+    )
+    out = run_pii(aug, lang_col="lang", enable_person_ner=True)
+    return out.select("doc_id", F.col("text").alias("redacted")).orderBy("doc_id")
