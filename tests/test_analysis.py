@@ -100,3 +100,18 @@ def test_winnow_fingerprints_robust_to_local_edits(spark):
     assert overlap > 0.6, overlap
     assert fp[2] == set()  # empty text -> empty fingerprint set
     assert len(fp[3]) == 1  # sub-k text -> single gram hash
+
+
+def test_winnow_strategies_equivalent(spark, sf_dir):
+    from llm_data_pipeline_spark.functions.analysis import add_winnow_fingerprints
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    a = {
+        r["doc_id"]: list(r["fingerprints"])
+        for r in add_winnow_fingerprints(docs, strategy="pandas").collect()
+    }
+    b = {
+        r["doc_id"]: list(r["fingerprints"])
+        for r in add_winnow_fingerprints(docs, strategy="native").collect()
+    }
+    assert a == b
