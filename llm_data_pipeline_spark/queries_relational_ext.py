@@ -332,3 +332,58 @@ def scalar_function_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_custkey") % 7).alias("cust_mod"),
         F.concat_ws(":", "o_orderstatus", "o_orderpriority").alias("status_tag"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "events_pivot_type_by_hour",
+    oracle="""
+    SELECT CAST(extract(hour FROM ts) AS INT) AS hour_of_day,
+           count(*) FILTER (WHERE event_type = 'click')    AS click,
+           count(*) FILTER (WHERE event_type = 'error')    AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           count(*) FILTER (WHERE event_type = 'view')     AS view
+    FROM events
+    GROUP BY 1
+    ORDER BY hour_of_day
+    """,
+    tags=("relational", "pivot"),
+)
+def events_pivot_type_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: event-type counts fanned out to columns per hour-of-day.
+    Explicit pivot values keep the plan single-pass (no extra distinct
+    scan) and the output schema static."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.hour("ts").alias("hour_of_day"))
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0)
+        .orderBy("hour_of_day")
+    )
+
+
+@query(
+    "events_from_json_typed",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum
+    FROM events
+    GROUP BY 1
+    ORDER BY k_bucket
+    """,
+    tags=("relational", "json"),
+)
+def events_from_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-full JSON parsing: from_json into a typed struct (vs the
+    path-extraction twin events_json_extract), then typed aggregation."""
+    e = table(spark, sf_dir, "events")
+    parsed = e.withColumn(
+        "props_s", F.from_json("props", "k INT")
+    )
+    return (
+        parsed.groupBy((F.col("props_s.k") % 10).alias("k_bucket"))
+        .agg(F.count("*").alias("n"), F.sum("props_s.k").alias("k_sum"))
+        .orderBy("k_bucket")
+    )
