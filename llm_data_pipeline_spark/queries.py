@@ -68,6 +68,7 @@ def load_all() -> None:
     import llm_data_pipeline_spark.queries_streaming  # noqa: F401
     import llm_data_pipeline_spark.queries_multimodal  # noqa: F401
     import llm_data_pipeline_spark.queries_relational_ext  # noqa: F401
+    import llm_data_pipeline_spark.queries_relational_tpch2  # noqa: F401
     import llm_data_pipeline_spark.queries_udf  # noqa: F401
 
 
