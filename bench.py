@@ -70,6 +70,13 @@ def main() -> None:
             failures[name] = f"{type(e).__name__}: {e}"
             print(f"bench: {name} failed: {failures[name]}", file=sys.stderr)
 
+    throughput = {}
+    if os.environ.get("BENCH_THROUGHPUT", "1") != "0":
+        try:
+            throughput = tokenize_throughput(spark, sf_dir)
+        except Exception as e:  # noqa: BLE001
+            print(f"bench: throughput failed: {type(e).__name__}: {e}", file=sys.stderr)
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -79,10 +86,57 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                **({"throughput": throughput} if throughput else {}),
                 **({"failures": failures} if failures else {}),
             }
         )
     )
+
+
+def tokenize_throughput(spark, sf_dir: str, target_tokens: int = 25_000_000) -> dict:
+    """Tokens/sec on a corpus replicated in-plan to ``target_tokens`` —
+    directly comparable to BASELINE.md's tokenize-throughput rows (which
+    time encode-only over a pre-trained tokenizer; vocab training and the
+    replication factor are computed outside the timed window here too).
+    """
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from llm_data_pipeline_spark.operators.tokenizer import (
+        encode_via_udf,
+        train_word_vocab,
+    )
+    from llm_data_pipeline_spark.queries import table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    vocab = train_word_vocab(docs)
+    base = encode_via_udf(docs, vocab).agg(
+        F.sum(F.size("input_ids")).alias("n")
+    ).collect()[0]["n"]
+    if not base:
+        return {}
+    reps = max(1, int(target_tokens // base))
+    # Shuffle-free replication: 32 range partitions each cross the broadcast
+    # corpus locally, so the timed job is generation (trivial) + encode with
+    # full parallelism and no text shuffle or cache round-trip.
+    nparts = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    corpus = (
+        spark.range(0, reps, 1, nparts)
+        .crossJoin(F.broadcast(docs))
+        .select("doc_id", "text")
+    )
+    t0 = _time.perf_counter()
+    tokens = encode_via_udf(corpus, vocab).agg(
+        F.sum(F.size("input_ids")).alias("n")
+    ).collect()[0]["n"]
+    dt = _time.perf_counter() - t0
+    return {
+        "tokenize_tokens_per_sec": round(tokens / dt),
+        "tokens": int(tokens),
+        "sec": round(dt, 3),
+        "corpus_replication": reps,
+    }
 
 
 if __name__ == "__main__":
