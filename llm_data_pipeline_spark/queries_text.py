@@ -245,3 +245,45 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str):
         F.coalesce(F.array_min(fps), F.lit(-1)).cast("long").alias("fp_min"),
         F.coalesce(F.array_max(fps), F.lit(-1)).cast("long").alias("fp_max"),
     ).orderBy("doc_id")
+
+
+@query(
+    "corpus_stats_by_lang",
+    oracle="""
+    SELECT lang,
+           count(*)                                  AS n_docs,
+           CAST(sum(n_chars) AS BIGINT)              AS total_chars,
+           CAST(min(n_chars) AS BIGINT)              AS min_chars,
+           round(quantile_cont(n_chars, 0.5), 4)     AS median_chars,
+           round(quantile_cont(n_chars, 0.9), 4)     AS p90_chars,
+           CAST(max(n_chars) AS BIGINT)              AS max_chars,
+           CAST(count(DISTINCT source) AS BIGINT)    AS n_sources
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("text", "stats", "percentile"),
+)
+def corpus_stats_by_lang(spark: SparkSession, sf_dir: str):
+    """Per-language corpus profile with exact interpolated percentiles.
+
+    Spark's ``percentile`` and DuckDB's ``quantile_cont`` share the
+    (n-1)·p linear-interpolation definition, so the medians hash-match
+    exactly. At 100 TB swap ``percentile`` for ``percentile_approx`` —
+    exact percentiles need a per-group sort; the approx sketch is
+    single-pass mergeable (tested in tests/test_sketches.py).
+    """
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.round(F.percentile("n_chars", F.lit(0.5)), 4).alias("median_chars"),
+            F.round(F.percentile("n_chars", F.lit(0.9)), 4).alias("p90_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .orderBy("lang")
+    )
