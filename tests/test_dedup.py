@@ -74,6 +74,29 @@ def test_connected_components(spark):
     assert comps == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_paths_agree(spark):
+    """The size-gated driver-DSU path and the distributed label-propagation
+    path must label identically (chain, triangle-with-tail, singletons,
+    cross-links arriving in adverse order)."""
+    edges = spark.createDataFrame(
+        [
+            Row(u=5, v=4), Row(u=4, v=3), Row(u=3, v=2), Row(u=2, v=1),
+            Row(u=20, v=21), Row(u=21, v=22), Row(u=22, v=20),
+            Row(u=30, v=40), Row(u=31, v=41), Row(u=40, v=41),
+        ]
+    )
+    dsu = {
+        r.doc_id: r.component
+        for r in connected_components(edges).collect()
+    }
+    dist = {
+        r.doc_id: r.component
+        for r in connected_components(edges, driver_dsu_threshold=0).collect()
+    }
+    assert dsu == dist
+    assert dsu[5] == 1 and dsu[22] == 20 and dsu[41] == 30
+
+
 def test_minhash_dedup_keeps_canonical(spark):
     sig = add_minhash(_corpus(spark))
     kept, comps = minhash_dedup(sig)
