@@ -292,3 +292,42 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str):
     aug = _augmented(spark, sf_dir)
     sim = add_simhash(aug)
     return simhash_candidate_pairs(sim, max_hamming=3).orderBy("u", "v")
+
+
+@query(
+    "incremental_dedup_new_vs_base",
+    oracle=f"""
+    WITH {AUG_SQL.strip()},
+    {SHINGLE_SQL.strip()}
+    SELECT u AS base_doc_id,
+           v AS new_doc_id,
+           round(jaccard, 6) AS jaccard
+    FROM jac
+    WHERE jaccard >= 0.5 AND u < {VARIANT_OFFSET} AND v >= {VARIANT_OFFSET}
+    ORDER BY new_doc_id, base_doc_id
+    """,
+    tags=("dedup", "fuzzy", "incremental"),
+)
+def incremental_dedup_new_vs_base(spark: SparkSession, sf_dir: str):
+    """Continuous-ingest dedup: near-dups of an incoming batch against the
+    existing corpus only (base×new, never base×base or new×new).
+
+    Runs the same prefix-filtered exact-Jaccard join as the batch path over
+    the tagged union, then keeps only cross-set pairs — at scale this is
+    how a daily crawl increment is screened against the accumulated corpus
+    without re-pairing the corpus with itself (new ids are offset above
+    every base id, so the u<v pair convention makes u the base side).
+    """
+    aug = _augmented(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(aug, threshold=0.5, n=3)
+    return (
+        pairs.where(
+            (F.col("u") < VARIANT_OFFSET) & (F.col("v") >= VARIANT_OFFSET)
+        )
+        .select(
+            F.col("u").alias("base_doc_id"),
+            F.col("v").alias("new_doc_id"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+        .orderBy("new_doc_id", "base_doc_id")
+    )
