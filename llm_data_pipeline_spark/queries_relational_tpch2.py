@@ -344,3 +344,55 @@ def tpch_q22(spark: SparkSession, sf_dir: str):
         )
         .orderBy("segment")
     )
+
+
+@query(
+    "salted_skew_aggregation",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n_lines,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total_qty,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("relational", "skew", "aggregation"),
+)
+def salted_skew_aggregation(spark: SparkSession, sf_dir: str):
+    """Two-phase salted aggregation over a deliberately hot key.
+
+    l_returnflag has 3 values, so a plain groupBy funnels the whole fact
+    table through 3 reduce tasks; salting fans each key over 16 partials
+    first, then rolls up 3x16 tiny rows (operators/skew.py pattern, graded
+    here against the plain-GROUP-BY oracle). Sums accumulate in
+    decimal(18,4): partial-sum grouping must not change the rounded
+    result. (With Spark's partial_sum map-side combine the plain groupBy
+    is usually fine too — the salt is the general fix when combiners can't
+    help, e.g. collect_list/exact-distinct on a hot key.)
+    """
+    li = table(spark, sf_dir, "lineitem")
+    n_salts = 16
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    partial = (
+        li.withColumn("_salt", (F.rand(seed=7) * n_salts).cast("int"))
+        .groupBy("l_returnflag", "_salt")
+        .agg(
+            F.count("*").alias("_n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("_qty"),
+            F.sum(vol).alias("_rev"),
+        )
+    )
+    return (
+        partial.groupBy("l_returnflag")
+        .agg(
+            F.sum("_n").alias("n_lines"),
+            F.round(F.sum("_qty"), 2).cast("double").alias("total_qty"),
+            F.round(F.sum("_rev"), 2).cast("double").alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
