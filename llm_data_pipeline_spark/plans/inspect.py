@@ -45,7 +45,9 @@ def scan_read_schemas(df: DataFrame) -> list[str]:
 
 
 def broadcast_join_count(df: DataFrame) -> int:
-    return len(re.findall(r"BroadcastHashJoin", formatted_plan(df)))
+    """BroadcastHashJoin nodes, counted from the numbered details section
+    only — formatted mode prints every operator twice (tree + details)."""
+    return len(re.findall(r"\(\d+\) BroadcastHashJoin", formatted_plan(df)))
 
 
 def shuffle_count(df: DataFrame) -> int:
@@ -54,12 +56,16 @@ def shuffle_count(df: DataFrame) -> int:
 
 
 def wholestage_codegen_spans(df: DataFrame) -> int:
-    """Best-effort: under AQE the pre-execution formatted plan hides
-    codegen stages, so this also scans the simple executed-plan string."""
-    return max(
-        len(re.findall(r"WholeStageCodegen", formatted_plan(df))),
-        len(re.findall(r"WholeStageCodegen", simple_plan(df))),
-    )
+    """Number of distinct whole-stage-codegen stages.
+
+    Under AQE the pre-execution formatted plan hides codegen stages, so
+    also scan the executed-plan string, where codegen membership prints as
+    a ``*(N)`` operator prefix (N = codegen stage id) rather than the
+    literal ``WholeStageCodegen`` label formatted mode uses.
+    """
+    formatted = len(re.findall(r"WholeStageCodegen", formatted_plan(df)))
+    simple_ids = {m.group(1) for m in re.finditer(r"\*\((\d+)\)", simple_plan(df))}
+    return max(formatted, len(simple_ids))
 
 
 def assert_no_cartesian(df: DataFrame) -> None:
