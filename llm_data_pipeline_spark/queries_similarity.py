@@ -157,11 +157,73 @@ def embedding_knn_label_vote(spark: SparkSession, sf_dir: str):
     )
 
 
-@query("embedding_ann_lsh_topk", tags=("similarity", "ann", "approximate"))
+def _lsh_oracle_sql(nbits: int, n_tables: int, dim: int, seed: int, k: int) -> str:
+    """DuckDB replay of the hyperplane-LSH path.
+
+    The Spark side applies seeded numpy hyperplanes as literal arrays, so
+    the bucketing is a pure function of the data: emit the SAME planes as
+    SQL literals (repr round-trips doubles exactly) and recompute
+    bucket = sum of sign bits with list_dot_product. Sequential-fold dot
+    products are bit-identical across the engines, so every sign — and
+    therefore every bucket, candidate set, and ranked result — matches.
+    """
+    from llm_data_pipeline_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(nbits, dim, seed, n_tables)
+    bcols = []
+    for t in range(n_tables):
+        bits = []
+        for j in range(nbits):
+            lit = "[" + ", ".join(repr(float(x)) for x in planes[t, j]) + "]"
+            bits.append(
+                f"CASE WHEN list_dot_product(v, {lit}) >= 0 "
+                f"THEN {1 << j} ELSE 0 END"
+            )
+        bcols.append("(" + " + ".join(bits) + f") AS b{t}")
+    structs = ", ".join(
+        f"struct_pack(table_id := {t}, bucket := b{t})" for t in range(n_tables)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    buckets AS (SELECT vec_id, v, {", ".join(bcols)} FROM e),
+    sig AS (
+      SELECT vec_id, v, u.table_id AS table_id, u.bucket AS bucket
+      FROM (SELECT vec_id, v, unnest([{structs}]) AS u FROM buckets)
+    ),
+    q AS (SELECT vec_id AS query_id, table_id, bucket FROM sig
+          WHERE vec_id % 100 = 0),
+    cand_ids AS (
+      SELECT DISTINCT q.query_id, s.vec_id
+      FROM sig s JOIN q ON s.table_id = q.table_id AND s.bucket = q.bucket
+      WHERE s.vec_id <> q.query_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.vec_id, {cos_sql('eq.v', 'ec.v')} AS score
+      FROM cand_ids c
+      JOIN e eq ON eq.vec_id = c.query_id
+      JOIN e ec ON ec.vec_id = c.vec_id
+    )
+    SELECT query_id, vec_id, score, rank FROM (
+      SELECT query_id, vec_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    ORDER BY query_id, rank
+    """
+
+
+@query(
+    "embedding_ann_lsh_topk",
+    oracle=_lsh_oracle_sql(nbits=4, n_tables=16, dim=64, seed=42, k=10),
+    tags=("similarity", "ann", "approximate"),
+)
 def embedding_ann_lsh_topk(spark: SparkSession, sf_dir: str):
     """Approximate top-k via random-hyperplane LSH buckets + exact re-rank
-    (the 100 TB path: bucket join instead of cross product). Approximate →
-    rows-only check; recall vs brute force is asserted in unit tests."""
+    (the 100 TB path: bucket join instead of cross product). The seeded
+    hyperplanes make the approximation deterministic, so even this
+    approximate path is hash-checked against a DuckDB replay; recall vs
+    brute force is additionally asserted in unit tests."""
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
