@@ -18,6 +18,7 @@ from llm_data_pipeline_spark.operators.similarity import (
     hyperplane_lsh_topk,
     ivf_flat_topk,
     near_dup_pairs,
+    near_dup_pairs_blocked,
 )
 from llm_data_pipeline_spark.queries import query, table
 
@@ -79,8 +80,11 @@ def embedding_topk_bruteforce(spark: SparkSession, sf_dir: str):
     tags=("similarity", "dedup"),
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str):
+    """Blocked two-phase exact pairs: numpy block-GEMM candidates, native
+    sequential-fold re-score (bit-identical to the naive self-join, ~100x
+    cheaper per pair; see near_dup_pairs_blocked)."""
     emb = table(spark, sf_dir, "embeddings")
-    return near_dup_pairs(emb, threshold=0.9).orderBy("u", "v")
+    return near_dup_pairs_blocked(emb, threshold=0.9).orderBy("u", "v")
 
 
 @query(

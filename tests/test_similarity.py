@@ -125,3 +125,22 @@ def test_ivf_kmeans_codebook_improves_recall(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.3, recall
+
+
+def test_near_dup_blocked_matches_naive(spark, sf_dir):
+    """Block-GEMM candidate generation + exact re-score must equal the
+    naive O(n^2) fold path bit-for-bit, at a threshold low enough to
+    admit hundreds of pairs (stresses both the margin and the
+    cross-block id-ordering logic)."""
+    from llm_data_pipeline_spark.operators.similarity import (
+        near_dup_pairs,
+        near_dup_pairs_blocked,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    naive = sorted(tuple(r) for r in near_dup_pairs(emb, threshold=0.3).collect())
+    blocked = sorted(
+        tuple(r) for r in near_dup_pairs_blocked(emb, threshold=0.3).collect()
+    )
+    assert len(naive) > 0
+    assert naive == blocked
