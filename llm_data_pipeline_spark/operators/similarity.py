@@ -176,17 +176,25 @@ def add_lsh_signature(
     natively from literal hyperplane arrays; no Python at row time.
     """
     planes = _hyperplanes(nbits, dim, seed, n_tables)
+    # Materialize the double-cast vector behind a column boundary FIRST:
+    # expressions inside higher-order lambdas are inlined per call site, so
+    # a to_double() buried in every one of the n_tables*nbits sign folds
+    # re-casts the vector per bit — 6x slower measured at 50k vectors.
+    pre = df.select("*", to_double(F.col(vec_col)).alias("_vd"))
     sig_cols = []
     for t in range(n_tables):
         bucket = F.lit(0).cast("long")
         for j in range(nbits):
             plane = F.array(*[F.lit(float(x)) for x in planes[t, j]])
-            bit = F.when(dot(F.col(vec_col), plane) >= 0, F.lit(1 << j)).otherwise(
-                F.lit(0)
+            signed_dot = F.aggregate(
+                F.zip_with(F.col("_vd"), plane, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
             )
+            bit = F.when(signed_dot >= 0, F.lit(1 << j)).otherwise(F.lit(0))
             bucket = bucket + bit
         sig_cols.append(bucket.alias(f"_b{t}"))
-    with_sigs = df.select("*", *sig_cols)
+    with_sigs = pre.select("*", *sig_cols).drop("_vd")
     return with_sigs.select(
         "*",
         F.posexplode(
@@ -209,7 +217,10 @@ def hyperplane_lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: candidates = same (table, bucket) co-occurrence,
     then exact cosine re-rank. Recall grows with n_tables; cost is the
-    bucket-join instead of a cross product."""
+    bucket-join instead of a cross product. (Measured alternative: deduping
+    bare id pairs and re-attaching vectors afterwards added two more
+    multi-million-row shuffles and lost to this single heavy-row join.)
+    """
     c = add_lsh_signature(corpus, dim, nbits, n_tables, seed, vec_col).select(
         F.col(id_col), F.col(vec_col).alias("_cvec"), "table_id", "bucket"
     )
