@@ -54,24 +54,26 @@ def exact_dedup(
 # ---------------------------------------------------------------------------
 
 
-def simhash64(text: Column) -> Column:
-    """64-bit SimHash over whitespace tokens, fully native.
+def simhash64_from_hashes(hashes: Column) -> Column:
+    """Fold an ``array<long>`` of token hashes into the 64-bit SimHash.
 
-    token hashes via xxhash64; bit i of the result is the majority vote of
-    bit i across token hashes. Empty text -> 0.
+    Unrolled over the 64 bit positions (shift amounts must be constants):
+    bit i is set iff the majority of token hashes have bit i set. Bit 63's
+    mask is the sign bit in two's complement. Empty array -> 0.
+
+    Pass a *materialized column* (not an inline expression): expressions fed
+    into the 64 filter lambdas are re-inlined per call site, so an inline
+    ``transform(tokens, hash)`` would re-hash every token 64 times.
     """
-    tokens = F.filter(F.split(norm_ws(text), " "), lambda x: x != "")
-    hashes = F.transform(tokens, lambda tok: F.xxhash64(tok))
     n = F.size(hashes)
-    # Unrolled over the 64 bit positions (shift amounts must be constants):
-    # bit i is set iff the majority of token hashes have bit i set. Bit 63's
-    # mask is the sign bit in two's complement.
     packed = F.lit(0).cast("long")
     for i in range(64):
         mask = (1 << i) if i < 63 else -(1 << 63)
-        bit_set = F.size(
-            F.filter(hashes, lambda h, m=mask: h.bitwiseAND(F.lit(m)) != 0)
-        )
+        # NB: the lambda must take exactly ONE parameter — PySpark treats a
+        # two-arg lambda as (element, index), so a `m=mask` default would be
+        # silently overridden by the array index.
+        cond = F.lit(mask).cast("long")
+        bit_set = F.size(F.filter(hashes, lambda h: h.bitwiseAND(cond) != 0))
         packed = packed.bitwiseOR(
             F.when(bit_set * 2 >= n, F.lit(mask).cast("long")).otherwise(
                 F.lit(0).cast("long")
@@ -80,22 +82,49 @@ def simhash64(text: Column) -> Column:
     return F.when(n == 0, F.lit(0).cast("long")).otherwise(packed)
 
 
-def add_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
-    return df.withColumn("simhash", simhash64(F.col(text_col)))
+def token_hashes(text: Column, hash_fn=None) -> Column:
+    """array<long> of hashes of the whitespace tokens of normalized text
+    (a multiset — duplicates kept, SimHash weights repeated tokens)."""
+    if hash_fn is None:
+        hash_fn = F.xxhash64
+    tokens = F.filter(F.split(norm_ws(text), " "), lambda x: x != "")
+    # wrapper lambda: builtins like xxhash64 are *args functions, which the
+    # higher-order-function bridge rejects as lambda bodies
+    return F.transform(tokens, lambda t: hash_fn(t))
+
+
+def simhash64(text: Column, hash_fn=None) -> Column:
+    """Single-expression SimHash (token hashing inlined into the bit fold —
+    prefer :func:`add_simhash`, which stages the hash array behind a column
+    boundary so each token is hashed once, not 64 times)."""
+    return simhash64_from_hashes(token_hashes(text, hash_fn))
+
+
+def add_simhash(df: DataFrame, text_col: str = "text", hash_fn=None) -> DataFrame:
+    """Append ``simhash: long``. Two projections: the token-hash array is
+    materialized first so the 64 majority-vote filters fold over a bound
+    array instead of re-evaluating the hash transform per bit."""
+    staged = df.withColumn("_th", token_hashes(F.col(text_col), hash_fn))
+    return staged.withColumn("simhash", simhash64_from_hashes(F.col("_th"))).drop(
+        "_th"
+    )
 
 
 def simhash_candidate_pairs(
     df_sim: DataFrame,
     max_hamming: int = 3,
     id_col: str = "doc_id",
-    bucket_cap: int = 500,
+    bucket_cap: int | None = 500,
 ) -> DataFrame:
     """Candidate pairs with Hamming(simhash) <= max_hamming.
 
     Banding on 4 disjoint 16-bit chunks: a pair within Hamming distance 3
     must agree exactly on >= 1 chunk (pigeonhole), so the equi-join on
     (chunk_id, chunk_value) finds all such pairs; the exact Hamming filter
-    afterwards removes false positives. Same skew guard as LSH buckets.
+    afterwards removes false positives. Same skew guard as LSH buckets;
+    ``bucket_cap=None`` disables the cap, making the pigeonhole recall
+    exact (used by the oracle-graded query, where DuckDB computes the
+    all-pairs ground truth).
     """
     chunks = df_sim.select(
         F.col(id_col).alias("doc_id"),
@@ -111,9 +140,12 @@ def simhash_candidate_pairs(
             )
         ).alias("chunk_id", "chunk_val"),
     )
-    sized = chunks.withColumn(
-        "bucket_n", F.count("*").over(Window.partitionBy("chunk_id", "chunk_val"))
-    ).where(F.col("bucket_n") <= bucket_cap)
+    if bucket_cap is None:
+        sized = chunks
+    else:
+        sized = chunks.withColumn(
+            "bucket_n", F.count("*").over(Window.partitionBy("chunk_id", "chunk_val"))
+        ).where(F.col("bucket_n") <= bucket_cap)
     left = sized.select(
         "chunk_id", "chunk_val", F.col("doc_id").alias("u"), F.col("simhash").alias("sim_u")
     )

@@ -47,9 +47,18 @@ def _perm_params(k: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def shingle_hashes(text: Column, ngram: int = DEFAULT_NGRAM) -> Column:
-    """array<long> of xxhash64 values of the distinct char n-gram shingles
-    of the normalized text (JVM-side; one expression, fully codegen)."""
+def shingle_hashes(
+    text: Column, ngram: int = DEFAULT_NGRAM, hash_fn=None
+) -> Column:
+    """array<long> of hash values of the distinct char n-gram shingles
+    of the normalized text (JVM-side; one expression, fully codegen).
+
+    ``hash_fn`` maps a string Column to a long Column; default xxhash64
+    (fastest). Graded queries pass ``functions.hashing.portable_hash60``
+    so DuckDB can replay the identical values (equality-only use makes the
+    family free, SURVEY.md §1.3)."""
+    if hash_fn is None:
+        hash_fn = F.xxhash64
     norm = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
     shingles = F.when(
         F.length(norm) < ngram, F.array(norm)
@@ -61,7 +70,9 @@ def shingle_hashes(text: Column, ngram: int = DEFAULT_NGRAM) -> Column:
             )
         )
     )
-    return F.transform(shingles, lambda s: F.xxhash64(s))
+    # wrapper lambda: builtins like xxhash64 are *args functions, which the
+    # higher-order-function bridge rejects as lambda bodies
+    return F.transform(shingles, lambda s: hash_fn(s))
 
 
 def make_signature_udf(k: int = DEFAULT_K, seed: int = DEFAULT_SEED):
@@ -91,18 +102,20 @@ def add_minhash(
     seed: int = DEFAULT_SEED,
     ngram: int = DEFAULT_NGRAM,
     signature_col: str = "signature",
+    hash_fn=None,
 ) -> DataFrame:
     """Append ``signature: array<long>`` (k values) and ``length: int``.
 
     Empty/null text gets the all-zero signature (reference
-    dedup/minhash.py:92-96)."""
+    dedup/minhash.py:92-96). ``hash_fn`` selects the shingle hash family
+    (default xxhash64; see :func:`shingle_hashes`)."""
     text = F.coalesce(F.col(text_col), F.lit(""))
     sig_udf = make_signature_udf(k, seed)
     zero = F.array_repeat(F.lit(0).cast("long"), k)
     return df.withColumn("length", F.length(text)).withColumn(
         signature_col,
         F.when(F.length(F.trim(text)) == 0, zero).otherwise(
-            sig_udf(shingle_hashes(text, ngram))
+            sig_udf(shingle_hashes(text, ngram, hash_fn))
         ),
     )
 

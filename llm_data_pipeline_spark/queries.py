@@ -45,6 +45,10 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The driver may hand us a session built without session.py's confs;
+    # nanosAsLong is runtime-settable, so set it here so TIMESTAMP(NANOS)
+    # parquet columns read as longs instead of failing PARQUET_TYPE_ILLEGAL.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # Nano-precision parquet timestamps surface as LongType (see session.py);
     # normalize to microsecond TimestampType the way DuckDB does (truncation).

@@ -259,39 +259,215 @@ def fuzzy_dedup_kept(spark: SparkSession, sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
-# rows-only (engine-hash-dependent) paths
+# MinHash / SimHash — fully oracle-checked via the portable md5 hash family
 # ---------------------------------------------------------------------------
+# The production operators default to xxhash64 (JVM, fastest), which DuckDB
+# cannot replay. Equality-only use makes the hash family free (SURVEY §1.3),
+# so the *graded* variants pass functions.hashing.portable_hash60/64 and the
+# oracles replay every stage — shingle hash, 128 uint64 permutations,
+# banding, bucket join, connected components, canonical choice — in SQL
+# (HUGEINT arithmetic mod 2^64). Same move as the literal-plane ANN replay
+# in queries_similarity.py.
+
+from llm_data_pipeline_spark.functions.hashing import (  # noqa: E402
+    portable_hash60,
+    portable_hash64,
+)
+from llm_data_pipeline_spark.operators.minhash import _perm_params  # noqa: E402
+
+_PA, _PB = _perm_params(128, 42)
+PERMS_SQL = "perms(pos, a, b) AS (VALUES " + ", ".join(
+    f"({i}, {int(a)}::HUGEINT, {int(b)}::HUGEINT)"
+    for i, (a, b) in enumerate(zip(_PA, _PB))
+) + ")"
+
+_U64 = "18446744073709551616::HUGEINT"
+_I64MAX1 = "9223372036854775808::HUGEINT"
 
 
-@query("minhash_signatures", tags=("dedup", "minhash"))
+def _minhash_sig_sql(src: str) -> str:
+    """CTE chain ``norm5 -> sh5 -> hv -> sigu -> sig`` replaying
+    add_minhash(hash_fn=portable_hash60) over source table ``src``:
+    sig = (doc_id, length, pos, sig_val) — the signed int64 signature."""
+    return f"""
+norm5 AS (
+  SELECT doc_id, length(coalesce(text,'')) AS length,
+         trim(regexp_replace(lower(coalesce(text,'')), '\\s+', ' ', 'g')) AS n,
+         length(trim(coalesce(text,''))) = 0 AS is_empty
+  FROM {src}
+),
+sh5 AS (
+  SELECT doc_id, unnest(shingles) AS s
+  FROM (
+    SELECT doc_id,
+           CASE WHEN length(n) < 5 THEN [n]
+                ELSE list_distinct(list_transform(range(length(n)-4),
+                         i -> substr(n, i+1, 5)))
+           END AS shingles
+    FROM norm5 WHERE NOT is_empty
+  )
+),
+hv AS (
+  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT::HUGEINT AS h
+  FROM sh5
+),
+{PERMS_SQL},
+sigu AS (
+  SELECT doc_id, pos, min((h * a + b) % {_U64}) AS m
+  FROM hv CROSS JOIN perms GROUP BY doc_id, pos
+  UNION ALL
+  SELECT n2.doc_id, p.pos, 0::HUGEINT AS m
+  FROM norm5 n2 CROSS JOIN perms p WHERE n2.is_empty
+),
+sig AS (
+  SELECT s.doc_id, n3.length, s.pos,
+         (CASE WHEN s.m >= {_I64MAX1} THEN s.m - {_U64} ELSE s.m END)::BIGINT
+           AS sig_val
+  FROM sigu s JOIN norm5 n3 ON n3.doc_id = s.doc_id
+)
+"""
+
+
+@query(
+    "minhash_signatures",
+    oracle=f"""
+    WITH {_minhash_sig_sql("documents").strip()}
+    SELECT doc_id, length, pos, sig_val FROM sig
+    ORDER BY doc_id, pos
+    """,
+    tags=("dedup", "minhash"),
+)
 def minhash_signatures(spark: SparkSession, sf_dir: str):
+    """k=128 MinHash signatures, exploded to (doc_id, length, pos, sig_val)
+    rows — scalar columns only, so the driver's canonicalizer can sort and
+    hash them (an array<long> column is unhashable in pandas)."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    return (
-        add_minhash(docs)
-        .select("doc_id", "length", "signature")
-        .orderBy("doc_id")
+    sig = add_minhash(docs, hash_fn=portable_hash60)
+    return sig.select(
+        "doc_id",
+        F.col("length").cast("long").alias("length"),
+        F.posexplode("signature").alias("pos", "sig_val"),
+    ).orderBy("doc_id", "pos")
+
+
+@query(
+    "minhash_dedup_kept",
+    oracle=f"""
+    WITH RECURSIVE {AUG_SQL.strip()},
+    {_minhash_sig_sql("aug").strip()},
+    bandkey AS (
+      SELECT doc_id, (pos // 8)::INT AS band_id,
+             string_agg(sig_val::VARCHAR, ',' ORDER BY pos) AS bkey
+      FROM sig GROUP BY doc_id, (pos // 8)
+    ),
+    sized AS (
+      SELECT band_id, bkey, doc_id,
+             count(*) OVER (PARTITION BY band_id, bkey) AS n
+      FROM bandkey
+    ),
+    edges AS (
+      SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+      FROM sized a JOIN sized b
+        ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+      WHERE a.n <= 500
+    ),
+    sym AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+    walk(id, comp) AS (
+      SELECT DISTINCT u, u FROM sym
+      UNION
+      SELECT s.v, w.comp FROM walk w JOIN sym s ON s.u = w.id
+    ),
+    comps AS (SELECT id AS doc_id, min(comp) AS component FROM walk GROUP BY id),
+    members AS (
+      SELECT c.doc_id, c.component, length(coalesce(a.text,'')) AS length
+      FROM comps c JOIN aug a ON a.doc_id = c.doc_id
+    ),
+    canon AS (
+      SELECT component, doc_id AS canonical_doc_id
+      FROM (
+        SELECT component, doc_id,
+               row_number() OVER (PARTITION BY component
+                                  ORDER BY length DESC, doc_id DESC) AS rk
+        FROM members
+      ) WHERE rk = 1
+    ),
+    removals AS (
+      SELECT m.doc_id FROM members m
+      JOIN canon c ON c.component = m.component AND m.doc_id <> c.canonical_doc_id
     )
-
-
-@query("minhash_dedup_kept", tags=("dedup", "minhash"))
+    SELECT a.doc_id FROM aug a
+    WHERE a.doc_id NOT IN (SELECT doc_id FROM removals)
+    ORDER BY a.doc_id
+    """,
+    tags=("dedup", "minhash"),
+)
 def minhash_dedup_kept(spark: SparkSession, sf_dir: str):
     """LSH dedup of the augmented corpus. rows_per_band=8 (16 bands,
     LSH threshold ~(1/16)^(1/8) ≈ 0.71): the synthetic corpus draws from a
     ~40-word vocabulary, so unrelated docs already share ~0.4 of their char
     5-grams and the reference default (4 rows/band ≈ 0.42 threshold) would
-    merge everything. At 0.71 the result (475 kept of 550) tracks the exact
-    word-trigram Jaccard ground truth (476) closely."""
+    merge everything. The oracle replays the entire chain in SQL: portable
+    shingle hashes, the 128-permutation uint64 min (HUGEINT mod 2^64),
+    8-row band keys (comma-joined signed rendering == the Spark band
+    sha1 preimage), the 500-doc bucket cap, recursive-CTE components, and
+    the (length desc, doc_id desc) canonical tie-break."""
     aug = _augmented(spark, sf_dir)
-    sig = add_minhash(aug)
+    sig = add_minhash(aug, hash_fn=portable_hash60)
     kept, _ = minhash_dedup(sig, rows_per_band=8)
     return kept.select("doc_id").orderBy("doc_id")
 
 
-@query("simhash_near_dups", tags=("dedup", "simhash"))
+@query(
+    "simhash_near_dups",
+    oracle=f"""
+    WITH {AUG_SQL.strip()},
+    toks64 AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(regexp_replace(lower(coalesce(text,'')),
+                         '\\s+', ' ', 'g')), ' '), x -> x <> '') AS toks
+      FROM aug
+    ),
+    th AS (
+      SELECT doc_id,
+             (('0x' || substr(md5(t), 1, 8))::BIGINT::HUGEINT * 4294967296
+              + ('0x' || substr(md5(t), 9, 8))::BIGINT) AS h
+      FROM (SELECT doc_id, unnest(toks) AS t FROM toks64)
+    ),
+    bits AS (
+      SELECT doc_id, i, sum(((h >> i) % 2)::INT) AS ones, count(*) AS ntok
+      FROM th CROSS JOIN (SELECT unnest(range(64)) AS i) bitpos
+      GROUP BY doc_id, i
+    ),
+    packed AS (
+      SELECT doc_id,
+             sum(CASE WHEN 2*ones >= ntok THEN (1::HUGEINT << i)
+                      ELSE 0::HUGEINT END) AS u
+      FROM bits GROUP BY doc_id
+    ),
+    sims AS (
+      SELECT t.doc_id,
+             coalesce((CASE WHEN p.u >= {_I64MAX1} THEN p.u - {_U64}
+                            ELSE p.u END)::BIGINT, 0) AS sim
+      FROM toks64 t LEFT JOIN packed p ON p.doc_id = t.doc_id
+    )
+    SELECT a.doc_id AS u, b.doc_id AS v,
+           bit_count(xor(a.sim, b.sim))::INT AS hamming
+    FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sim, b.sim)) <= 3
+    ORDER BY u, v
+    """,
+    tags=("dedup", "simhash"),
+)
 def simhash_near_dups(spark: SparkSession, sf_dir: str):
+    """SimHash Hamming-<=3 pairs over the augmented corpus, portable token
+    hashes. bucket_cap=None makes the 16-bit-chunk pigeonhole banding
+    lossless, so the oracle's exact all-pairs Hamming scan is the ground
+    truth the banding must reproduce."""
     aug = _augmented(spark, sf_dir)
-    sim = add_simhash(aug)
-    return simhash_candidate_pairs(sim, max_hamming=3).orderBy("u", "v")
+    sim = add_simhash(aug, hash_fn=portable_hash64)
+    return simhash_candidate_pairs(sim, max_hamming=3, bucket_cap=None).orderBy(
+        "u", "v"
+    )
 
 
 @query(

@@ -43,6 +43,8 @@ def read_parquet_stream(
     """
     import os
 
+    # Runtime-settable; the driver's session may lack session.py's confs.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch_schema = spark.read.parquet(path).schema
     if os.path.isdir(path):
         sdf = spark.readStream.schema(batch_schema).parquet(path)
