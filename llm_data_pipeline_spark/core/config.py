@@ -43,6 +43,12 @@ class PipelineConfig:
     bucket_cap: int = 2000
 
     vocab_size: int = 32000
+    # "word" (frequency-ranked word vocab, SQL-oracle-checkable) or "bpe"
+    # (native deterministic merge-rule BPE — the reference's SentencePiece
+    # semantics, operators/bpe.py)
+    tokenizer: str = "word"
+    bpe_merges: int = 2000
+    bpe_min_pair_freq: int = 2
     n_text_shards: int = 8
     seq_len: int = 4096
     drop_remainder: bool = True

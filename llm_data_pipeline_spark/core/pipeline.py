@@ -57,7 +57,11 @@ def _ingest(spark, df_in, config, base):
 def _clean(spark, df_in, config, base):
     from llm_data_pipeline_spark.operators.clean import score_documents, split_kept
 
-    scored = score_documents(df_in, rules=config.clean_rules).persist()
+    # localCheckpoint (not persist): kept is returned lazily, so an
+    # unpersist here is impossible; checkpoint blocks are GC-scoped.
+    scored = score_documents(df_in, rules=config.clean_rules).localCheckpoint(
+        eager=False
+    )
     kept, dropped = split_kept(scored)
     from llm_data_pipeline_spark.core.stage import write_parquet_counted
 
@@ -110,7 +114,10 @@ def _clustering(spark, df_in, config, base):
         bucket_cap=config.bucket_cap,
     )
     total = df_in.count()
-    n_kept_sampleable = kept.persist().count()
+    # localCheckpoint (not persist): kept is returned lazily for the stage
+    # write, so the cache could never be unpersisted here; GC-scoped blocks.
+    kept = kept.localCheckpoint(eager=False)
+    n_kept_sampleable = kept.count()
     removed = total - n_kept_sampleable
     return kept, {
         "total_count": total,
@@ -124,17 +131,48 @@ def _train_tokenizer(spark, df_in, config, base):
     from llm_data_pipeline_spark.sources.sinks import write_text_shards
 
     # Text shards (S6) — the artifact SentencePiece would train on; written
-    # for parity/inspection even though the word vocab trains directly.
+    # for parity/inspection even though both native trainers work directly
+    # off the corpus.
     write_text_shards(df_in, f"{base}/tokenizer_text_shards", config.n_text_shards)
+    if config.tokenizer == "bpe":
+        from llm_data_pipeline_spark.operators.bpe import train_bpe
+
+        _, merges, pieces = train_bpe(
+            df_in,
+            n_merges=config.bpe_merges,
+            min_pair_freq=config.bpe_min_pair_freq,
+        )
+        spark.createDataFrame(
+            [(i, a, b) for i, (a, b) in enumerate(merges)],
+            schema="merge_rank bigint, lhs string, rhs string",
+        ).write.mode("overwrite").parquet(f"{base}/bpe_merges_parquet")
+        vocab = spark.createDataFrame(
+            pieces, schema="token string, id bigint"
+        )
+        return vocab, {"tokenizer": "bpe", "n_merges": len(merges)}
     vocab = train_word_vocab(df_in, vocab_size=config.vocab_size)
-    return vocab, {}
+    return vocab, {"tokenizer": "word"}
 
 
 def _tokenize(spark, df_in, config, base):
-    from llm_data_pipeline_spark.operators.tokenizer import encode_via_join
-
     vocab = spark.read.parquet(step_output_dir(base, "train_tokenizer"))
-    enc = encode_via_join(df_in, vocab)
+    if config.tokenizer == "bpe":
+        from llm_data_pipeline_spark.operators.bpe import encode_bpe
+
+        merges = [
+            (r["lhs"], r["rhs"])
+            for r in spark.read.parquet(f"{base}/bpe_merges_parquet")
+            .orderBy("merge_rank")
+            .collect()
+        ]
+        pieces = [
+            (r["token"], r["id"]) for r in vocab.collect()
+        ]
+        enc = encode_bpe(df_in, merges, pieces)
+    else:
+        from llm_data_pipeline_spark.operators.tokenizer import encode_via_join
+
+        enc = encode_via_join(df_in, vocab)
     out = enc.withColumn("length", F.size("input_ids"))
     return out, {}
 

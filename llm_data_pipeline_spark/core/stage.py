@@ -79,6 +79,13 @@ class Stage:
             if in_path is not None:
                 df_in = read_parquet_limited(spark, in_path, config.limit)
                 stats["input_path"] = in_path
+                # input_count (reference core.py step stats shape): a plain
+                # count() on the raw parquet read is answered from file
+                # footer statistics (aggregate pushdown) — no data scan.
+                # (An Observation riding the write action is NOT reliable
+                # here: transforms that localCheckpoint their input truncate
+                # lineage and the CollectMetrics node never reports.)
+                stats["input_count"] = df_in.count()
             p0 = time.time()
             df_out, extra = self.transform(
                 spark, df_in, config, config.output_base

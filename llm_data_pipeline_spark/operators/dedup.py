@@ -237,9 +237,13 @@ def ngram_jaccard_pairs(
             "doc_id", F.array_sort(F.array_distinct(hashed)).alias("sh")
         )
         .withColumn("n_sh", F.size("sh"))
-        # reused three times (prefix explode + both verification sides):
-        # persist so the shingle computation runs once
-        .persist()
+        # reused three times (prefix explode + both verification sides).
+        # localCheckpoint, not persist: this function returns lazily, so a
+        # CacheManager entry could never be unpersisted and would pin
+        # executor storage for the rest of the app; checkpoint blocks are
+        # RDD-level and the ContextCleaner frees them once the result frame
+        # is garbage-collected. eager=False defers the job to first action.
+        .localCheckpoint(eager=False)
     )
     prefix_len = (
         F.col("n_sh") - F.ceil(F.col("n_sh") * threshold) + 1

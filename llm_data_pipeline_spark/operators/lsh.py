@@ -132,6 +132,15 @@ def connected_components(
             return _driver_dsu_components(edges)
         finally:
             edges.unpersist()
+    try:
+        return _propagation_components(edges, max_iterations)
+    finally:
+        # every round's count() materialized its localCheckpoint, so the
+        # returned frame no longer depends on the cached edge list
+        edges.unpersist()
+
+
+def _propagation_components(edges: DataFrame, max_iterations: int) -> DataFrame:
     sym = edges.union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )

@@ -103,7 +103,11 @@ def add_global_offsets(
         df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
         .sortWithinPartitions(*order_cols)
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
+        # localCheckpoint, not persist: pass 2's result is returned lazily,
+        # so there is no point at which this function could unpersist; the
+        # pass-1 collect below materializes the blocks and the
+        # ContextCleaner frees them when the result is GC'd.
+        .localCheckpoint(eager=False)
     )
     # Pass 1: per-partition totals -> exclusive bases (n_partitions rows of
     # two longs — driver-side cost is O(n_partitions), never O(rows)).

@@ -96,7 +96,10 @@ def apply_person_ner(
     never leaves the JVM.
     """
     gated = F.col("need_ner") & F.col("ner_lang").isin(list(supported_langs))
-    df = df.persist()
+    # Both branches scan df; localCheckpoint (not persist) shares the single
+    # materialization without leaving a permanent CacheManager entry — the
+    # ContextCleaner frees the blocks when the result frame is GC'd.
+    df = df.localCheckpoint(eager=False)
     fast = df.filter(~gated)
     slow = df.filter(gated)
 

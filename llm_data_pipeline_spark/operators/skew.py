@@ -35,7 +35,15 @@ def salted_join(
 
     The replicated small side stays small (|small| * n_salts rows) and the
     hot key's rows spread over n_salts reduce tasks instead of one.
+
+    Only inner/left are valid: an unmatched small-side key appears once per
+    salt, so right/outer would emit n_salts duplicate null-extended rows.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how in ('inner', 'left'), got {how!r}: "
+            "replicating the small side breaks right/outer semantics"
+        )
     big_s = big.withColumn(
         "_salt", (F.rand(seed=7) * n_salts).cast("int")
     )

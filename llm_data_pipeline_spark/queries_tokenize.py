@@ -17,6 +17,9 @@ driver's column-sorted value hash is well-defined.
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -222,3 +225,118 @@ def pack_constant_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("seq_lens").cast("long").alias("n_segments"),
         seg_checksum.alias("seg_checksum"),
     ).orderBy("chunk_id")
+
+
+# ---------------------------------------------------------------------------
+# BPE (subword) tokenizer — M1 parity with the reference's SentencePiece BPE
+# ---------------------------------------------------------------------------
+#
+# BPE merge learning is a sequential global-argmax loop — not expressible in
+# ANSI SQL. The oracle is therefore a PINNED GOLDEN computed by an
+# independent pipeline (DuckDB word counts + the naive full-recount trainer
+# + pure-Python encode; see scripts/gen_bpe_golden.py), dispatched on the
+# corpus fingerprint sum(length(text)) so the same SQL string grades
+# correctly against sf0.001 / sf0.01 / sf0.1. The Spark side runs the real
+# engine path: distributed word counts, the incremental indexed trainer,
+# and the broadcast Arrow-UDF encoder.
+
+BPE_N_MERGES = 40
+BPE_MIN_PAIR_FREQ = 2
+
+_BPE_GOLDEN_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "data", "bpe_golden.json"
+)
+with open(_BPE_GOLDEN_PATH) as _f:
+    _BPE_GOLDEN = json.load(_f)
+
+_SIG_SQL = "(SELECT sum(length(text)) FROM documents)"
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _bpe_merges_oracle() -> str:
+    arms = []
+    for sig, g in _BPE_GOLDEN.items():
+        values = ", ".join(
+            f"({r} , {_sql_str(a)}, {_sql_str(b)}, {_sql_str(m)})"
+            for r, a, b, m in g["merges"]
+        )
+        arms.append(
+            f"SELECT CAST(v.merge_rank AS BIGINT) AS merge_rank, v.lhs, "
+            f"v.rhs, v.merged FROM (VALUES {values}) "
+            f"v(merge_rank, lhs, rhs, merged) WHERE {_SIG_SQL} = {sig}"
+        )
+    return "\nUNION ALL\n".join(arms) + "\nORDER BY merge_rank"
+
+
+def _bpe_encode_oracle() -> str:
+    arms = []
+    for sig, g in _BPE_GOLDEN.items():
+        values = ", ".join(
+            f"({n}, {d}, {s})" for n, d, s in g["encode_dist"]
+        )
+        arms.append(
+            "SELECT CAST(v.n_tokens AS BIGINT) AS n_tokens, "
+            "CAST(v.n_docs AS BIGINT) AS n_docs, "
+            "CAST(v.ids_sum AS BIGINT) AS ids_sum "
+            f"FROM (VALUES {values}) v(n_tokens, n_docs, ids_sum) "
+            f"WHERE {_SIG_SQL} = {sig}"
+        )
+    return "\nUNION ALL\n".join(arms) + "\nORDER BY n_tokens"
+
+
+@query(
+    "bpe_train_merges",
+    oracle=_bpe_merges_oracle(),
+    tags=("tokenize", "bpe", "train", "pinned-golden"),
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn BPE merge rules on the corpus (M1: SentencePiece-BPE parity).
+
+    Distributed word counts -> driver-side incremental merge learning; the
+    pinned oracle was produced by the independent naive trainer.
+    """
+    from llm_data_pipeline_spark.operators.bpe import train_bpe
+
+    docs = table(spark, sf_dir, "documents")
+    _, merges, _ = train_bpe(
+        docs, n_merges=BPE_N_MERGES, min_pair_freq=BPE_MIN_PAIR_FREQ
+    )
+    return spark.createDataFrame(
+        [(i, a, b, a + b) for i, (a, b) in enumerate(merges)],
+        schema="merge_rank bigint, lhs string, rhs string, merged string",
+    ).orderBy("merge_rank")
+
+
+@query(
+    "bpe_encode_distribution",
+    oracle=_bpe_encode_oracle(),
+    tags=("tokenize", "bpe", "encode", "pinned-golden"),
+)
+def bpe_encode_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode every doc with the trained BPE and pin the token-count
+    distribution + per-group id sums (scale-independent output size)."""
+    from llm_data_pipeline_spark.operators.bpe import encode_bpe, train_bpe
+
+    docs = table(spark, sf_dir, "documents")
+    _, merges, vocab = train_bpe(
+        docs, n_merges=BPE_N_MERGES, min_pair_freq=BPE_MIN_PAIR_FREQ
+    )
+    enc = encode_bpe(docs, merges, vocab)
+    ids_sum = F.aggregate(
+        "input_ids", F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")
+    )
+    return (
+        enc.select(
+            F.size("input_ids").cast("long").alias("n_tokens"),
+            ids_sum.alias("doc_ids_sum"),
+        )
+        .groupBy("n_tokens")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_ids_sum").alias("ids_sum"),
+        )
+        .orderBy("n_tokens")
+    )

@@ -102,7 +102,9 @@ def export_binary(
         total = 0
         with open(final, "wb") as f:
             for row in df_chunks.orderBy(order_col).toLocalIterator():
-                arr = np.asarray(row[ids_col], dtype=np_dtype)
+                # int64 first, then astype: astype wraps out-of-range ids
+                # portably (numpy>=2.0 raises on direct asarray(uint16)).
+                arr = np.asarray(row[ids_col], dtype=np.int64).astype(np_dtype)
                 f.write(arr.tobytes())
                 total += len(arr)
         return {"path": final, "total_tokens": total, "n_overflow": overflow or 0}
@@ -130,7 +132,7 @@ def export_binary(
                 from pyspark import TaskContext
 
                 pid = TaskContext.get().partitionId()
-            buf.append(_np.asarray(row[1], dtype=np_dtype))
+            buf.append(_np.asarray(row[1], dtype=_np.int64).astype(np_dtype))
         if pid is None:
             return iter(())
         data = _np.concatenate(buf) if buf else _np.empty(0, dtype=np_dtype)

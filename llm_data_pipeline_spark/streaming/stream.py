@@ -77,7 +77,12 @@ def run_to_memory(
         .start()
     )
     try:
-        q.awaitTermination(timeout_s)
+        finished = q.awaitTermination(timeout_s)
+        if not finished:
+            raise TimeoutError(
+                f"stream {name!r} did not finish within {timeout_s}s; "
+                "refusing to return a truncated memory table"
+            )
     finally:
         q.stop()
     return sdf.sparkSession.table(name)

@@ -29,6 +29,9 @@ def pipeline_run(spark, sf_dir, tmp_path_factory):
         vocab_size=64,
         seq_len=128,
         n_text_shards=3,
+        # the synthetic corpus is keyword soup: its stopword-based language
+        # confidence is low, so drop the gate to keep the DAG non-degenerate
+        lang_threshold=0.0,
     )
     stats = run_pipeline(spark, config)
     return base, config, stats
@@ -60,8 +63,8 @@ def test_counts_monotone_and_recorded(pipeline_run):
     n_dedup = stats["clustering"]["output_count"]
     assert n_ingest > 0
     assert n_clean + stats["clean"]["dropped_count"] == n_ingest
-    assert n_quality <= n_clean
-    assert n_dedup <= stats["minhash"]["output_count"]
+    assert 0 < n_quality <= n_clean  # non-degenerate: data survives the gate
+    assert 0 < n_dedup <= stats["minhash"]["output_count"]
     assert stats["clustering"]["removed_count"] >= 0
 
 
@@ -97,3 +100,36 @@ def test_stats_json_and_resume(pipeline_run, spark):
         re_stats["token_packing"]["output_count"]
         == stats["token_packing"]["output_count"]
     )
+
+
+def test_input_count_recorded(pipeline_run):
+    base, config, stats = pipeline_run
+    assert stats["clean"]["input_count"] == stats["ingest"]["output_count"]
+    assert stats["quality"]["input_count"] == stats["clean"]["output_count"]
+
+
+def test_pipeline_with_bpe_tokenizer(spark, sf_dir, tmp_path):
+    """Tail of the DAG with tokenizer='bpe': trained merges drive encoding,
+    packing and export run unchanged on the subword ids."""
+    base = str(tmp_path / "bpe_pipe")
+    config = PipelineConfig(
+        output_base=base,
+        input=f"{sf_dir}/documents.parquet",
+        tokenizer="bpe",
+        bpe_merges=60,
+        seq_len=128,
+        n_text_shards=2,
+        lang_threshold=0.0,
+    )
+    stats = run_pipeline(spark, config)
+    assert all(st["status"] == "success" for st in stats.values())
+    assert stats["train_tokenizer"]["tokenizer"] == "bpe"
+    assert stats["train_tokenizer"]["n_merges"] == 60
+    vocab = spark.read.parquet(f"{base}/train_tokenizer_parquet")
+    # specials occupy ids 0-3 in piece order
+    specials = {r["token"]: r["id"] for r in vocab.filter("id < 4").collect()}
+    assert specials == {"<unk>": 0, "<s>": 1, "</s>": 2, "<pad>": 3}
+    merges = spark.read.parquet(f"{base}/bpe_merges_parquet")
+    assert merges.count() == 60
+    enc = spark.read.parquet(f"{base}/tokenize_parquet")
+    assert enc.filter("size(input_ids) > 0").count() > 0
