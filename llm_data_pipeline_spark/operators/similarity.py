@@ -242,81 +242,54 @@ def hyperplane_lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
-def near_dup_pairs_blocked(
-    df: DataFrame,
-    threshold: float = 0.95,
-    n_blocks: int = 16,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    margin: float = 1e-5,
-) -> DataFrame:
-    """Exact near-dup pairs via block-matrix candidate generation.
+def _gemm_pairs_from_group(pdf, thr: float):
+    """Candidate (u, v) pairs from one applyInPandas group.
 
-    Same result as ``near_dup_pairs`` but two-phase:
-
-    1. Vectors are hashed into ``n_blocks`` row-blocks; every block pair
-       (b1 <= b2) becomes one task that runs a single numpy GEMM over the
-       normalized block matrices and keeps entries >= threshold - margin.
-       Per-pair cost drops from an interpreted 64-element fold to a BLAS
-       multiply-add (~100x), and the block-pair grid is the unit of
-       distribution — at 100 TB each task still holds only two blocks.
-    2. Survivors (a tiny set) are re-scored with the engine's exact
-       sequential-fold cosine, so the emitted scores are bit-identical to
-       the single-phase path (GEMM accumulation order differs from the
-       fold by ~1 ulp; the margin guarantees phase 1 never drops a pair
-       that phase 2 would keep).
+    The group holds the member rows of ONE block pair (b1 <= b2) — or of
+    one LSH bucket — as ordinary rows (_id, _v, _blk). A single BLAS GEMM
+    over the normalized matrices replaces the interpreted per-pair fold.
     """
     import pandas as pd
 
-    b = df.select(
-        F.col(id_col).alias("_id"),
-        to_double(F.col(vec_col)).alias("_v"),
-        (F.col(id_col) % n_blocks).alias("_blk"),
+    b1 = int(pdf["_b1"].iloc[0])
+    b2 = int(pdf["_b2"].iloc[0])
+    side1 = pdf[pdf["_blk"] == b1]
+    ids1 = side1["_id"].to_numpy(dtype=np.int64)
+    m1 = np.array(list(side1["_v"]), dtype=np.float64)
+    if b1 == b2:
+        ids2, m2 = ids1, m1
+    else:
+        side2 = pdf[pdf["_blk"] == b2]
+        ids2 = side2["_id"].to_numpy(dtype=np.int64)
+        m2 = np.array(list(side2["_v"]), dtype=np.float64)
+    if len(ids1) == 0 or len(ids2) == 0:
+        return pd.DataFrame({"u": [], "v": []}).astype({"u": "int64", "v": "int64"})
+    n1 = np.linalg.norm(m1, axis=1)
+    n2 = np.linalg.norm(m2, axis=1)
+    n1[n1 == 0] = 1.0
+    n2[n2 == 0] = 1.0
+    sims = (m1 / n1[:, None]) @ (m2 / n2[:, None]).T
+    # emit with u < v regardless of which side the smaller id lives on
+    lo = ids1[:, None] < ids2[None, :]
+    hits_lo = np.argwhere((sims >= thr) & lo)
+    out_u = [ids1[hits_lo[:, 0]]]
+    out_v = [ids2[hits_lo[:, 1]]]
+    if b1 != b2:
+        hi = ids1[:, None] > ids2[None, :]
+        hits_hi = np.argwhere((sims >= thr) & hi)
+        out_u.append(ids2[hits_hi[:, 1]])
+        out_v.append(ids1[hits_hi[:, 0]])
+    return pd.DataFrame(
+        {"u": np.concatenate(out_u), "v": np.concatenate(out_v)}
     )
-    blocks = b.groupBy("_blk").agg(
-        F.collect_list(F.struct("_id", "_v")).alias("_items")
-    )
-    left = blocks.select(F.col("_blk").alias("_b1"), F.col("_items").alias("_i1"))
-    right = blocks.select(F.col("_blk").alias("_b2"), F.col("_items").alias("_i2"))
-    grid = left.join(right, F.col("_b1") <= F.col("_b2")).repartition(
-        n_blocks * (n_blocks + 1) // 2
-    )
-    thr = threshold - margin
 
-    def _gen(batches):
-        for pdf in batches:
-            out_u, out_v = [], []
-            for i1, i2, same in zip(
-                pdf["_i1"], pdf["_i2"], pdf["_b1"].values == pdf["_b2"].values
-            ):
-                ids1 = np.array([r["_id"] for r in i1], dtype=np.int64)
-                ids2 = np.array([r["_id"] for r in i2], dtype=np.int64)
-                m1 = np.array([r["_v"] for r in i1], dtype=np.float64)
-                m2 = np.array([r["_v"] for r in i2], dtype=np.float64)
-                n1 = np.linalg.norm(m1, axis=1)
-                n2 = np.linalg.norm(m2, axis=1)
-                n1[n1 == 0] = 1.0
-                n2[n2 == 0] = 1.0
-                sims = (m1 / n1[:, None]) @ (m2 / n2[:, None]).T
-                lo = ids1[:, None] < ids2[None, :]
-                hits = np.argwhere((sims >= thr) & lo)
-                out_u.append(ids1[hits[:, 0]])
-                out_v.append(ids2[hits[:, 1]])
-                if same:
-                    continue
-                # cross-block pairs where the larger id lives in block 1
-                hi = ids1[:, None] > ids2[None, :]
-                hits = np.argwhere((sims >= thr) & hi)
-                out_u.append(ids2[hits[:, 1]])
-                out_v.append(ids1[hits[:, 0]])
-            yield pd.DataFrame(
-                {
-                    "u": np.concatenate(out_u) if out_u else np.array([], dtype=np.int64),
-                    "v": np.concatenate(out_v) if out_v else np.array([], dtype=np.int64),
-                }
-            )
 
-    cands = grid.mapInPandas(_gen, schema="u long, v long")
+def _exact_rescore(
+    df: DataFrame, cands: DataFrame, threshold: float, id_col: str, vec_col: str
+) -> DataFrame:
+    """Re-score candidate pairs with the engine's sequential-fold cosine so
+    emitted scores are bit-identical to the naive path (GEMM accumulation
+    order differs from the fold by ~1 ulp)."""
     e1 = df.select(F.col(id_col).alias("u"), F.col(vec_col).alias("_va"))
     e2 = df.select(F.col(id_col).alias("v"), F.col(vec_col).alias("_vb"))
     return (
@@ -327,6 +300,120 @@ def near_dup_pairs_blocked(
         )
         .where(F.col("score") >= threshold)
     )
+
+
+def near_dup_pairs_blocked(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_blocks: int | None = None,
+    rows_per_block: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    margin: float = 1e-5,
+) -> DataFrame:
+    """Exact near-dup pairs via block-matrix candidate generation.
+
+    Same result as ``near_dup_pairs`` (pinned by test) but two-phase:
+
+    1. Vectors are hashed into row-blocks; every block pair (b1 <= b2)
+       becomes one applyInPandas group that runs a single numpy GEMM over
+       the normalized block matrices and keeps entries >= threshold -
+       margin. Per-pair cost drops from an interpreted 64-element fold to
+       a BLAS multiply-add (~100x).
+    2. Survivors (a tiny set) are re-scored with the engine's exact
+       sequential-fold cosine — the margin guarantees phase 1 never drops
+       a pair phase 2 would keep, so output is bit-identical to the naive
+       path.
+
+    Scale contract: ``n_blocks`` derives from the corpus size (one count)
+    to hold ~``rows_per_block`` rows per block, so per-task memory is
+    bounded (2 x rows_per_block x dim doubles) at ANY corpus size — blocks
+    arrive as ordinary shuffled rows grouped by (b1, b2), never as a
+    collect_list row, so the 2 GB single-row limit is never in play. Each
+    vector is replicated once per partner block (O(n x n_blocks) shuffle
+    rows): that is the inherent cost of exact all-pairs — for subquadratic
+    work switch to ``near_dup_pairs_lsh``, which only forms block pairs
+    inside LSH buckets.
+    """
+    if n_blocks is None:
+        n = df.count()
+        n_blocks = max(1, -(-n // rows_per_block))
+    thr = threshold - margin
+
+    tagged = df.select(
+        F.col(id_col).alias("_id"),
+        to_double(F.col(vec_col)).alias("_v"),
+        (F.col(id_col) % n_blocks).alias("_blk"),
+    )
+    # replicate each vector to every block pair involving its block
+    replicated = tagged.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("_p")
+    ).select(
+        "_id",
+        "_v",
+        "_blk",
+        F.least("_blk", "_p").alias("_b1"),
+        F.greatest("_blk", "_p").alias("_b2"),
+    )
+    cands = replicated.groupBy("_b1", "_b2").applyInPandas(
+        lambda pdf: _gemm_pairs_from_group(pdf, thr), schema="u long, v long"
+    )
+    return _exact_rescore(df, cands, threshold, id_col, vec_col)
+
+
+def near_dup_pairs_lsh(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    nbits: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    bucket_cap: int = 20000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    margin: float = 1e-5,
+) -> DataFrame:
+    """Subquadratic near-dup pairs: sign-LSH pre-bucketing + per-bucket GEMM.
+
+    The scale path ``near_dup_pairs_blocked``'s docstring points to: pairs
+    only form inside an (table, bucket) LSH group, so total work is the sum
+    of squared bucket sizes instead of n^2. Recall is probabilistic (grows
+    with n_tables; at cosine >= 0.95 two vectors agree on most hyperplane
+    signs, so a handful of tables reaches ~1.0) — surviving candidates are
+    still exactly re-scored, so precision is exact and scores bit-match the
+    naive path. Buckets above ``bucket_cap`` are truncated by id (the same
+    mega-bucket guard as operators/lsh.py candidate_pairs).
+    """
+    sigs = add_lsh_signature(df, dim, nbits, n_tables, seed, vec_col).select(
+        F.col(id_col).alias("_id"),
+        to_double(F.col(vec_col)).alias("_v"),
+        "table_id",
+        "bucket",
+    )
+    w = Window.partitionBy("table_id", "bucket").orderBy("_id")
+    capped = (
+        sigs.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= bucket_cap)
+        .drop("_rn")
+    )
+    thr = threshold - margin
+    grouped = capped.select(
+        "_id",
+        "_v",
+        F.lit(0).alias("_blk"),
+        F.lit(0).alias("_b1"),
+        F.lit(0).alias("_b2"),
+        "table_id",
+        "bucket",
+    )
+    cands = (
+        grouped.groupBy("table_id", "bucket")
+        .applyInPandas(
+            lambda pdf: _gemm_pairs_from_group(pdf, thr), schema="u long, v long"
+        )
+        .dropDuplicates(["u", "v"])  # same pair can surface in many tables
+    )
+    return _exact_rescore(df, cands, threshold, id_col, vec_col)
 
 
 def near_dup_pairs(

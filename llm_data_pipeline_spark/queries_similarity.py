@@ -74,7 +74,7 @@ def embedding_topk_bruteforce(spark: SparkSession, sf_dir: str):
     SELECT a.vec_id AS u, b.vec_id AS v,
            {cos_sql('a.v', 'b.v')} AS score
     FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE {cos_sql('a.v', 'b.v')} >= 0.9
+    WHERE {cos_sql('a.v', 'b.v')} >= 0.3
     ORDER BY u, v
     """,
     tags=("similarity", "dedup"),
@@ -82,9 +82,17 @@ def embedding_topk_bruteforce(spark: SparkSession, sf_dir: str):
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str):
     """Blocked two-phase exact pairs: numpy block-GEMM candidates, native
     sequential-fold re-score (bit-identical to the naive self-join, ~100x
-    cheaper per pair; see near_dup_pairs_blocked)."""
+    cheaper per pair; see near_dup_pairs_blocked). Threshold 0.3 because
+    the synthetic embeddings are near-orthogonal (top cosine ~0.3) — a
+    0.9 near-dup grade would emit zero rows and grade nothing."""
     emb = table(spark, sf_dir, "embeddings")
-    return near_dup_pairs_blocked(emb, threshold=0.9).orderBy("u", "v")
+    # forced multi-block grid so the graded run exercises replication,
+    # diagonal self-GEMM, and cross-block ordering (not one giant block)
+    return near_dup_pairs_blocked(
+        emb, threshold=0.3, rows_per_block=256
+    ).orderBy("u", "v")
+
+
 
 
 @query(
@@ -161,15 +169,16 @@ def embedding_knn_label_vote(spark: SparkSession, sf_dir: str):
     )
 
 
-def _lsh_oracle_sql(nbits: int, n_tables: int, dim: int, seed: int, k: int) -> str:
-    """DuckDB replay of the hyperplane-LSH path.
+def _sig_cte_sql(nbits: int, n_tables: int, dim: int, seed: int) -> str:
+    """WITH-body producing the ``sig`` CTE: DuckDB replay of the seeded
+    hyperplane signatures.
 
     The Spark side applies seeded numpy hyperplanes as literal arrays, so
     the bucketing is a pure function of the data: emit the SAME planes as
     SQL literals (repr round-trips doubles exactly) and recompute
     bucket = sum of sign bits with list_dot_product. Sequential-fold dot
     products are bit-identical across the engines, so every sign — and
-    therefore every bucket, candidate set, and ranked result — matches.
+    therefore every bucket and candidate set — matches.
     """
     from llm_data_pipeline_spark.operators.similarity import _hyperplanes
 
@@ -188,12 +197,18 @@ def _lsh_oracle_sql(nbits: int, n_tables: int, dim: int, seed: int, k: int) -> s
         f"struct_pack(table_id := {t}, bucket := b{t})" for t in range(n_tables)
     )
     return f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     buckets AS (SELECT vec_id, v, {", ".join(bcols)} FROM e),
     sig AS (
       SELECT vec_id, v, u.table_id AS table_id, u.bucket AS bucket
       FROM (SELECT vec_id, v, unnest([{structs}]) AS u FROM buckets)
-    ),
+    )"""
+
+
+def _lsh_oracle_sql(nbits: int, n_tables: int, dim: int, seed: int, k: int) -> str:
+    """DuckDB replay of the hyperplane-LSH top-k path (see _sig_cte_sql)."""
+    return f"""
+    WITH {_sig_cte_sql(nbits, n_tables, dim, seed)},
     q AS (SELECT vec_id AS query_id, table_id, bucket FROM sig
           WHERE vec_id % 100 = 0),
     cand_ids AS (
@@ -237,6 +252,54 @@ def embedding_ann_lsh_topk(spark: SparkSession, sf_dir: str):
     return hyperplane_lsh_topk(emb, queries, dim=64, k=10, nbits=4, n_tables=16).select(
         "query_id", "vec_id", "score", "rank"
     ).orderBy("query_id", "rank")
+
+
+_ND_LSH_NBITS, _ND_LSH_TABLES, _ND_LSH_CAP = 6, 8, 20000
+
+
+@query(
+    "embedding_near_dup_lsh",
+    oracle=f"""
+    WITH {_sig_cte_sql(_ND_LSH_NBITS, _ND_LSH_TABLES, 64, 42)},
+    capped AS (
+      SELECT vec_id, table_id, bucket FROM (
+        SELECT vec_id, table_id, bucket,
+               row_number() OVER (PARTITION BY table_id, bucket
+                                  ORDER BY vec_id) AS rn
+        FROM sig
+      ) WHERE rn <= {_ND_LSH_CAP}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.vec_id AS u, b.vec_id AS v
+      FROM capped a JOIN capped b
+        ON a.table_id = b.table_id AND a.bucket = b.bucket
+       AND a.vec_id < b.vec_id
+    )
+    SELECT p.u, p.v, {cos_sql('ea.v', 'eb.v')} AS score
+    FROM pairs p
+    JOIN e ea ON ea.vec_id = p.u
+    JOIN e eb ON eb.vec_id = p.v
+    WHERE {cos_sql('ea.v', 'eb.v')} >= 0.3
+    ORDER BY 1, 2
+    """,
+    tags=("similarity", "dedup", "lsh", "approximate"),
+)
+def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str):
+    """Subquadratic near-dup pairs: sign-LSH pre-bucketing bounds the
+    candidate set to same-bucket co-occurrences (sum of squared bucket
+    sizes, not n^2); survivors re-scored with the exact fold. The seeded
+    planes make even this approximate path fully oracle-replayable."""
+    from llm_data_pipeline_spark.operators.similarity import near_dup_pairs_lsh
+
+    emb = table(spark, sf_dir, "embeddings")
+    return near_dup_pairs_lsh(
+        emb,
+        dim=64,
+        threshold=0.3,
+        nbits=_ND_LSH_NBITS,
+        n_tables=_ND_LSH_TABLES,
+        bucket_cap=_ND_LSH_CAP,
+    ).orderBy("u", "v")
 
 
 @query(

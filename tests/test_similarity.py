@@ -139,8 +139,48 @@ def test_near_dup_blocked_matches_naive(spark, sf_dir):
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     naive = sorted(tuple(r) for r in near_dup_pairs(emb, threshold=0.3).collect())
+    assert len(naive) > 0
+    # size-derived blocking (single block at this corpus size)
     blocked = sorted(
         tuple(r) for r in near_dup_pairs_blocked(emb, threshold=0.3).collect()
     )
-    assert len(naive) > 0
     assert naive == blocked
+    # forced multi-block grid: exercises replication, diagonal self-GEMM,
+    # and cross-block id ordering; must still be bit-identical
+    multi = sorted(
+        tuple(r)
+        for r in near_dup_pairs_blocked(emb, threshold=0.3, n_blocks=7).collect()
+    )
+    assert naive == multi
+    # bounded rows_per_block derives a multi-block grid from the count
+    derived = sorted(
+        tuple(r)
+        for r in near_dup_pairs_blocked(
+            emb, threshold=0.3, rows_per_block=100
+        ).collect()
+    )
+    assert naive == derived
+
+
+def test_near_dup_lsh_prebucket_recall_and_exact_scores(spark, sf_dir):
+    """The subquadratic LSH-prebucketed path: every emitted pair must carry
+    the exact naive score (precision exact); recall at a near-dup-grade
+    threshold should be ~1.0 with a handful of tables."""
+    from llm_data_pipeline_spark.operators.similarity import (
+        near_dup_pairs,
+        near_dup_pairs_lsh,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    naive = {tuple(r) for r in near_dup_pairs(emb, threshold=0.8).collect()}
+    lsh = {
+        tuple(r)
+        for r in near_dup_pairs_lsh(
+            emb, dim=dim, threshold=0.8, nbits=6, n_tables=8
+        ).collect()
+    }
+    assert lsh <= naive  # exact re-score: no false positives, scores equal
+    if naive:
+        recall = len(lsh & naive) / len(naive)
+        assert recall >= 0.9, recall
