@@ -50,25 +50,36 @@ def apply_structured(
 # Slow path: PERSON-name redaction
 # ---------------------------------------------------------------------------
 
-_PRESIDIO = None
+# Per-worker-process engine cache (mapInPandas closures deserialize fresh
+# in every Python worker; the singleton must be module-level).
+_NER_CACHE: dict = {}
 
 
-def _load_ner_engine():
-    """Per-executor lazy singleton. Returns a Presidio AnalyzerEngine if the
-    optional dependency stack is installed, else None (fallback mode)."""
-    global _PRESIDIO
-    if _PRESIDIO is None:
+def _presidio_factory():
+    from presidio_analyzer import AnalyzerEngine  # type: ignore
+
+    return AnalyzerEngine()
+
+
+def _load_ner_engine(engine_factory=None):
+    """Per-executor lazy singleton. Returns an AnalyzerEngine-shaped object
+    (``.analyze(text=, entities=, language=) -> spans with .start/.end``):
+    the injected ``engine_factory``'s product, a Presidio AnalyzerEngine if
+    that optional stack is installed, else None (fallback mode)."""
+    factory = engine_factory or _presidio_factory
+    key = getattr(factory, "__qualname__", repr(factory))
+    engine = _NER_CACHE.get(key)
+    if engine is None:
         try:
-            from presidio_analyzer import AnalyzerEngine  # type: ignore
-
-            _PRESIDIO = AnalyzerEngine()
+            engine = factory()
         except Exception:
-            _PRESIDIO = False
-    return _PRESIDIO or None
+            engine = False
+        _NER_CACHE[key] = engine
+    return engine or None
 
 
-def _redact_names_batch(texts: pd.Series) -> pd.Series:
-    engine = _load_ner_engine()
+def _redact_names_batch(texts: pd.Series, engine_factory=None) -> pd.Series:
+    engine = _load_ner_engine(engine_factory)
     if engine is not None:
         def one(t: str) -> str:
             try:
@@ -89,11 +100,13 @@ def apply_person_ner(
     df: DataFrame,
     text_col: str = "text",
     supported_langs: tuple[str, ...] = _NER_SUPPORTED_LANGS,
+    engine_factory=None,
 ) -> DataFrame:
     """Run the slow path only over gated rows, union the rest back.
 
     At 100 TB the gated fraction is what bounds cost: the ungated majority
-    never leaves the JVM.
+    never leaves the JVM. ``engine_factory`` (picklable zero-arg callable)
+    injects the NER engine, built once per executor Python worker.
     """
     gated = F.col("need_ner") & F.col("ner_lang").isin(list(supported_langs))
     # Both branches scan df; localCheckpoint (not persist) shares the single
@@ -109,7 +122,9 @@ def apply_person_ner(
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.copy()
-            pdf.iloc[:, text_idx] = _redact_names_batch(pdf.iloc[:, text_idx])
+            pdf.iloc[:, text_idx] = _redact_names_batch(
+                pdf.iloc[:, text_idx], engine_factory
+            )
             yield pdf
 
     slow_done = slow.mapInPandas(process, schema=schema)
@@ -122,11 +137,12 @@ def run_pii(
     lang_col: str | None = "lang",
     enable_person_ner: bool = True,
     keep_stats: bool = False,
+    engine_factory=None,
 ) -> DataFrame:
     """Full PII stage. Drops internal gating columns unless keep_stats."""
     out = apply_structured(df, text_col, lang_col, keep_stats)
     if enable_person_ner:
-        out = apply_person_ner(out, text_col)
+        out = apply_person_ner(out, text_col, engine_factory=engine_factory)
     if not keep_stats:
         out = out.drop("need_ner", "ner_lang")
     return out

@@ -30,39 +30,74 @@ from llm_data_pipeline_spark.functions.analysis import (
 DEFAULT_ALLOWED_LANGS = ("zh", "en")
 DEFAULT_THRESHOLD = 0.4
 
-_FASTTEXT = None
+# Per-worker-process model cache: mapInPandas closures deserialize fresh in
+# every Python worker, so the singleton must live at module level, keyed by
+# how the model is obtained.
+_MODEL_CACHE: dict = {}
 
 
-def _load_fasttext(model_path: str | None):
-    global _FASTTEXT
-    if _FASTTEXT is None:
+def _fasttext_factory(model_path: str | None):
+    import fasttext  # type: ignore
+
+    return fasttext.load_model(model_path)
+
+
+def _get_model(key, factory):
+    m = _MODEL_CACHE.get(key)
+    if m is None:
         try:
-            import fasttext  # type: ignore
-
-            _FASTTEXT = fasttext.load_model(model_path)
+            m = factory()
         except Exception:
-            _FASTTEXT = False
-    return _FASTTEXT or None
+            m = False
+        _MODEL_CACHE[key] = m
+    return m or None
 
 
 def add_language(
     df: DataFrame,
     text_col: str = "text",
     model_path: str | None = None,
+    model_factory=None,
 ) -> DataFrame:
-    """Append ``lang_pred: string`` and ``lang_score: double``."""
-    model = _load_fasttext(model_path) if model_path else None
-    if model is None:
-        text = F.col(text_col)
-        return df.withColumn("lang_pred", detect_language(text)).withColumn(
-            "lang_score", language_score(text)
-        )
+    """Append ``lang_pred: string`` and ``lang_score: double``.
 
-    fields = df.schema.fieldNames()
-    schema = df.schema.add("lang_pred", "string").add("lang_score", "double")
+    ``model_factory`` is a picklable zero-arg callable returning a
+    fastText-shaped model (``.predict(list[str]) -> (labels, probs)``),
+    constructed lazily ONCE per executor Python worker (the reference's
+    actor-pool model singleton, quality/model.py:267-340, as a worker-local
+    cache). Defaults to loading fastText from ``model_path`` when that
+    stack is installed; with neither, the native heuristic columns run
+    instead (the oracle-checkable path).
+    """
+    if model_factory is None:
+        if model_path is None or _get_model(
+            ("fasttext", model_path),
+            lambda: _fasttext_factory(model_path),
+        ) is None:
+            text = F.col(text_col)
+            return df.withColumn("lang_pred", detect_language(text)).withColumn(
+                "lang_score", language_score(text)
+            )
+        factory = lambda: _fasttext_factory(model_path)  # noqa: E731
+        cache_key = ("fasttext", model_path)
+    else:
+        factory = model_factory
+        cache_key = ("custom", getattr(model_factory, "__qualname__", repr(model_factory)))
+
+    # build a NEW StructType: df.schema returns the frame's own cached
+    # object and StructType.add mutates in place (would corrupt df.columns)
+    from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
+    schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("lang_pred", StringType()),
+            StructField("lang_score", DoubleType()),
+        ]
+    )
 
     def predict(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        m = _load_fasttext(model_path)
+        m = _get_model(cache_key, factory)
         for pdf in batches:
             texts = [
                 " ".join(str(t).split()) for t in pdf[text_col].fillna("")
@@ -73,7 +108,6 @@ def add_language(
             pdf["lang_score"] = [float(p[0]) for p in probs]
             yield pdf
 
-    _ = fields
     return df.mapInPandas(predict, schema=schema)
 
 
@@ -84,9 +118,10 @@ def run_quality(
     threshold: float = DEFAULT_THRESHOLD,
     model_path: str | None = None,
     keep_only: bool = False,
+    model_factory=None,
 ) -> DataFrame:
     """Append ``quality_keep: bool``; optionally filter to kept rows."""
-    out = add_language(df, text_col, model_path).withColumn(
+    out = add_language(df, text_col, model_path, model_factory).withColumn(
         "quality_keep",
         F.col("lang_pred").isin(list(allowed_langs))
         & (F.col("lang_score") >= threshold),
