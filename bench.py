@@ -40,6 +40,23 @@ HEADLINE = [
     "events_range_join_pairs",
     "text_winnow_fingerprints",
     "pii_full_stage_with_ner_fallback",
+    # second wave (round 2): TPC-H tail, skew toolbox, dedup/similarity
+    # scale paths, BPE — so regressions in these show up per-round
+    "tpch_q7_volume_shipping",
+    "tpch_q10_returned_items",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q18_large_volume_customers",
+    "tpch_q22_global_sales_opportunity",
+    "salted_skew_aggregation",
+    "ngram_jaccard_near_dups",
+    "embedding_near_dup_pairs",
+    "embedding_near_dup_lsh",
+    "embedding_ann_lsh_topk",
+    "minhash_dedup_kept",
+    "simhash_near_dups",
+    "bpe_encode_distribution",
 ]
 
 

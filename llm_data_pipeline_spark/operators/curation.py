@@ -1,0 +1,185 @@
+"""Corpus curation operators a training-data pipeline needs beyond the
+reference surface: benchmark decontamination, deterministic dataset
+splitting, and token-budget corpus mixing.
+
+All three are pure relational plans (no Python in the hot path) built on
+the engine-portable md5 hash family (functions/hashing.py) so every one is
+DuckDB-oracle-checkable end-to-end.
+
+Scale notes (100 TB):
+
+- ``decontaminate`` — the benchmark side is an eval suite (thousands of
+  docs, millions of n-grams at most): its distinct shingle-hash set
+  broadcasts; the corpus side is one narrow explode + broadcast join +
+  groupBy(doc_id) — a single shuffle keyed by doc.
+- ``split_dataset`` — stateless row-local hash arithmetic; zero shuffles.
+  Hash-of-id splitting is stable under corpus growth (a doc never changes
+  split when new data arrives), unlike randomSplit.
+- ``mix_corpus`` — per-source window cumsum; shuffles once on source.
+  Sources are typically hundreds (crawls, curated sets), so per-partition
+  skew is bounded by the largest source; for a pathological single-source
+  corpus, pre-split the source upstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from llm_data_pipeline_spark.functions.hashing import portable_hash60
+from llm_data_pipeline_spark.operators.dedup import word_ngrams
+
+
+def benchmark_ngram_hashes(
+    benchmark: DataFrame, n: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """Distinct word-n-gram hashes of an eval/benchmark set: (h) rows."""
+    return (
+        benchmark.select(
+            F.explode(
+                F.array_distinct(word_ngrams(F.col(text_col), n))
+            ).alias("shingle")
+        )
+        .select(portable_hash60(F.col("shingle")).alias("h"))
+        .distinct()
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    threshold: float = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flag training docs that leak benchmark content (n-gram overlap).
+
+    The standard decontamination defense (public practice since GPT-2/3
+    reports: drop training docs sharing long n-grams with the eval suite).
+    Appends:
+
+    - ``n_shingles``        — distinct word n-grams in the doc
+    - ``n_contaminated``    — of those, how many appear in the benchmark
+    - ``contamination``     — ratio (0 for shingle-less docs)
+    - ``contaminated``      — contamination >= threshold
+
+    Exact containment on hashed shingles (equality-only use — the portable
+    md5 family is free, functions/hashing.py).
+    """
+    doc_sh = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias(
+            "shingle"
+        ),
+    ).select(id_col, portable_hash60(F.col("shingle")).alias("h"))
+    bench = benchmark_ngram_hashes(benchmark, n, text_col).withColumn(
+        "_hit", F.lit(1)
+    )
+    per_doc = (
+        doc_sh.join(F.broadcast(bench), "h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_contaminated"),
+        )
+    )
+    out = docs.join(per_doc, id_col, "left").select(
+        docs["*"],
+        F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+        F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+    )
+    contamination = F.when(
+        F.col("n_shingles") > 0,
+        F.col("n_contaminated") / F.col("n_shingles"),
+    ).otherwise(F.lit(0.0))
+    return out.withColumn(
+        "contamination", F.round(contamination, 6)
+    ).withColumn("contaminated", F.col("contamination") >= threshold)
+
+
+def split_dataset(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    salt: str = "split-v1",
+    id_col: str = "doc_id",
+    buckets: int = 1000,
+) -> DataFrame:
+    """Append a deterministic ``split`` label by hashed-id bucketing.
+
+    bucket = portable_hash60(id || ':' || salt) % buckets; cumulative weight
+    thresholds carve the bucket range. Stable: a doc's split never changes
+    as the corpus grows (the failure mode of randomSplit / rand()), and a
+    new salt re-deals the deck reproducibly. Zero shuffles.
+    """
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    bucket = portable_hash60(
+        F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))
+    ) % buckets
+    acc = 0.0
+    expr = None
+    # iterate in insertion order; last split absorbs rounding remainder
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        acc += w / total
+        cond = bucket < int(round(acc * buckets))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
+
+
+def mix_corpus(
+    df: DataFrame,
+    token_budget: int,
+    source_weights: dict[str, float] | None = None,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Deterministic token-budget sampling per source (corpus mixing).
+
+    Every source gets ``token_budget * weight`` tokens (equal weights by
+    default, computed over the sources present). Docs within a source are
+    ordered by a salted hash (a reproducible shuffle), and kept while the
+    exclusive running token total stays under the source budget — so the
+    kept set is stable, ordering-independent, and each source's first doc
+    always survives a nonzero budget.
+
+    Appends ``n_tokens`` (whitespace tokens) and keeps only sampled rows.
+    """
+    tokens = F.size(
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    )
+    h = portable_hash60(
+        F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))
+    )
+    tagged = df.withColumn("n_tokens", tokens).withColumn("_h", h)
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_run = tagged.withColumn(
+        "_run", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    if source_weights:
+        total_w = sum(source_weights.values())
+        mapping = F.create_map(
+            *[
+                F.lit(x)
+                for kv in source_weights.items()
+                for x in (kv[0], kv[1] / total_w)
+            ]
+        )
+        budget = (mapping[F.col(source_col)] * token_budget).cast("long")
+    else:
+        n_sources = df.select(source_col).distinct().count()
+        budget = F.lit(int(token_budget / max(1, n_sources)))
+    return (
+        with_run.where(F.col("_run") < budget)
+        .drop("_h", "_run")
+    )

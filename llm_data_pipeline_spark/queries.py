@@ -74,6 +74,7 @@ def load_all() -> None:
     import llm_data_pipeline_spark.queries_relational_ext  # noqa: F401
     import llm_data_pipeline_spark.queries_relational_tpch2  # noqa: F401
     import llm_data_pipeline_spark.queries_udf  # noqa: F401
+    import llm_data_pipeline_spark.queries_curation  # noqa: F401
 
 
 def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

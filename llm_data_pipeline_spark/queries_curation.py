@@ -1,0 +1,181 @@
+"""Corpus-curation graded queries: decontamination, splitting, mixing.
+
+All three run the production operators (operators/curation.py) and are
+fully DuckDB-oracle-checked — shingles, salted hashes, window cumsums and
+all — via the portable md5 hash family (functions/hashing.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from llm_data_pipeline_spark.functions.hashing import DUCKDB_HASH60
+from llm_data_pipeline_spark.operators.curation import (
+    decontaminate,
+    mix_corpus,
+    split_dataset,
+)
+from llm_data_pipeline_spark.queries import query, table
+from llm_data_pipeline_spark.queries_dedup import AUG_SQL, _augmented
+
+# n-gram shingles of length N over norm_ws-normalized text, as SQL.
+_DECON_N = 5
+
+_SHINGLE5_SQL = """
+{name} AS (
+  SELECT doc_id, unnest(shingles) AS shingle
+  FROM (
+    SELECT doc_id,
+           CASE WHEN len(toks) < {n} THEN [array_to_string(toks, ' ')]
+                ELSE list_distinct(list_transform(range(len(toks)-{n_1}),
+                         i -> array_to_string(list_slice(toks, i+1, i+{n}), ' ')))
+           END AS shingles
+    FROM (
+      SELECT doc_id,
+             list_filter(string_split(trim(regexp_replace(lower(coalesce(text,'')),
+                         '\\s+', ' ', 'g')), ' '), x -> x <> '') AS toks
+      FROM {src}
+    )
+  )
+)
+"""
+
+
+def _shingle_cte(name: str, src: str, n: int = _DECON_N) -> str:
+    return _SHINGLE5_SQL.format(name=name, src=src, n=n, n_1=n - 1).strip()
+
+
+@query(
+    "decontaminate_vs_benchmark",
+    oracle=f"""
+    WITH {AUG_SQL.strip()},
+    {_shingle_cte("doc_sh", "aug")},
+    {_shingle_cte("bench_sh", "(SELECT doc_id, text FROM documents WHERE doc_id < 50)")},
+    bench AS (SELECT DISTINCT shingle FROM bench_sh),
+    per_doc AS (
+      SELECT d.doc_id,
+             count(*) AS n_shingles,
+             sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+               AS n_contaminated
+      FROM doc_sh d LEFT JOIN bench b ON b.shingle = d.shingle
+      GROUP BY d.doc_id
+    )
+    SELECT a.doc_id,
+           CAST(coalesce(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+           CAST(coalesce(p.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+           round(CASE WHEN coalesce(p.n_shingles, 0) > 0
+                      THEN p.n_contaminated / p.n_shingles
+                      ELSE 0.0 END, 6) AS contamination,
+           (CASE WHEN coalesce(p.n_shingles, 0) > 0
+                 THEN p.n_contaminated / p.n_shingles
+                 ELSE 0.0 END) >= 0.2 AS contaminated
+    FROM aug a LEFT JOIN per_doc p ON p.doc_id = a.doc_id
+    ORDER BY a.doc_id
+    """,
+    tags=("curation", "decontamination"),
+)
+def decontaminate_vs_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: the corpus is the augmented doc set
+    (originals + 50 near-dup variants), the 'benchmark' is docs 0..49.
+    Originals 0..49 must flag as fully contaminated (they ARE the eval
+    set), their variants as partially contaminated (shared 5-gram suffix),
+    everything else clean — the exact leak-detection contract."""
+    aug = _augmented(spark, sf_dir)
+    bench = table(spark, sf_dir, "documents").where(F.col("doc_id") < 50).select(
+        "doc_id", "text"
+    )
+    out = decontaminate(aug, bench, n=_DECON_N, threshold=0.2)
+    return out.select(
+        "doc_id",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.col("n_contaminated").cast("long").alias("n_contaminated"),
+        "contamination",
+        "contaminated",
+    ).orderBy("doc_id")
+
+
+_SPLIT_BUCKET_SQL = DUCKDB_HASH60.format(
+    s="(doc_id::VARCHAR || ':split-v1')"
+) + " % 1000"
+
+
+@query(
+    "dataset_split_distribution",
+    oracle=f"""
+    WITH labeled AS (
+      SELECT lang, n_chars,
+             CASE WHEN {_SPLIT_BUCKET_SQL} < 900 THEN 'train'
+                  WHEN {_SPLIT_BUCKET_SQL} < 950 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM labeled GROUP BY split, lang ORDER BY split, lang
+    """,
+    tags=("curation", "split"),
+)
+def dataset_split_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bucket train/val/test split (stable under corpus
+    growth, unlike randomSplit), summarized per (split, lang)."""
+    docs = table(spark, sf_dir, "documents")
+    out = split_dataset(docs, {"train": 0.9, "val": 0.05, "test": 0.05})
+    return (
+        out.groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+_MIX_BUDGET = 20_000
+_MIX_HASH_SQL = DUCKDB_HASH60.format(s="(doc_id::VARCHAR || ':mix-v1')")
+
+
+@query(
+    "corpus_mix_budget",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT source, doc_id,
+             len(list_filter(string_split_regex(coalesce(text,''), '\\s+'),
+                 x -> x <> '')) AS n_tokens,
+             {_MIX_HASH_SQL} AS h
+      FROM documents
+    ),
+    runs AS (
+      SELECT source, doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (PARTITION BY source
+                      ORDER BY h, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS run
+      FROM tagged
+    ),
+    kept AS (
+      SELECT * FROM runs
+      WHERE run < ({_MIX_BUDGET} // (SELECT count(DISTINCT source) FROM documents))
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens_kept
+    FROM kept GROUP BY source ORDER BY source
+    """,
+    tags=("curation", "mixing", "sampling"),
+)
+def corpus_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus mixing: every source contributes an equal token
+    share, selected by a salted-hash reproducible shuffle with an exclusive
+    running-total cutoff."""
+    docs = table(spark, sf_dir, "documents")
+    kept = mix_corpus(docs, token_budget=_MIX_BUDGET)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("tokens_kept"),
+        )
+        .orderBy("source")
+    )

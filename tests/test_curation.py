@@ -1,0 +1,101 @@
+"""Curation operator tests: decontamination, splitting, mixing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from llm_data_pipeline_spark.operators.curation import (
+    decontaminate,
+    mix_corpus,
+    split_dataset,
+)
+
+
+def test_decontaminate_flags_exact_and_partial(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f g h"),          # in benchmark: fully leaked
+            (1, "c d e f g h i j"),          # shares a suffix: partial
+            (2, "q r s t u v w x"),          # disjoint: clean
+            (3, ""),                         # empty: 0-shingle contract
+        ],
+        "doc_id long, text string",
+    )
+    bench = docs.where("doc_id = 0")
+    out = {
+        r["doc_id"]: r
+        for r in decontaminate(docs, bench, n=5, threshold=0.2).collect()
+    }
+    assert out[0]["contamination"] == 1.0 and out[0]["contaminated"]
+    assert 0 < out[1]["contamination"] < 1.0
+    assert out[2]["contamination"] == 0.0 and not out[2]["contaminated"]
+    assert out[3]["n_shingles"] == 1  # short-text path: one joined shingle
+    # original columns preserved
+    assert "text" in out[0].asDict()
+
+
+def test_split_stable_and_weighted(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = split_dataset(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(
+        F.count("*").alias("n")).collect()}
+    total = sum(counts.values())
+    assert total == docs.count()
+    assert counts["train"] > counts.get("val", 0)
+    assert counts["train"] > counts.get("test", 0)
+    # determinism: same salt -> identical assignment; subsetting the corpus
+    # must not move any doc's split (the hash-vs-randomSplit difference)
+    sub = split_dataset(
+        docs.where("doc_id % 2 = 0"), {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    full = {r["doc_id"]: r["split"] for r in out.collect()}
+    for r in sub.collect():
+        assert full[r["doc_id"]] == r["split"]
+
+
+def test_split_new_salt_redeal(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = {r["doc_id"]: r["split"] for r in split_dataset(docs).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in split_dataset(docs, salt="other").collect()
+    }
+    assert a != b  # a new salt re-deals at least some docs
+
+
+def test_mix_corpus_budget_respected(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    budget = 5000
+    kept = mix_corpus(docs, token_budget=budget)
+    per_source = kept.groupBy("source").agg(
+        F.sum("n_tokens").alias("t"), F.count("*").alias("n")
+    )
+    n_sources = docs.select("source").distinct().count()
+    per = budget // n_sources
+    for r in per_source.collect():
+        # exclusive-cumsum cutoff: total may exceed the per-source budget by
+        # at most one doc (the one that crosses the line), never by two
+        assert r["t"] < per + 1000, r
+        assert r["n"] >= 1  # nonzero budget keeps at least the first doc
+    # determinism
+    k2 = mix_corpus(docs, token_budget=budget)
+    assert sorted(r["doc_id"] for r in kept.collect()) == sorted(
+        r["doc_id"] for r in k2.collect()
+    )
+
+
+def test_mix_corpus_source_weights(spark):
+    docs = spark.createDataFrame(
+        [(i, "s_a" if i < 50 else "s_b", "w " * 10) for i in range(100)],
+        "doc_id long, source string, text string",
+    )
+    kept = mix_corpus(
+        docs, token_budget=200, source_weights={"s_a": 3.0, "s_b": 1.0}
+    )
+    t = {
+        r["source"]: r["t"]
+        for r in kept.groupBy("source").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    # 3:1 budget split of 200 tokens -> 150 vs 50; docs are 10 tokens each
+    assert t["s_a"] == 150
+    assert t["s_b"] == 50
