@@ -57,6 +57,17 @@ HEADLINE = [
     "minhash_dedup_kept",
     "simhash_near_dups",
     "bpe_encode_distribution",
+    # third wave (round 2): the 10 remaining TPC-H shapes — suite complete
+    "tpch_q2_min_cost_supplier",
+    "tpch_q8_national_market_share",
+    "tpch_q9_product_type_profit",
+    "tpch_q11_important_part_values",
+    "tpch_q12_late_shipment_priority",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_excess_stock_suppliers",
+    "tpch_q21_waiting_suppliers",
 ]
 
 

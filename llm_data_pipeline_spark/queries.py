@@ -73,6 +73,7 @@ def load_all() -> None:
     import llm_data_pipeline_spark.queries_multimodal  # noqa: F401
     import llm_data_pipeline_spark.queries_relational_ext  # noqa: F401
     import llm_data_pipeline_spark.queries_relational_tpch2  # noqa: F401
+    import llm_data_pipeline_spark.queries_relational_tpch3  # noqa: F401
     import llm_data_pipeline_spark.queries_udf  # noqa: F401
     import llm_data_pipeline_spark.queries_curation  # noqa: F401
 
