@@ -80,6 +80,17 @@ def main() -> None:
     # doesn't pay session startup.
     spark.range(1).count()
 
+    # Throughput first, on a fresh JVM: measured after the 45-query gauntlet
+    # it reads ~2.4x slower purely from accumulated codegen-cache/GC state,
+    # which would misreport the encode path itself (the number BASELINE.md
+    # compares against).
+    throughput = {}
+    if os.environ.get("BENCH_THROUGHPUT", "1") != "0":
+        try:
+            throughput = tokenize_throughput(spark, sf_dir)
+        except Exception as e:  # noqa: BLE001
+            print(f"bench: throughput failed: {type(e).__name__}: {e}", file=sys.stderr)
+
     times: dict[str, float] = {}
     names = [n for n in HEADLINE if n in Q.REGISTRY]
     extra = os.environ.get("BENCH_QUERIES")
@@ -113,13 +124,6 @@ def main() -> None:
             df = fn(spark, sf_dir)
             _ = df.count() if len(df.columns) > 8 else len(df.collect())
             steady[name] = round(time.perf_counter() - t0, 3)
-
-    throughput = {}
-    if os.environ.get("BENCH_THROUGHPUT", "1") != "0":
-        try:
-            throughput = tokenize_throughput(spark, sf_dir)
-        except Exception as e:  # noqa: BLE001
-            print(f"bench: throughput failed: {type(e).__name__}: {e}", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
     print(

@@ -51,8 +51,18 @@ def broadcast_join_count(df: DataFrame) -> int:
 
 
 def shuffle_count(df: DataFrame) -> int:
-    """Shuffle Exchange nodes (excludes BroadcastExchange)."""
-    return len(re.findall(r"\(\d+\) Exchange\b", formatted_plan(df)))
+    """Hash/range shuffle Exchange nodes (excludes BroadcastExchange).
+
+    RoundRobin exchanges are excluded too: the only ones in this codebase
+    come from ``queries.scatter()``, the conditional fan-out of
+    single-row-group test files, which is a no-op on real multi-split
+    scans — counting it would make the plan guards fail on an exchange
+    that does not exist at scale.
+    """
+    plan = formatted_plan(df)
+    total = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    round_robin = len(re.findall(r"Arguments: RoundRobinPartitioning", plan))
+    return total - round_robin
 
 
 def wholestage_codegen_spans(df: DataFrame) -> int:

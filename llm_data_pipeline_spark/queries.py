@@ -57,6 +57,29 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             from pyspark.sql import functions as F
 
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name in ("documents", "embeddings"):
+        # Every consumer of these two tables is a CPU-heavy narrow pipeline
+        # (shingling/signature UDFs, regex cleaning, vector math) that
+        # would otherwise serialize on the single-row-group test files.
+        df = scatter(df)
+    return df
+
+
+def scatter(df: DataFrame) -> DataFrame:
+    """Restore parallelism lost to single-row-group test files.
+
+    The driver's sf* parquet files hold one row group each, so a scan
+    arrives as ONE partition and any CPU-heavy narrow pipeline on top
+    (shingling, signature UDFs, regex cleaning) serializes on one core
+    until its first shuffle. On a real cluster the scan already has >=
+    defaultParallelism splits and this returns the frame untouched — the
+    repartition exists only when the scan is provably under-parallel, so
+    plans at scale carry no extra exchange.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
     return df
 
 
@@ -76,6 +99,7 @@ def load_all() -> None:
     import llm_data_pipeline_spark.queries_relational_tpch3  # noqa: F401
     import llm_data_pipeline_spark.queries_udf  # noqa: F401
     import llm_data_pipeline_spark.queries_curation  # noqa: F401
+    import llm_data_pipeline_spark.queries_heuristics  # noqa: F401
 
 
 def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
