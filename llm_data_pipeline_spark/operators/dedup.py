@@ -273,3 +273,79 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("u", "v", "jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-document chunk dedup (RefinedWeb-style substring dedup, word chunks)
+# ---------------------------------------------------------------------------
+
+
+def doc_chunks(text: Column, chunk_words: int = 16) -> Column:
+    """Non-overlapping word chunks (space-joined) of normalized text.
+
+    The last chunk keeps its ragged tail (slice clamps at the array end);
+    empty docs yield an empty array.
+    """
+    toks = F.filter(F.split(norm_ws(text), " "), lambda x: x != "")
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_words)).cast("int")
+    return F.when(F.size(toks) == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(toks, i * chunk_words + 1, chunk_words)
+            ),
+        )
+    )
+
+
+def chunk_dup_stats(
+    df: DataFrame,
+    chunk_words: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document cross-corpus chunk duplication stats.
+
+    A chunk is duplicated when its exact text occurs anywhere else in the
+    corpus (other docs or repeated within the same doc). Returns
+    (doc_id, n_chunks, n_dup, dup_frac) — dup_frac an exact int/int
+    division. Docs with no chunks report (0, 0, 0.0).
+
+    Scale shape: explode -> count by chunk -> re-aggregate by doc. Chunks
+    shuffle by their own value (high cardinality, naturally balanced) and
+    then by doc_id; nothing is ever collected. This is the word-chunk
+    adaptation of suffix-array substring dedup (RefinedWeb §3.3) — exact
+    for fixed chunk boundaries, embarrassingly shuffle-parallel, and the
+    per-doc fractions feed the same keep/drop cascade the reference's
+    dedup stage emits.
+    """
+    chunks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(doc_chunks(F.col(text_col), chunk_words)).alias("chunk"),
+    )
+    global_counts = (
+        chunks.where(F.col("chunk").isNotNull())
+        .groupBy("chunk")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    per_doc = (
+        chunks.join(global_counts, "chunk", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.col("chunk")).alias("n_chunks"),
+            F.sum(
+                F.when(F.col("_n") > 1, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_dup"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_chunks").cast("long").alias("n_chunks"),
+        F.col("n_dup").cast("long").alias("n_dup"),
+        F.when(
+            F.col("n_chunks") > 0,
+            F.col("n_dup").cast("double") / F.col("n_chunks").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_frac"),
+    )

@@ -179,3 +179,69 @@ def corpus_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# per-language sampling rates out of 10000 hash buckets; chosen to differ
+# per stratum so the query exercises the map lookup, not one global rate
+_STRATA_BP = {"en": 2500, "zh": 5000, "fr": 7500, "es": 5000, "de": 10000}
+_STRATA_SALT = "strata42:"
+
+
+@query(
+    "stratified_sample_by_lang",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT lang,
+             ('0x' || substr(md5('{_STRATA_SALT}' || doc_id::VARCHAR), 1, 8))::BIGINT
+               % 10000 AS bucket
+      FROM documents
+    ),
+    rated AS (
+      SELECT lang, bucket,
+             CASE {' '.join(f"WHEN lang = '{k}' THEN {v}" for k, v in _STRATA_BP.items())}
+                  ELSE 0 END AS rate_bp
+      FROM tagged
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN bucket < rate_bp THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sampled
+    FROM rated GROUP BY lang ORDER BY lang
+    """,
+    tags=("curation", "sampling"),
+)
+def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum downsampling: a salted md5 bucket per doc
+    (stable under corpus growth — a doc's keep decision never changes as
+    data arrives, unlike sample()/randomSplit) compared against a
+    per-language rate. The hash is engine-portable, so the oracle replays
+    membership exactly; zero shuffles beyond the final tiny aggregate."""
+    docs = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(_STRATA_SALT), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+    rate = None
+    for k, v in _STRATA_BP.items():
+        cond = F.when(F.col("lang") == k, F.lit(v))
+        rate = cond if rate is None else rate.when(F.col("lang") == k, F.lit(v))
+    rate = rate.otherwise(F.lit(0))
+    return (
+        docs.select("lang", bucket.alias("bucket"), rate.alias("rate_bp"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum((F.col("bucket") < F.col("rate_bp")).cast("int"))
+            .cast("long")
+            .alias("n_sampled"),
+        )
+        .orderBy("lang")
+    )

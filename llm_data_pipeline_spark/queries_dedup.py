@@ -507,3 +507,52 @@ def incremental_dedup_new_vs_base(spark: SparkSession, sf_dir: str):
         )
         .orderBy("new_doc_id", "base_doc_id")
     )
+
+
+_CHUNK_W = 8
+
+@query(
+    "chunk_dup_stats",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(regexp_replace(lower(coalesce(text,'')),
+                         '\\s+', ' ', 'g')), ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    chunked AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) = 0 THEN []::VARCHAR[] ELSE
+               list_transform(range(0, CAST(ceil(len(toks)/{_CHUNK_W}.0) AS INT)),
+                 i -> array_to_string(toks[i*{_CHUNK_W}+1:i*{_CHUNK_W}+{_CHUNK_W}], ' '))
+             END AS chunks
+      FROM toks
+    ),
+    ch AS (SELECT doc_id, unnest(chunks) AS chunk FROM chunked),
+    gc AS (SELECT chunk, count(*) AS n FROM ch GROUP BY chunk),
+    per AS (
+      SELECT c.doc_id, count(*) AS n_chunks,
+             sum(CASE WHEN g.n > 1 THEN 1 ELSE 0 END) AS n_dup
+      FROM ch c JOIN gc g USING (chunk) GROUP BY c.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(coalesce(p.n_chunks, 0) AS BIGINT) AS n_chunks,
+           CAST(coalesce(p.n_dup, 0) AS BIGINT) AS n_dup,
+           CASE WHEN coalesce(p.n_chunks, 0) > 0
+                THEN CAST(p.n_dup AS DOUBLE) / p.n_chunks
+                ELSE 0.0 END AS dup_frac
+    FROM toks t LEFT JOIN per p USING (doc_id)
+    ORDER BY doc_id
+    """,
+    tags=("dedup", "chunk"),
+)
+def chunk_dup_stats_query(spark: SparkSession, sf_dir: str):
+    """Cross-corpus chunk-duplication stats per document (word-chunk
+    adaptation of RefinedWeb substring dedup — see
+    operators/dedup.py:chunk_dup_stats). 8-word chunks give this corpus a
+    non-degenerate duplicate population (sf0.01: 328 duplicate chunk
+    occurrences over 3.4k chunks)."""
+    from llm_data_pipeline_spark.operators.dedup import chunk_dup_stats
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_dup_stats(docs, chunk_words=_CHUNK_W).orderBy("doc_id")

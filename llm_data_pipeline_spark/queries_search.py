@@ -1,0 +1,130 @@
+"""Graded queries: corpus keyword search (BM25 family) over documents.
+
+A training-data curation stack needs targeted retrieval ("pull the docs
+that mention X") alongside embedding ANN; BM25 is the standard lexical
+scorer. The graded variant uses the *rational-idf* form — the classic
+``(N - df + 0.5) / (df + 0.5)`` without the final ``ln`` — because both
+engines evaluate +,*,/ as correctly-rounded IEEE doubles (bit-identical)
+while ``ln`` carries a 1-ulp cross-library hazard. The rational form is
+strictly monotone in the log form, so ranking (the thing BM25 is for) is
+unchanged; only the score scale differs. k1 = 1.2, b = 0.75.
+
+Plan shape at 100 TB: term frequencies come straight off the token array
+(one narrow map — no posting-list join needed for a fixed query), corpus
+statistics (N, total length, per-term document frequencies) are ONE
+1-row aggregate broadcast back, and the final top-k is a TakeOrdered.
+Nothing wider than the doc scan ever shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+
+from llm_data_pipeline_spark.queries import query, table
+
+K1 = 1.2
+B = 0.75
+TERMS = ("table", "hash", "row")
+TOP_N = 25
+
+_NORM_TOKS = (
+    "list_filter(string_split(trim(regexp_replace(lower(coalesce(text, '')),"
+    " '\\s+', ' ', 'g')), ' '), x -> x <> '')"
+)
+
+
+def _toks(text: Column) -> Column:
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.coalesce(text, F.lit(""))), r"\s+", " ")
+    )
+    return F.filter(F.split(norm, " "), lambda x: x != "")
+
+
+def _term_score_sql(t: str) -> str:
+    """One term's BM25 contribution (DuckDB side), 0 when absent."""
+    return (
+        f"CASE WHEN tf_{t} > 0 THEN "
+        f"((n_docs - df_{t} + 0.5) / (df_{t} + 0.5)) * "
+        f"(tf_{t} * ({K1} + 1.0)) / "
+        f"(tf_{t} + {K1} * (1.0 - {B} + {B} * dl / avgdl)) "
+        f"ELSE 0.0 END"
+    )
+
+
+def _term_score_col(t: str) -> Column:
+    tf = F.col(f"tf_{t}").cast("double")
+    df_t = F.col(f"df_{t}").cast("double")
+    n = F.col("n_docs").cast("double")
+    dl = F.col("dl").cast("double")
+    return F.when(
+        F.col(f"tf_{t}") > 0,
+        ((n - df_t + F.lit(0.5)) / (df_t + F.lit(0.5)))
+        * (tf * F.lit(K1 + 1.0))
+        / (tf + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * dl / F.col("avgdl"))),
+    ).otherwise(F.lit(0.0))
+
+
+@query(
+    "bm25_keyword_search",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, toks, len(toks) AS dl,
+             {', '.join(f"len(list_filter(toks, x -> x = '{t}')) AS tf_{t}" for t in TERMS)}
+      FROM (SELECT doc_id, {_NORM_TOKS} AS toks FROM documents)
+    ),
+    stats AS (
+      SELECT count(*) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+             {', '.join(f"sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}" for t in TERMS)}
+      FROM tf
+    ),
+    scored AS (
+      SELECT doc_id,
+             {' + '.join(f"({_term_score_sql(t)})" for t in TERMS)} AS score
+      FROM tf, stats
+    )
+    SELECT doc_id, score FROM scored
+    WHERE score > 0
+    ORDER BY score DESC, doc_id
+    LIMIT {TOP_N}
+    """,
+    tags=("search", "ranking"),
+)
+def bm25_keyword_search(spark: SparkSession, sf_dir: str):
+    """Top-25 documents for the fixed query {table, hash, row} under
+    rational-idf BM25. Term scores are summed in the written term order on
+    both engines, so every score is bit-identical (no rounding needed)."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", _toks(F.col("text")).alias("toks")
+    )
+    def term_count(t: str) -> Column:
+        # NB: a `lambda x, t=t:` default-arg closure would be read by
+        # F.filter as its two-arg (element, index) form — the index would
+        # silently replace t. Close over t with a factory instead.
+        return F.size(F.filter(F.col("toks"), lambda x: x == F.lit(t)))
+
+    tf = docs.select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        *[term_count(t).alias(f"tf_{t}") for t in TERMS],
+    )
+    stats = tf.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("int")).alias(f"df_{t}")
+            for t in TERMS
+        ],
+    )
+    score = None
+    for t in TERMS:
+        s = _term_score_col(t)
+        score = s if score is None else score + s
+    return (
+        tf.crossJoin(F.broadcast(stats))
+        .select("doc_id", score.alias("score"))
+        .where(F.col("score") > 0)
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(TOP_N)
+    )
