@@ -37,8 +37,10 @@ def range_join_within(
     (key, u, v, dt_micros = ts_v - ts_u) plus ``u_<col>``/``v_<col>`` for
     each requested value column.
     """
+    from llm_data_pipeline_spark.functions.time import epoch_us
+
     value_cols = value_cols or []
-    us = F.unix_micros(F.col(ts_col))
+    us = epoch_us(df, ts_col)
     base = df.select(
         F.col(key_col).alias("_k"),
         F.col(id_col).alias("_id"),

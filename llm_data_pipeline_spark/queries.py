@@ -46,17 +46,16 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # The driver may hand us a session built without session.py's confs;
-    # nanosAsLong is runtime-settable, so set it here so TIMESTAMP(NANOS)
-    # parquet columns read as longs instead of failing PARQUET_TYPE_ILLEGAL.
+    # nanosAsLong is runtime-settable and lets older Spark read
+    # TIMESTAMP(NANOS) parquet (as longs) instead of failing
+    # PARQUET_TYPE_ILLEGAL. Spark 4.1+ ignores it and reads NTZ natively.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # Nano-precision parquet timestamps surface as LongType (see session.py);
-    # normalize to microsecond TimestampType the way DuckDB does (truncation).
-    for f in df.schema.fields:
-        if f.name == "ts" and f.dataType.typeName() == "long":
-            from pyspark.sql import functions as F
+    # Canonicalize event time to TIMESTAMP_NTZ whatever the read produced
+    # (long nanos / NTZ / instant) — tz-independent, matches DuckDB.
+    from llm_data_pipeline_spark.functions.time import normalize_ts_ntz
 
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    df = normalize_ts_ntz(df, "ts")
     if name in ("documents", "embeddings"):
         # Every consumer of these two tables is a CPU-heavy narrow pipeline
         # (shingling/signature UDFs, regex cleaning, vector math) that

@@ -308,9 +308,11 @@ def events_json_extract(spark: SparkSession, sf_dir: str):
 def events_sessionization(spark: SparkSession, sf_dir: str):
     """Gap-based sessionization (30-min inactivity) via lag + running sum —
     the batch equivalent of a streaming session window."""
+    from llm_data_pipeline_spark.functions.time import epoch_us
+
     e = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros(F.col("ts"))
+    us = epoch_us(e, "ts")
     gap = us - F.lag(us).over(w)
     marked = e.withColumn(
         "new_session",

@@ -81,7 +81,7 @@ def _term_score_col(t: str) -> Column:
     ),
     scored AS (
       SELECT doc_id,
-             {' + '.join(f"({_term_score_sql(t)})" for t in TERMS)} AS score
+             round({' + '.join(f"({_term_score_sql(t)})" for t in TERMS)}, 6) AS score
       FROM tf, stats
     )
     SELECT doc_id, score FROM scored
@@ -93,8 +93,8 @@ def _term_score_col(t: str) -> Column:
 )
 def bm25_keyword_search(spark: SparkSession, sf_dir: str):
     """Top-25 documents for the fixed query {table, hash, row} under
-    rational-idf BM25. Term scores are summed in the written term order on
-    both engines, so every score is bit-identical (no rounding needed)."""
+    rational-idf BM25. Scores are rounded to 6dp on both engines before the
+    order/cut (raw doubles agree only to ~1 ulp across engines)."""
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", _toks(F.col("text")).alias("toks")
     )
@@ -121,9 +121,13 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str):
     for t in TERMS:
         s = _term_score_col(t)
         score = s if score is None else score + s
+    # Round to 6dp BEFORE the order/cut: the raw doubles agree with DuckDB
+    # only to ~1 ulp (operand evaluation order differs inside the term
+    # quotients), and ordering by the rounded score makes the top-N cut
+    # itself deterministic across engines (ties broken by doc_id).
     return (
         tf.crossJoin(F.broadcast(stats))
-        .select("doc_id", score.alias("score"))
+        .select("doc_id", F.round(score, 6).alias("score"))
         .where(F.col("score") > 0)
         .orderBy(F.desc("score"), "doc_id")
         .limit(TOP_N)

@@ -37,13 +37,17 @@ def read_parquet_stream(
 ) -> DataFrame:
     """readStream over a parquet path with schema taken from a batch scan.
 
-    Timestamp columns stored as TIMESTAMP(NANOS) surface as longs (see
-    session.py nanosAsLong); normalize to microsecond timestamps the same
-    way the batch ``queries.table`` helper does.
+    TIMESTAMP(NANOS) parquet columns read as long nanos or TIMESTAMP_NTZ
+    depending on Spark version (see functions/time.py). Watermarks require
+    TIMESTAMP, so normalize ``ts_col`` to an instant by interpreting the
+    wall clock as UTC — deterministic regardless of session timezone; the
+    windowed query outputs convert back with ``instant_to_ntz``.
     """
     import os
 
-    # Runtime-settable; the driver's session may lack session.py's confs.
+    from llm_data_pipeline_spark.functions.time import ntz_to_instant
+
+    # Runtime-settable; lets older Spark read TIMESTAMP(NANOS) as longs.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch_schema = spark.read.parquet(path).schema
     if os.path.isdir(path):
@@ -58,8 +62,11 @@ def read_parquet_stream(
         )
     if ts_col and ts_col in sdf.columns:
         field = dict((f.name, f.dataType.typeName()) for f in batch_schema.fields)
-        if field.get(ts_col) == "long":
+        t = field.get(ts_col)
+        if t == "long":
             sdf = sdf.withColumn(ts_col, F.expr(f"timestamp_micros({ts_col} div 1000)"))
+        elif t == "timestamp_ntz":
+            sdf = sdf.withColumn(ts_col, ntz_to_instant(ts_col))
     return sdf
 
 
@@ -101,6 +108,8 @@ def hourly_rollup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFr
     (No exact count-distinct: streaming aggregation forbids DISTINCT; the
     batch twin keeps it, the streaming surface reports counts and sums.)
     """
+    from llm_data_pipeline_spark.functions.time import instant_to_ntz
+
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
@@ -108,7 +117,12 @@ def hourly_rollup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFr
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 3).alias("total_value"),
         )
-        .select(F.col("w.start").alias("hour"), "event_type", "n_events", "total_value")
+        .select(
+            instant_to_ntz("w.start").alias("hour"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
     )
 
 
@@ -117,6 +131,8 @@ def session_stream(
 ) -> DataFrame:
     """Session-window aggregation per user (30-min inactivity gap) — the
     streaming twin of the batch lag/running-sum sessionization."""
+    from llm_data_pipeline_spark.functions.time import instant_to_ntz
+
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
@@ -126,7 +142,7 @@ def session_stream(
         )
         .select(
             "user_id",
-            F.col("w.start").alias("session_start"),
+            instant_to_ntz("w.start").alias("session_start"),
             "n_events",
             "session_value",
         )
