@@ -80,19 +80,25 @@ def main() -> None:
     # doesn't pay session startup.
     spark.range(1).count()
 
-    # Throughput first, on a fresh JVM: measured after the 45-query gauntlet
-    # it reads ~2.4x slower purely from accumulated codegen-cache/GC state,
-    # which would misreport the encode path itself (the number BASELINE.md
-    # compares against).
+    # Throughput is measured TWICE at fixed positions — pre-gauntlet (fresh
+    # JVM: the clean number BASELINE.md compares against) and post-gauntlet
+    # (accumulated codegen-cache/GC state). Reporting both pins down whether
+    # a round-over-round delta is the encode path or measurement ordering
+    # (the r01→r02 7.4M→4.7M ambiguity).
     throughput = {}
-    if os.environ.get("BENCH_THROUGHPUT", "1") != "0":
+    run_throughput = os.environ.get("BENCH_THROUGHPUT", "1") != "0"
+    if run_throughput:
         try:
             throughput = tokenize_throughput(spark, sf_dir)
         except Exception as e:  # noqa: BLE001
             print(f"bench: throughput failed: {type(e).__name__}: {e}", file=sys.stderr)
 
     times: dict[str, float] = {}
+    # Full-registry coverage: the curated HEADLINE order first (stable
+    # round-over-round comparability), then every remaining registered
+    # query, so no family is invisible to regression tracking.
     names = [n for n in HEADLINE if n in Q.REGISTRY]
+    names += [n for n in sorted(Q.REGISTRY) if n not in names]
     extra = os.environ.get("BENCH_QUERIES")
     if extra:
         names = [n for n in extra.split(",") if n in Q.REGISTRY]
@@ -124,6 +130,18 @@ def main() -> None:
             df = fn(spark, sf_dir)
             _ = df.count() if len(df.columns) > 8 else len(df.collect())
             steady[name] = round(time.perf_counter() - t0, 3)
+
+    # Second fixed-position throughput measurement, after the gauntlet.
+    if run_throughput:
+        try:
+            post = tokenize_throughput(spark, sf_dir)
+            if post:
+                throughput["tokenize_tokens_per_sec_post_gauntlet"] = post[
+                    "tokenize_tokens_per_sec"
+                ]
+                throughput["post_gauntlet_sec"] = post["sec"]
+        except Exception as e:  # noqa: BLE001
+            print(f"bench: post throughput failed: {type(e).__name__}: {e}", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
     print(

@@ -189,20 +189,37 @@ def ngram_jaccard_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    verify_broadcast_threshold: int = 200_000,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs (u < v, jaccard >= threshold) with
     prefix filtering (SSJoin/ppjoin family — lossless).
 
-    Under one global order (lexicographic here), jaccard(A,B) >= t implies
-    |A∩B| >= t·|A| and >= t·|B|; hence the globally-minimum common shingle
-    must sit inside BOTH sorted prefixes of length |X| - ceil(t·|X|) + 1
-    (were it outside A's prefix, all common shingles would fit in A's
-    ceil(t·|A|)-1 suffix — contradiction). So candidates come from a
-    self-join of the short prefixes only (~(1-t) of the shingles per doc,
-    ~(1-t)² of the candidate pairs), and each surviving pair is verified
-    exactly once via array_intersect on the full sets — no O(common
-    shingles) group-by blow-up. At 100 TB the candidate join shuffles by
-    shingle (high cardinality) and verification shuffles by doc_id.
+    Under one global order (numeric hash order here), jaccard(A,B) >= t
+    implies |A∩B| >= t·|A| and >= t·|B|; hence the globally-minimum common
+    shingle must sit inside BOTH sorted prefixes of length
+    |X| - ceil(t·|X|) + 1 (were it outside A's prefix, all common shingles
+    would fit in A's ceil(t·|A|)-1 suffix — contradiction). So candidates
+    come from a self-join of the short prefixes only, then two lossless
+    prunes run BEFORE any shingle array is shuffled:
+
+    - **positional filter** (ppjoin): for the minimum common shingle at
+      sorted positions (i, j), overlap <= 1 + min(|A|-1-i, |B|-1-j); the
+      max of that bound over the matched prefix positions IS the bound for
+      the minimum common element (smaller position => larger bound), so
+      dropping pairs whose best bound < t·(|A|+|B|)/(1+t) (the overlap
+      required for jaccard >= t) cannot lose a true pair.
+    - the groupBy(u, v) computing the bound replaces the dedup-distinct the
+      candidates needed anyway — no extra shuffle.
+
+    Survivors are verified exactly once via array_intersect on the full
+    sets. When the corpus is small enough (<= ``verify_broadcast_threshold``
+    docs — known for free because the checkpointed docs frame must
+    materialize anyway), the doc->shingles side is broadcast, so
+    verification is a narrow map over candidates instead of two sort-merge
+    shuffles of candidate rows with arrays attached (the checkpointed frame
+    has no catalyst stats, so AQE alone never picks the broadcast). At
+    100 TB the count exceeds the threshold and the join reverts to the
+    shuffle plan, keyed by doc_id.
     """
     # Work on hashed shingles throughout: xxhash64 over the n-word tuple
     # (no per-position string building — concat_ws(slice(...)) inside a
@@ -249,19 +266,42 @@ def ngram_jaccard_pairs(
         F.col("n_sh") - F.ceil(F.col("n_sh") * threshold) + 1
     ).cast("int")
     pre = docs.select(
-        "doc_id", F.explode(F.slice("sh", 1, prefix_len)).alias("shingle")
+        "doc_id",
+        "n_sh",
+        F.posexplode(F.slice("sh", 1, prefix_len)).alias("pos", "shingle"),
+    )
+    # overlap upper bound from this matched position pair: 1 + the number
+    # of elements strictly after the match on the tighter side
+    ub = F.lit(1) + F.least(
+        F.col("a.n_sh") - 1 - F.col("a.pos"), F.col("b.n_sh") - 1 - F.col("b.pos")
     )
     cands = (
         pre.alias("a")
         .join(pre.alias("b"), "shingle")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
-            F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v")
+            F.col("a.doc_id").alias("u"),
+            F.col("b.doc_id").alias("v"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+            ub.alias("ub"),
         )
-        .distinct()
+        .groupBy("u", "v")
+        .agg(F.max("ub").alias("ub"), F.max("na").alias("na"), F.max("nb").alias("nb"))
+        # required overlap for jaccard >= t; overlap is an integer <= ub,
+        # so ub < required  =>  jaccard < t (no ceil needed for losslessness)
+        .where(
+            F.col("ub")
+            >= F.lit(threshold) * (F.col("na") + F.col("nb")) / F.lit(1.0 + threshold)
+        )
+        .select("u", "v")
     )
     du = docs.select(F.col("doc_id").alias("u"), F.col("sh").alias("sh_u"))
     dv = docs.select(F.col("doc_id").alias("v"), F.col("sh").alias("sh_v"))
+    # the count is free parallel work: it materializes the checkpoint that
+    # every downstream branch reuses anyway
+    if docs.count() <= verify_broadcast_threshold:
+        du, dv = F.broadcast(du), F.broadcast(dv)
     return (
         cands.join(du, "u")
         .join(dv, "v")

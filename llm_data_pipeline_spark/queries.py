@@ -44,7 +44,9 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     return deco
 
 
-def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def table(
+    spark: SparkSession, sf_dir: str, name: str, scatter: bool = False
+) -> DataFrame:
     # The driver may hand us a session built without session.py's confs;
     # nanosAsLong is runtime-settable and lets older Spark read
     # TIMESTAMP(NANOS) parquet (as longs) instead of failing
@@ -56,11 +58,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from llm_data_pipeline_spark.functions.time import normalize_ts_ntz
 
     df = normalize_ts_ntz(df, "ts")
-    if name in ("documents", "embeddings"):
-        # Every consumer of these two tables is a CPU-heavy narrow pipeline
-        # (shingling/signature UDFs, regex cleaning, vector math) that
-        # would otherwise serialize on the single-row-group test files.
-        df = scatter(df)
+    if scatter:
+        # Opt-in per consumer: only CPU-heavy narrow pipelines (shingling/
+        # signature UDFs, regex cleaning, vector math) ask for it — a blanket
+        # repartition taxed cheap consumers with a full exchange (round-2
+        # regression: multimodal 0.7→2.0 s, pack 3.2→5.2 s).
+        df = _scatter(df)
     return df
 
 
@@ -80,6 +83,9 @@ def scatter(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() < max(2, target // 2):
         return df.repartition(target)
     return df
+
+
+_scatter = scatter  # unshadowed alias for table()'s keyword parameter
 
 
 def load_all() -> None:

@@ -38,8 +38,12 @@ VARIANT_OFFSET = 100_000
 # ---------------------------------------------------------------------------
 
 
-def _augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+def _augmented(spark: SparkSession, sf_dir: str, scatter: bool = False) -> DataFrame:
+    """Augmented corpus. ``scatter=True`` for consumers that feed the text
+    into CPU-heavy shingle/signature hashing (parallelize the narrow stage);
+    leave False for cheap metadata branches (length/doc_id joins) so they
+    don't pay a full-text exchange."""
+    docs = table(spark, sf_dir, "documents", scatter=scatter).select("doc_id", "text")
     toks = F.split(
         F.trim(F.regexp_replace(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+", " ")),
         " ",
@@ -149,7 +153,7 @@ def exact_dedup_roundtrip(spark: SparkSession, sf_dir: str):
     tags=("dedup", "fuzzy"),
 )
 def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str):
-    aug = _augmented(spark, sf_dir)
+    aug = _augmented(spark, sf_dir, scatter=True)
     return ngram_jaccard_pairs(aug, threshold=0.5, n=3).orderBy("u", "v")
 
 
@@ -182,7 +186,7 @@ def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str):
     tags=("dedup", "fuzzy", "graph"),
 )
 def fuzzy_dedup_components(spark: SparkSession, sf_dir: str):
-    aug = _augmented(spark, sf_dir)
+    aug = _augmented(spark, sf_dir, scatter=True)
     edges = ngram_jaccard_pairs(aug, threshold=0.5, n=3).select("u", "v")
     return connected_components(edges).orderBy("doc_id")
 
@@ -238,8 +242,12 @@ def fuzzy_dedup_kept(spark: SparkSession, sf_dir: str):
     """Full fuzzy-dedup pipeline: pairs -> components -> canonical (by
     length desc, doc_id desc) -> anti-join removals. Oracle replays it in
     SQL with a recursive CTE."""
+    # Heavy branch (shingle hashing inside ngram_jaccard_pairs) gets the
+    # parallelism repartition; the metadata/anti-join branches reread the
+    # cheap un-scattered frame so they carry no exchange.
+    aug_heavy = _augmented(spark, sf_dir, scatter=True)
     aug = _augmented(spark, sf_dir)
-    edges = ngram_jaccard_pairs(aug, threshold=0.5, n=3).select("u", "v")
+    edges = ngram_jaccard_pairs(aug_heavy, threshold=0.5, n=3).select("u", "v")
     comps = connected_components(edges)
     members = comps.join(aug, "doc_id").select(
         "doc_id", "component", F.length("text").alias("length")
@@ -411,7 +419,7 @@ def minhash_dedup_kept(spark: SparkSession, sf_dir: str):
     8-row band keys (comma-joined signed rendering == the Spark band
     sha1 preimage), the 500-doc bucket cap, recursive-CTE components, and
     the (length desc, doc_id desc) canonical tie-break."""
-    aug = _augmented(spark, sf_dir)
+    aug = _augmented(spark, sf_dir, scatter=True)
     sig = add_minhash(aug, hash_fn=portable_hash60)
     kept, _ = minhash_dedup(sig, rows_per_band=8)
     return kept.select("doc_id").orderBy("doc_id")
@@ -463,7 +471,7 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str):
     hashes. bucket_cap=None makes the 16-bit-chunk pigeonhole banding
     lossless, so the oracle's exact all-pairs Hamming scan is the ground
     truth the banding must reproduce."""
-    aug = _augmented(spark, sf_dir)
+    aug = _augmented(spark, sf_dir, scatter=True)
     sim = add_simhash(aug, hash_fn=portable_hash64)
     return simhash_candidate_pairs(sim, max_hamming=3, bucket_cap=None).orderBy(
         "u", "v"
@@ -494,7 +502,7 @@ def incremental_dedup_new_vs_base(spark: SparkSession, sf_dir: str):
     without re-pairing the corpus with itself (new ids are offset above
     every base id, so the u<v pair convention makes u the base side).
     """
-    aug = _augmented(spark, sf_dir)
+    aug = _augmented(spark, sf_dir, scatter=True)
     pairs = ngram_jaccard_pairs(aug, threshold=0.5, n=3)
     return (
         pairs.where(

@@ -134,7 +134,7 @@ def repetition_signals(spark: SparkSession, sf_dir: str):
     100 TB this is the same shape as the reference's clean stage
     (clean/rules.py): embarrassingly parallel per-document compute.
     """
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", scatter=True)
     t = F.col("text")
     sig = docs.select(
         "doc_id",
@@ -171,7 +171,7 @@ def repetition_filter_by_source(spark: SparkSession, sf_dir: str):
     """Keep-rate of the repetition cascade per source — the per-corpus
     yield report a curation run emits before mixing (int/int division,
     engine-exact)."""
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", scatter=True)
     t = F.col("text")
     judged = docs.select(
         "source",

@@ -60,7 +60,7 @@ ORDER BY doc_id
     tags=("pipeline", "pii"),
 )
 def pii_redact_structured(spark: SparkSession, sf_dir: str):
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", scatter=True)
     aug = docs.select(
         "doc_id",
         F.concat(_payload_spark(), F.coalesce(F.col("text"), F.lit(""))).alias("t"),
@@ -98,7 +98,7 @@ ORDER BY doc_id
     tags=("pipeline", "pii"),
 )
 def pii_gating_flags(spark: SparkSession, sf_dir: str):
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", scatter=True)
     aug = docs.select(
         "doc_id",
         "lang",
@@ -142,7 +142,7 @@ ORDER BY lang
     tags=("pipeline", "pii", "aggregation"),
 )
 def pii_gate_rate_by_lang(spark: SparkSession, sf_dir: str):
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", scatter=True)
     aug = docs.select(
         "lang",
         F.when(
@@ -201,7 +201,7 @@ def pii_full_stage_with_ner_fallback(spark: SparkSession, sf_dir: str):
     dialects at once."""
     from llm_data_pipeline_spark.operators.pii import run_pii
 
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", scatter=True)
     aug = docs.select(
         "doc_id",
         "lang",

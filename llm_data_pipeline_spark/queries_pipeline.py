@@ -100,7 +100,7 @@ ORDER BY doc_id
     tags=("pipeline", "clean"),
 )
 def clean_judge(spark: SparkSession, sf_dir: str):
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", scatter=True)
     scored = score_documents(docs)
     return scored.select(
         "doc_id", "kept", "drop_reason", "m_non_ws", "m_alpha_cjk", "m_punct", "m_dup_line"
@@ -119,7 +119,7 @@ ORDER BY drop_reason
     tags=("pipeline", "clean", "aggregation"),
 )
 def clean_reason_distribution(spark: SparkSession, sf_dir: str):
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", scatter=True)
     return drop_reason_distribution(score_documents(docs)).orderBy("drop_reason")
 
 
@@ -133,7 +133,7 @@ ORDER BY doc_id
     tags=("pipeline", "clean"),
 )
 def basic_clean_normalize(spark: SparkSession, sf_dir: str):
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", scatter=True)
     return docs.select(
         "doc_id", T.basic_clean(F.coalesce(F.col("text"), F.lit(""))).alias("norm_text")
     ).orderBy("doc_id")

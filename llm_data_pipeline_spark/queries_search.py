@@ -95,7 +95,7 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str):
     """Top-25 documents for the fixed query {table, hash, row} under
     rational-idf BM25. Scores are rounded to 6dp on both engines before the
     order/cut (raw doubles agree only to ~1 ulp across engines)."""
-    docs = table(spark, sf_dir, "documents").select(
+    docs = table(spark, sf_dir, "documents", scatter=True).select(
         "doc_id", _toks(F.col("text")).alias("toks")
     )
     def term_count(t: str) -> Column:

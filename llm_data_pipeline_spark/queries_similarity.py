@@ -58,7 +58,7 @@ e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
     tags=("similarity", "ann"),
 )
 def embedding_topk_bruteforce(spark: SparkSession, sf_dir: str):
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings", scatter=True)
     queries = emb.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -85,7 +85,7 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str):
     cheaper per pair; see near_dup_pairs_blocked). Threshold 0.3 because
     the synthetic embeddings are near-orthogonal (top cosine ~0.3) — a
     0.9 near-dup grade would emit zero rows and grade nothing."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings", scatter=True)
     # forced multi-block grid so the graded run exercises replication,
     # diagonal self-GEMM, and cross-block ordering (not one giant block)
     return near_dup_pairs_blocked(
@@ -107,7 +107,7 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str):
     tags=("similarity", "aggregation"),
 )
 def embedding_label_centroids(spark: SparkSession, sf_dir: str):
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings", scatter=True)
     return (
         emb.select(
             "label", F.posexplode(F.col("embedding")).alias("pos", "val")
@@ -148,7 +148,7 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str):
 def embedding_knn_label_vote(spark: SparkSession, sf_dir: str):
     """k-NN label votes per query vector (the building block of
     embedding-based classification / label propagation)."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings", scatter=True)
     queries = emb.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -243,7 +243,7 @@ def embedding_ann_lsh_topk(spark: SparkSession, sf_dir: str):
     hyperplanes make the approximation deterministic, so even this
     approximate path is hash-checked against a DuckDB replay; recall vs
     brute force is additionally asserted in unit tests."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings", scatter=True)
     queries = emb.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -291,7 +291,7 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str):
     planes make even this approximate path fully oracle-replayable."""
     from llm_data_pipeline_spark.operators.similarity import near_dup_pairs_lsh
 
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings", scatter=True)
     return near_dup_pairs_lsh(
         emb,
         dim=64,
@@ -348,7 +348,7 @@ def embedding_ivf_flat_topk(spark: SparkSession, sf_dir: str):
     """IVF-Flat ANN (inverted lists + probing) with deterministic
     centroids; the oracle replays the identical build+probe relationally,
     so the approximation itself is hash-checked, not just row counts."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings", scatter=True)
     queries = emb.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )

@@ -94,7 +94,7 @@ _QUALITY_SCORE = (
     tags=("text-analysis", "langid"),
 )
 def text_language_detect(spark: SparkSession, sf_dir: str):
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", scatter=True)
     t = F.col("text")
     return docs.select(
         "doc_id",
@@ -114,7 +114,7 @@ def text_language_detect(spark: SparkSession, sf_dir: str):
     tags=("text-analysis", "quality"),
 )
 def text_quality_scores(spark: SparkSession, sf_dir: str):
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", scatter=True)
     return docs.select(
         "doc_id", A.quality_score(F.col("text")).alias("quality_score")
     ).orderBy("doc_id")
@@ -133,7 +133,7 @@ def text_quality_scores(spark: SparkSession, sf_dir: str):
     tags=("text-analysis", "tokens"),
 )
 def text_token_stats(spark: SparkSession, sf_dir: str):
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", scatter=True)
     t = F.col("text")
     return docs.select(
         "doc_id",
@@ -161,7 +161,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str):
 def quality_keep_decision(spark: SparkSession, sf_dir: str):
     """The quality stage on its heuristic (model-free) path — same column
     contract as the fastText-backed path."""
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", scatter=True)
     return run_quality(docs).select(
         "doc_id", "lang_pred", "lang_score", "quality_keep"
     ).orderBy("doc_id")
@@ -185,7 +185,7 @@ def quality_keep_decision(spark: SparkSession, sf_dir: str):
     tags=("pipeline", "quality", "aggregation"),
 )
 def language_distribution_q(spark: SparkSession, sf_dir: str):
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", scatter=True)
     from llm_data_pipeline_spark.operators.quality import language_distribution
 
     return language_distribution(run_quality(docs)).orderBy(
@@ -232,7 +232,7 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str):
     """Winnowing fingerprints (k=8 rolling hash, w=4 window minima) — the
     rolling-hash document fingerprint; oracle re-derives the identical
     scheme with DuckDB list primitives."""
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", scatter=True)
     fp = A.add_winnow_fingerprints(docs, k=8, w=4)
     fps = F.col("fingerprints")
     return fp.select(
@@ -273,7 +273,7 @@ def corpus_stats_by_lang(spark: SparkSession, sf_dir: str):
     exact percentiles need a per-group sort; the approx sketch is
     single-pass mergeable (tested in tests/test_sketches.py).
     """
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents", scatter=True)
     return (
         d.groupBy("lang")
         .agg(
