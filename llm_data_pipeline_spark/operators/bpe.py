@@ -52,13 +52,23 @@ from llm_data_pipeline_spark.operators.tokenizer import (
 WORD_MARKER = "▁"  # ▁ — SentencePiece word-start marker
 
 
-def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+def word_counts(
+    df: DataFrame, text_col: str = "text", min_freq: int = 1
+) -> DataFrame:
     """Distributed word-frequency extraction: (word, freq).
 
     Whitespace tokenization (the reference SPM treats whitespace as the
     word boundary); the output is vocabulary-sized, not corpus-sized.
+
+    ``min_freq`` is the web-scale guard: the unique-word set of a 100 TB
+    crawl is dominated by a hapax tail (typos, ids, binary junk) that
+    contributes nothing to merge learning (a pair inside a freq-1 word can
+    reach pair-freq ``min_pair_freq`` only via other words, which carry it
+    themselves). Filtering AFTER the aggregate — a cheap post-shuffle
+    predicate — bounds the driver collect in :func:`train_bpe` to the
+    heavy-tail vocabulary instead of the raw unique-token count.
     """
-    return (
+    counts = (
         df.select(
             F.explode(
                 F.filter(
@@ -69,6 +79,9 @@ def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
     )
+    if min_freq > 1:
+        counts = counts.where(F.col("freq") >= min_freq)
+    return counts
 
 
 def _initial_symbols(word: str) -> tuple[str, ...]:
@@ -195,11 +208,24 @@ def learn_bpe_naive(
     return merges
 
 
+def byte_piece(b: int) -> str:
+    """SentencePiece byte-fallback piece spelling: ``<0xAB>``."""
+    return f"<0x{b:02X}>"
+
+
 def bpe_vocab(
-    word_freqs: list[tuple[str, int]], merges: list[tuple[str, str]]
+    word_freqs: list[tuple[str, int]],
+    merges: list[tuple[str, str]],
+    byte_fallback: bool = True,
 ) -> list[tuple[str, int]]:
-    """(piece, id) table: specials, then alphabet by (freq DESC, char ASC),
-    then merge products in merge order. Deterministic."""
+    """(piece, id) table: specials, then (with ``byte_fallback``) the 256
+    byte pieces ``<0x00>``..``<0xFF>``, then alphabet by (freq DESC, char
+    ASC), then merge products in merge order. Deterministic.
+
+    ``byte_fallback=True`` is the reference default (SPM config
+    tokenizer/train.py:343-346): symbols unseen in training encode to
+    their UTF-8 bytes instead of UNK, so no input can lose information.
+    """
     char_freq: Counter = Counter()
     for w, f in word_freqs:
         for c in _initial_symbols(w):
@@ -207,6 +233,7 @@ def bpe_vocab(
     alphabet = sorted(char_freq, key=lambda c: (-char_freq[c], c))
     pieces = (
         ["<unk>", "<s>", "</s>", "<pad>"]
+        + ([byte_piece(b) for b in range(256)] if byte_fallback else [])
         + alphabet
         + [a + b for a, b in merges]
     )
@@ -221,7 +248,16 @@ def encode_word(
     word: str, ranks: dict[tuple[str, str], int], piece_ids: dict[str, int]
 ) -> list[int]:
     """Greedy merge-rank BPE encode of one word (standard BPE inference):
-    repeatedly apply the present pair with the lowest merge rank."""
+    repeatedly apply the present pair with the lowest merge rank.
+
+    A residual symbol absent from the vocab falls back to its UTF-8 bytes
+    when the vocab carries the 256 ``<0xXX>`` pieces (reference parity:
+    byte_fallback=True, tokenizer/train.py:343-346), so unseen characters
+    never collapse to UNK. With the fused word-start marker, an unknown
+    first-char symbol ``▁X`` byte-encodes marker bytes included — a
+    documented divergence from SPM's unfused marker, deterministic on both
+    the engine and the golden-replay side. Without byte pieces: UNK.
+    """
     syms = list(_initial_symbols(word))
     while len(syms) > 1:
         best_rank, best_j = None, None
@@ -232,7 +268,17 @@ def encode_word(
         if best_j is None:
             break
         syms[best_j : best_j + 2] = [syms[best_j] + syms[best_j + 1]]
-    return [piece_ids.get(s, UNK_ID) for s in syms]
+    has_bytes = byte_piece(0) in piece_ids
+    ids: list[int] = []
+    for s in syms:
+        got = piece_ids.get(s)
+        if got is not None:
+            ids.append(got)
+        elif has_bytes:
+            ids.extend(piece_ids[byte_piece(b)] for b in s.encode("utf-8"))
+        else:
+            ids.append(UNK_ID)
+    return ids
 
 
 def encode_bpe(
@@ -280,11 +326,29 @@ def encode_bpe(
 
 
 def decode_ids(ids: list[int], vocab: list[tuple[str, int]]) -> str:
-    """Inverse of encode for known pieces: concat pieces, ▁ → space."""
+    """Inverse of encode: concat pieces (byte pieces reassembled into
+    UTF-8 runs), ▁ → space."""
     rev = {i: p for p, i in vocab}
     specials = {UNK_ID, BOS_ID, EOS_ID, PAD_ID}
-    text = "".join(rev.get(i, "") for i in ids if i not in specials)
-    return text.replace(WORD_MARKER, " ").strip()
+    chunks: list[str] = []
+    byte_run: list[int] = []
+
+    def flush() -> None:
+        if byte_run:
+            chunks.append(bytes(byte_run).decode("utf-8", errors="replace"))
+            byte_run.clear()
+
+    for i in ids:
+        if i in specials:
+            continue
+        p = rev.get(i, "")
+        if len(p) == 6 and p.startswith("<0x") and p.endswith(">"):
+            byte_run.append(int(p[3:5], 16))
+        else:
+            flush()
+            chunks.append(p)
+    flush()
+    return "".join(chunks).replace(WORD_MARKER, " ").strip()
 
 
 def train_bpe(
@@ -292,15 +356,20 @@ def train_bpe(
     text_col: str = "text",
     n_merges: int = 64,
     min_pair_freq: int = 2,
+    min_word_freq: int = 1,
+    byte_fallback: bool = True,
 ) -> tuple[list[tuple[str, int]], list[tuple[str, str]], list[tuple[str, int]]]:
     """Full training: distributed word counts → driver merge learning.
 
-    Returns (word_freqs, merges, vocab). The collect is bounded by unique
-    words, not corpus rows (document in-module scale note).
+    Returns (word_freqs, merges, vocab). The collect is bounded by the
+    unique words of frequency >= ``min_word_freq`` — set it > 1 at corpus
+    scale so the hapax tail never reaches the driver (see
+    :func:`word_counts`). ``byte_fallback`` adds the 256 byte pieces so
+    characters the (filtered) training set never saw still encode.
     """
     wf = [
         (r["word"], r["freq"])
-        for r in word_counts(df, text_col).collect()
+        for r in word_counts(df, text_col, min_freq=min_word_freq).collect()
     ]
     merges = learn_bpe(wf, n_merges, min_pair_freq)
-    return wf, merges, bpe_vocab(wf, merges)
+    return wf, merges, bpe_vocab(wf, merges, byte_fallback=byte_fallback)

@@ -240,8 +240,13 @@ def pack_constant_length(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engine path: distributed word counts, the incremental indexed trainer,
 # and the broadcast Arrow-UDF encoder.
 
-BPE_N_MERGES = 40
+BPE_N_MERGES = 1000  # reference-scale ask; training stops when pairs exhaust
 BPE_MIN_PAIR_FREQ = 2
+BPE_MIN_WORD_FREQ = 2  # hapax pushdown: bounds the driver collect (bpe.py)
+# Byte-fallback fixture: whitespace words mixing corpus-charset text with
+# characters the corpus never contains (accented latin, CJK, digits,
+# punctuation, caps) — their UTF-8 bytes must encode via <0xXX> pieces.
+BPE_FIXTURE_TEXT = "data naïve café zèbre 中文数据 Q42 x_9!"
 
 _BPE_GOLDEN_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "data", "bpe_golden.json"
@@ -287,6 +292,21 @@ def _bpe_encode_oracle() -> str:
     return "\nUNION ALL\n".join(arms) + "\nORDER BY n_tokens"
 
 
+def _bpe_fixture_oracle() -> str:
+    arms = []
+    for sig, g in _BPE_GOLDEN.items():
+        values = ", ".join(
+            f"({p}, {i})" for p, i in enumerate(g["fixture_ids"])
+        )
+        arms.append(
+            "SELECT CAST(v.pos AS BIGINT) AS pos, "
+            "CAST(v.piece_id AS BIGINT) AS piece_id "
+            f"FROM (VALUES {values}) v(pos, piece_id) "
+            f"WHERE {_SIG_SQL} = {sig}"
+        )
+    return "\nUNION ALL\n".join(arms) + "\nORDER BY pos"
+
+
 @query(
     "bpe_train_merges",
     oracle=_bpe_merges_oracle(),
@@ -302,7 +322,8 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     _, merges, _ = train_bpe(
-        docs, n_merges=BPE_N_MERGES, min_pair_freq=BPE_MIN_PAIR_FREQ
+        docs, n_merges=BPE_N_MERGES, min_pair_freq=BPE_MIN_PAIR_FREQ,
+        min_word_freq=BPE_MIN_WORD_FREQ,
     )
     return spark.createDataFrame(
         [(i, a, b, a + b) for i, (a, b) in enumerate(merges)],
@@ -322,7 +343,8 @@ def bpe_encode_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     _, merges, vocab = train_bpe(
-        docs, n_merges=BPE_N_MERGES, min_pair_freq=BPE_MIN_PAIR_FREQ
+        docs, n_merges=BPE_N_MERGES, min_pair_freq=BPE_MIN_PAIR_FREQ,
+        min_word_freq=BPE_MIN_WORD_FREQ,
     )
     enc = encode_bpe(docs, merges, vocab)
     ids_sum = F.aggregate(
@@ -339,4 +361,38 @@ def bpe_encode_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_ids_sum").alias("ids_sum"),
         )
         .orderBy("n_tokens")
+    )
+
+
+@query(
+    "bpe_byte_fallback_encode",
+    oracle=_bpe_fixture_oracle(),
+    tags=("tokenize", "bpe", "encode", "byte-fallback", "pinned-golden"),
+)
+def bpe_byte_fallback_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode a fixture doc whose characters the corpus never contains
+    (accented latin, CJK, digits, caps, punctuation) with the
+    corpus-trained BPE: every unseen symbol must resolve to its UTF-8
+    <0xXX> byte pieces (reference SPM byte_fallback=True,
+    tokenizer/train.py:343-346) — the exact (pos, piece_id) sequence is
+    pinned by the golden, so an UNK anywhere or an id off by one breaks
+    the match."""
+    from llm_data_pipeline_spark.operators.bpe import encode_bpe, train_bpe
+
+    docs = table(spark, sf_dir, "documents")
+    _, merges, vocab = train_bpe(
+        docs, n_merges=BPE_N_MERGES, min_pair_freq=BPE_MIN_PAIR_FREQ,
+        min_word_freq=BPE_MIN_WORD_FREQ,
+    )
+    fix = spark.createDataFrame(
+        [(0, BPE_FIXTURE_TEXT)], "doc_id long, text string"
+    )
+    enc = encode_bpe(fix, merges, vocab)
+    return (
+        enc.select(F.posexplode("input_ids").alias("pos", "piece_id"))
+        .select(
+            F.col("pos").cast("long").alias("pos"),
+            F.col("piece_id").cast("long").alias("piece_id"),
+        )
+        .orderBy("pos")
     )

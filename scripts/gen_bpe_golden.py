@@ -7,6 +7,11 @@ trainer, and an Arrow pandas UDF). Writes
 ``llm_data_pipeline_spark/data/bpe_golden.json`` keyed by the corpus
 fingerprint ``sum(length(text))`` so one oracle SQL string can dispatch
 between sf dirs.
+
+Parameters mirror the graded queries (queries_tokenize.py): n_merges=1000
+(training exhausts pairs early on the synthetic corpus), min_word_freq=2
+(the web-scale hapax pushdown), byte_fallback=True (reference SPM parity),
+plus the byte-fallback fixture encode.
 """
 
 from __future__ import annotations
@@ -26,8 +31,10 @@ from llm_data_pipeline_spark.operators.bpe import (  # noqa: E402
     learn_bpe_naive,
 )
 
-N_MERGES = 40
+N_MERGES = 1000
 MIN_PAIR_FREQ = 2
+MIN_WORD_FREQ = 2
+FIXTURE_TEXT = "data naïve café zèbre 中文数据 Q42 x_9!"
 
 out: dict[str, dict] = {}
 for sf in ("0.001", "0.01", "0.1"):
@@ -44,10 +51,12 @@ for sf in ("0.001", "0.01", "0.1"):
     for _, text in rows:
         for w in (text or "").split():
             wf_counter[w] += 1
-    word_freqs = sorted(wf_counter.items())
+    word_freqs = sorted(
+        (w, f) for w, f in wf_counter.items() if f >= MIN_WORD_FREQ
+    )
 
     merges = learn_bpe_naive(word_freqs, N_MERGES, MIN_PAIR_FREQ)
-    vocab = bpe_vocab(word_freqs, merges)
+    vocab = bpe_vocab(word_freqs, merges, byte_fallback=True)
     ranks = {p: i for i, p in enumerate(merges)}
     piece_ids = dict(vocab)
 
@@ -61,6 +70,10 @@ for sf in ("0.001", "0.01", "0.1"):
         dist[len(ids)] += 1
         sums[len(ids)] += sum(ids)
 
+    fixture_ids: list[int] = []
+    for w in FIXTURE_TEXT.split():
+        fixture_ids.extend(encode_word(w, ranks, piece_ids))
+
     out[str(int(sig))] = {
         "sf": sf,
         "n_docs": len(rows),
@@ -70,10 +83,12 @@ for sf in ("0.001", "0.01", "0.1"):
         "encode_dist": sorted(
             [n, dist[n], sums[n]] for n in dist
         ),
+        "fixture_ids": fixture_ids,
     }
     print(
         f"sf{sf}: sig={int(sig)} merges={len(merges)} "
-        f"dist_rows={len(dist)} pieces={len(vocab)}"
+        f"dist_rows={len(dist)} pieces={len(vocab)} "
+        f"fixture_ids={len(fixture_ids)}"
     )
 
 dest = os.path.join(

@@ -39,15 +39,41 @@ def test_min_pair_freq_stops_training():
 
 def test_encode_decode_roundtrip():
     merges = learn_bpe(WF, 30)
-    vocab = bpe_vocab(WF, merges)
+    vocab = bpe_vocab(WF, merges, byte_fallback=False)
     ranks = {p: i for i, p in enumerate(merges)}
     pids = dict(vocab)
     for w, _ in WF:
         ids = encode_word(w, ranks, pids)
         assert decode_ids(ids, vocab) == w
         assert UNK_ID not in ids  # training words are always representable
-    # chars unseen in training -> UNK (no byte fallback)
+    # chars unseen in training -> UNK when byte fallback is off
     assert set(encode_word("zzz", ranks, pids)) == {UNK_ID}
+
+
+def test_byte_fallback_roundtrip():
+    merges = learn_bpe(WF, 30)
+    vocab = bpe_vocab(WF, merges, byte_fallback=True)
+    ranks = {p: i for i, p in enumerate(merges)}
+    pids = dict(vocab)
+    # unseen ASCII and multibyte chars encode to byte pieces, never UNK,
+    # and decode back losslessly
+    for w in ("zzz", "naïve", "中文", "Q42!"):
+        ids = encode_word(w, ranks, pids)
+        assert UNK_ID not in ids
+        assert decode_ids(ids, vocab) == w
+    # training words still take their merged pieces, not bytes
+    assert len(encode_word("newest", ranks, pids)) == 1
+
+
+def test_min_word_freq_bounds_collect(spark):
+    """The min_freq pushdown caps the driver-side word list: a long-tail
+    corpus (many hapax words) collects only the heavy tail."""
+    from llm_data_pipeline_spark.operators.bpe import word_counts
+
+    rows = [(i, f"common word tail{i}") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert word_counts(df, min_freq=2).count() == 2  # common, word
+    assert word_counts(df, min_freq=1).count() == 502
 
 
 def test_trained_word_encodes_to_fewer_symbols():
