@@ -21,12 +21,20 @@ spark.sparkContext.setLogLevel("ERROR")
 
 for name in sys.argv[1:]:
     df = REGISTRY[name].fn(spark, sf_dir)
-    df.count()  # execute so AQE finalizes and codegen spans are visible
+    # structural counts from the PRE-execution plan (no AQE query-stage
+    # duplication) — capture before running
+    pushed = I.pushed_filters(df)
+    schemas = I.scan_read_schemas(df)
+    bjoins = I.broadcast_join_count(df)
+    shuffles = I.shuffle_count(df)
+    # collect() executes THIS dataframe's query execution (count() builds a
+    # separate one), so AQE finalizes and codegen spans become visible
+    df.collect()
     print(f"\n## {name}\n")
-    print(f"- pushed filters: `{I.pushed_filters(df)}`")
-    print(f"- scan read schemas: `{I.scan_read_schemas(df)}`")
+    print(f"- pushed filters: `{pushed}`")
+    print(f"- scan read schemas: `{schemas}`")
     print(
-        f"- broadcast joins: {I.broadcast_join_count(df)}, "
-        f"shuffles: {I.shuffle_count(df)}, "
+        f"- broadcast joins: {bjoins}, "
+        f"shuffles: {shuffles}, "
         f"whole-stage codegen spans (executed): {I.wholestage_codegen_spans(df)}"
     )

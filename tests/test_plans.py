@@ -146,3 +146,53 @@ def test_lsh_near_dup_and_ann_plan_shape(q):
         # bucketing must stay a generator explode + equi join, not a cross
         assert "Generate" in plan or "posexplode" in plan.lower()
         assert I.shuffle_count(df) <= 6
+
+
+# ---------------------------------------------------------------------------
+# Round-2 query families (VERDICT r2 #7): BM25 corpus stats must stay a
+# 1-row broadcast, repetition signals must stay a shuffle-free narrow map,
+# and decontamination must keep the broadcast shingle join.
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_corpus_stats_one_row_broadcast(q):
+    df = q("bm25_keyword_search")
+    plan = I.formatted_plan(df)
+    # corpus stats (N, avgdl, per-term df) attach via a broadcast of the
+    # 1-row aggregate — the ONLY acceptable nested-loop join in the repo;
+    # a rewrite that shuffles the fact side against stats fails here
+    assert "BroadcastExchange" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # top-k must be a TakeOrdered, never a global sort of all scored docs
+    assert "TakeOrderedAndProject" in plan
+    # one aggregation exchange for the stats side; nothing else shuffles
+    assert I.shuffle_count(df) <= 2
+
+
+def test_repetition_signals_no_shuffle_before_order(q):
+    df = q("repetition_signals")
+    plan = I.formatted_plan(df)
+    # narrow native-expression map: no pandas/python eval anywhere
+    assert "EvalPython" not in plan
+    # the only exchange is the final presentation orderBy (range); at scale
+    # the operator itself is embarrassingly parallel
+    assert I.shuffle_count(df) <= 1
+    I.assert_no_cartesian(df)
+
+
+def test_repetition_by_source_single_agg_shuffle(q):
+    df = q("repetition_filter_by_source")
+    plan = I.formatted_plan(df)
+    assert "EvalPython" not in plan
+    # partial (map-side) agg + final agg = one exchange, + final order
+    assert I.shuffle_count(df) <= 2
+    I.assert_no_cartesian(df)
+
+
+def test_decontaminate_broadcasts_benchmark_shingles(q):
+    df = q("decontaminate_vs_benchmark")
+    plan = I.formatted_plan(df)
+    # the benchmark shingle-hash set rides a broadcast — the corpus side
+    # never shuffles for the containment probe
+    assert I.broadcast_join_count(df) >= 1
+    I.assert_no_cartesian(df)
