@@ -25,6 +25,16 @@ from pyspark.sql import functions as F
 EPOCH_NTZ = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
 
 
+def _q(name: str) -> str:
+    """Backtick-quote a (possibly dotted) column identifier for F.expr.
+
+    Names needing quoting (spaces, hyphens, keywords) parse correctly;
+    dots stay qualifier separators, each part quoted individually."""
+    return ".".join(
+        "`" + part.replace("`", "``") + "`" for part in name.split(".")
+    )
+
+
 def normalize_ts_ntz(df: DataFrame, col: str) -> DataFrame:
     """Return ``df`` with ``col`` as TIMESTAMP_NTZ whatever it was read as."""
     if col not in df.columns:
@@ -33,12 +43,12 @@ def normalize_ts_ntz(df: DataFrame, col: str) -> DataFrame:
     if t == "long":  # nanos since epoch
         return df.withColumn(
             col,
-            F.expr(f"timestampadd(MICROSECOND, {col} div 1000, {EPOCH_NTZ})"),
+            F.expr(f"timestampadd(MICROSECOND, {_q(col)} div 1000, {EPOCH_NTZ})"),
         )
     if t == "timestamp":  # an instant; take its UTC wall clock
         return df.withColumn(
             col,
-            F.expr(f"timestampadd(MICROSECOND, unix_micros({col}), {EPOCH_NTZ})"),
+            F.expr(f"timestampadd(MICROSECOND, unix_micros({_q(col)}), {EPOCH_NTZ})"),
         )
     return df  # timestamp_ntz (or anything else): leave untouched
 
@@ -53,20 +63,23 @@ def epoch_us(df: DataFrame, col: str) -> Column:
     t = df.schema[col].dataType.typeName()
     if t == "timestamp":
         return F.unix_micros(F.col(col))
-    if t == "long":  # nanos since epoch
-        return (F.col(col) / F.lit(1000)).cast("long")
-    return F.expr(f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, {col})")
+    if t == "long":  # nanos since epoch — integer division: float /1000
+        # loses microsecond precision past 2^53 nanos (double mantissa)
+        return F.expr(f"{_q(col)} div 1000")
+    return F.expr(f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, {_q(col)})")
 
 
 def ntz_to_instant(col: str) -> Column:
     """TIMESTAMP_NTZ -> TIMESTAMP, reading the wall clock as UTC.
 
     Session-timezone-free (unlike ``cast``, which localizes)."""
-    return F.expr(f"timestamp_micros(timestampdiff(MICROSECOND, {EPOCH_NTZ}, {col}))")
+    return F.expr(
+        f"timestamp_micros(timestampdiff(MICROSECOND, {EPOCH_NTZ}, {_q(col)}))"
+    )
 
 
 def instant_to_ntz(col: str) -> Column:
     """TIMESTAMP -> TIMESTAMP_NTZ carrying the UTC wall clock.
 
     Inverse of :func:`ntz_to_instant`; session-timezone-free."""
-    return F.expr(f"timestampadd(MICROSECOND, unix_micros({col}), {EPOCH_NTZ})")
+    return F.expr(f"timestampadd(MICROSECOND, unix_micros({_q(col)}), {EPOCH_NTZ})")
