@@ -142,3 +142,61 @@ def word_diversity(text: Column) -> Column:
     """distinct words / total words (1.0 = no repetition, 0.0 = empty)."""
     toks = words_of(text)
     return _frac(F.size(F.array_distinct(toks)), F.size(toks))
+
+
+def add_repetition_signals(
+    df, text_col: str = "text", top_n: int = 2, dup_n: int = 5
+):
+    """Append all four repetition signals with the token array staged once.
+
+    The per-column helpers above inline ``words_of(text)`` into
+    higher-order lambdas, and lambda-inlined expressions re-evaluate per
+    array element — O(words) tokenizations per document per signal (the
+    same pathology ngram_jaccard_pairs documents). Staging ``_toks`` as a
+    real column behind a projection boundary (CollapseProject keeps it: a
+    non-cheap expression referenced many times is never re-inlined) makes
+    every lambda fold over a bound array: one tokenization per document,
+    total. Output values are bit-identical to the inline helpers.
+
+    Appends: ``top{top_n}_frac``, ``dup{dup_n}_frac``, ``max_run``,
+    ``diversity``.
+    """
+    staged = df.withColumn("_toks", words_of(F.col(text_col)))
+    toks = F.col("_toks")
+
+    top = top_gram_run(F.array_sort(word_ngrams_all(toks, top_n)))
+    text_len = F.length(F.array_join(toks, " "))
+    dup_grams = word_ngrams_all(toks, dup_n)
+
+    init = F.struct(
+        F.lit(0).cast("int").alias("run"),
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("int").alias("best"),
+    )
+
+    def step(acc, w):
+        run = F.when(
+            acc["prev"].isNotNull() & (acc["prev"] == w), acc["run"] + 1
+        ).otherwise(F.lit(1))
+        return F.struct(
+            run.alias("run"),
+            w.alias("prev"),
+            F.greatest(run, acc["best"]).alias("best"),
+        )
+
+    return (
+        staged.withColumn(
+            f"top{top_n}_frac",
+            _frac(top["count"] * F.length(top["gram"]), text_len),
+        )
+        .withColumn(
+            f"dup{dup_n}_frac",
+            _frac(
+                F.size(dup_grams) - F.size(F.array_distinct(dup_grams)),
+                F.size(dup_grams),
+            ),
+        )
+        .withColumn("max_run", F.aggregate(toks, init, step, lambda a: a["best"]))
+        .withColumn("diversity", _frac(F.size(F.array_distinct(toks)), F.size(toks)))
+        .drop("_toks")
+    )

@@ -28,7 +28,26 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from llm_data_pipeline_spark.functions.hashing import portable_hash60
-from llm_data_pipeline_spark.operators.dedup import word_ngrams
+from llm_data_pipeline_spark.functions.text import norm_ws
+from llm_data_pipeline_spark.operators.dedup import word_ngrams_from_toks
+
+
+def _staged_shingles(df: DataFrame, n: int, text_col: str, *keep: str) -> DataFrame:
+    """(keep..., shingle) rows with the token array staged behind a column
+    boundary first — an inline tokenize inside the n-gram transform lambda
+    re-tokenizes the document per position (see word_ngrams_from_toks)."""
+    toked = df.select(
+        *keep,
+        F.filter(F.split(norm_ws(F.col(text_col)), " "), lambda x: x != "").alias(
+            "_toks"
+        ),
+    )
+    return toked.select(
+        *keep,
+        F.explode(
+            F.array_distinct(word_ngrams_from_toks(F.col("_toks"), n))
+        ).alias("shingle"),
+    )
 
 
 def benchmark_ngram_hashes(
@@ -36,11 +55,7 @@ def benchmark_ngram_hashes(
 ) -> DataFrame:
     """Distinct word-n-gram hashes of an eval/benchmark set: (h) rows."""
     return (
-        benchmark.select(
-            F.explode(
-                F.array_distinct(word_ngrams(F.col(text_col), n))
-            ).alias("shingle")
-        )
+        _staged_shingles(benchmark, n, text_col)
         .select(portable_hash60(F.col("shingle")).alias("h"))
         .distinct()
     )
@@ -68,12 +83,9 @@ def decontaminate(
     Exact containment on hashed shingles (equality-only use — the portable
     md5 family is free, functions/hashing.py).
     """
-    doc_sh = docs.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias(
-            "shingle"
-        ),
-    ).select(id_col, portable_hash60(F.col("shingle")).alias("h"))
+    doc_sh = _staged_shingles(docs, n, text_col, id_col).select(
+        id_col, portable_hash60(F.col("shingle")).alias("h")
+    )
     bench = benchmark_ngram_hashes(benchmark, n, text_col).withColumn(
         "_hit", F.lit(1)
     )

@@ -170,9 +170,12 @@ def simhash_candidate_pairs(
 # ---------------------------------------------------------------------------
 
 
-def word_ngrams(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (space-joined) of normalized text."""
-    tokens = F.filter(F.split(norm_ws(text), " "), lambda x: x != "")
+def word_ngrams_from_toks(tokens: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (space-joined) of a token ARRAY.
+
+    Pass a materialized column: expressions fed into the transform lambda
+    are re-inlined per element, so an inline tokenize would re-tokenize
+    the document once per n-gram position (see ngram_jaccard_pairs)."""
     return F.when(F.size(tokens) < n, F.array(F.concat_ws(" ", tokens))).otherwise(
         F.array_distinct(
             F.transform(
@@ -181,6 +184,15 @@ def word_ngrams(text: Column, n: int = 3) -> Column:
             )
         )
     )
+
+
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (space-joined) of normalized text.
+
+    Convenience form for single-use expressions; hot paths should stage
+    the token array and call :func:`word_ngrams_from_toks`."""
+    tokens = F.filter(F.split(norm_ws(text), " "), lambda x: x != "")
+    return word_ngrams_from_toks(tokens, n)
 
 
 def ngram_jaccard_pairs(

@@ -81,7 +81,7 @@ def decontaminate_vs_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
     Originals 0..49 must flag as fully contaminated (they ARE the eval
     set), their variants as partially contaminated (shared 5-gram suffix),
     everything else clean — the exact leak-detection contract."""
-    aug = _augmented(spark, sf_dir)
+    aug = _augmented(spark, sf_dir, scatter=True)
     bench = table(spark, sf_dir, "documents").where(F.col("doc_id") < 50).select(
         "doc_id", "text"
     )

@@ -17,6 +17,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from llm_data_pipeline_spark.functions.repetition import (
+    add_repetition_signals,
     duplicate_gram_fraction,
     max_word_run,
     top_gram_char_fraction,
@@ -135,13 +136,8 @@ def repetition_signals(spark: SparkSession, sf_dir: str):
     (clean/rules.py): embarrassingly parallel per-document compute.
     """
     docs = table(spark, sf_dir, "documents", scatter=True)
-    t = F.col("text")
-    sig = docs.select(
-        "doc_id",
-        top_gram_char_fraction(t, 2).alias("top2_frac"),
-        duplicate_gram_fraction(t, 5).alias("dup5_frac"),
-        max_word_run(t).alias("max_run"),
-        word_diversity(t).alias("diversity"),
+    sig = add_repetition_signals(docs, "text").select(
+        "doc_id", "top2_frac", "dup5_frac", "max_run", "diversity"
     )
     return sig.withColumn(
         "keep",
@@ -172,14 +168,13 @@ def repetition_filter_by_source(spark: SparkSession, sf_dir: str):
     yield report a curation run emits before mixing (int/int division,
     engine-exact)."""
     docs = table(spark, sf_dir, "documents", scatter=True)
-    t = F.col("text")
-    judged = docs.select(
+    judged = add_repetition_signals(docs, "text").select(
         "source",
         (
-            (top_gram_char_fraction(t, 2) <= TOP2_MAX)
-            & (duplicate_gram_fraction(t, 5) <= DUP5_MAX)
-            & (max_word_run(t) <= RUN_MAX)
-            & (word_diversity(t) >= DIVERSITY_MIN)
+            (F.col("top2_frac") <= TOP2_MAX)
+            & (F.col("dup5_frac") <= DUP5_MAX)
+            & (F.col("max_run") <= RUN_MAX)
+            & (F.col("diversity") >= DIVERSITY_MIN)
         ).alias("keep"),
     )
     return (
