@@ -332,13 +332,13 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-def doc_chunks(text: Column, chunk_words: int = 16) -> Column:
-    """Non-overlapping word chunks (space-joined) of normalized text.
+def doc_chunks_from_toks(toks: Column, chunk_words: int = 16) -> Column:
+    """Non-overlapping word chunks (space-joined) of a token ARRAY.
 
     The last chunk keeps its ragged tail (slice clamps at the array end);
-    empty docs yield an empty array.
+    empty docs yield an empty array. Pass a materialized column — an
+    inline tokenize would re-run per chunk inside the transform lambda.
     """
-    toks = F.filter(F.split(norm_ws(text), " "), lambda x: x != "")
     n_chunks = F.ceil(F.size(toks) / F.lit(chunk_words)).cast("int")
     return F.when(F.size(toks) == 0, F.array().cast("array<string>")).otherwise(
         F.transform(
@@ -348,6 +348,12 @@ def doc_chunks(text: Column, chunk_words: int = 16) -> Column:
             ),
         )
     )
+
+
+def doc_chunks(text: Column, chunk_words: int = 16) -> Column:
+    """Convenience text form of :func:`doc_chunks_from_toks`."""
+    toks = F.filter(F.split(norm_ws(text), " "), lambda x: x != "")
+    return doc_chunks_from_toks(toks, chunk_words)
 
 
 def chunk_dup_stats(
@@ -371,9 +377,17 @@ def chunk_dup_stats(
     per-doc fractions feed the same keep/drop cascade the reference's
     dedup stage emits.
     """
-    chunks = df.select(
+    toked = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode_outer(doc_chunks(F.col(text_col), chunk_words)).alias("chunk"),
+        F.filter(F.split(norm_ws(F.col(text_col)), " "), lambda x: x != "").alias(
+            "_toks"
+        ),
+    )
+    chunks = toked.select(
+        "doc_id",
+        F.explode_outer(doc_chunks_from_toks(F.col("_toks"), chunk_words)).alias(
+            "chunk"
+        ),
     )
     global_counts = (
         chunks.where(F.col("chunk").isNotNull())
