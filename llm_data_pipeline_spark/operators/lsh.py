@@ -75,25 +75,57 @@ def band_rows(
 def candidate_pairs(
     bands: DataFrame,
     bucket_cap: int = DEFAULT_BUCKET_CAP,
+    strategy: str = "groupby",
 ) -> DataFrame:
     """Distinct candidate edges (u < v) from same-bucket co-occurrence.
 
-    A distributed self-join on (band_id, band_hash); buckets larger than
-    ``bucket_cap`` docs are dropped entirely (a mega-bucket means a
-    degenerate band — joining it would produce O(n^2) edges and its members
-    are connected through other bands anyway). AQE's skew-join handling
-    covers moderate skew below the cap.
+    Buckets larger than ``bucket_cap`` docs are dropped entirely (a
+    mega-bucket means a degenerate band — pairing it would produce O(n^2)
+    edges and its members are connected through other bands anyway).
+
+    strategy='groupby' (default): one aggregation keyed by
+    (band_id, band_hash) collects each bucket's members (bounded by the
+    cap), then in-bucket pairs expand via nested array transforms over the
+    sorted member list — per-bucket work is <= cap^2/2 structs, and the
+    only other shuffle is the final pair dedup. strategy='join': the
+    window-count + equi-self-join formulation (2 wide stages before the
+    dedup); kept for comparison and for caps large enough that a
+    cap^2-sized pair array per bucket would not fit a row.
     """
-    sized = bands.withColumn(
-        "bucket_n",
-        F.count("*").over(Window.partitionBy("band_id", "band_hash")),
-    ).where(F.col("bucket_n") <= bucket_cap)
-    left = sized.select("band_id", "band_hash", F.col("doc_id").alias("u"))
-    right = sized.select("band_id", "band_hash", F.col("doc_id").alias("v"))
+    if strategy == "join":
+        sized = bands.withColumn(
+            "bucket_n",
+            F.count("*").over(Window.partitionBy("band_id", "band_hash")),
+        ).where(F.col("bucket_n") <= bucket_cap)
+        left = sized.select("band_id", "band_hash", F.col("doc_id").alias("u"))
+        right = sized.select("band_id", "band_hash", F.col("doc_id").alias("v"))
+        return (
+            left.join(right, ["band_id", "band_hash"])
+            .where(F.col("u") < F.col("v"))
+            .select("u", "v")
+            .dropDuplicates(["u", "v"])
+        )
+    buckets = (
+        bands.groupBy("band_id", "band_hash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .withColumn("bucket_n", F.size("ds"))
+        .where((F.col("bucket_n") >= 2) & (F.col("bucket_n") <= bucket_cap))
+    )
+    ds = F.col("ds")
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.size(ds) - 2),
+            lambda i: F.transform(
+                F.slice(ds, i + 2, F.size(ds) - 1 - i),
+                lambda v: F.struct(
+                    F.element_at(ds, i + 1).alias("u"), v.alias("v")
+                ),
+            ),
+        )
+    )
     return (
-        left.join(right, ["band_id", "band_hash"])
-        .where(F.col("u") < F.col("v"))
-        .select("u", "v")
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
         .dropDuplicates(["u", "v"])
     )
 

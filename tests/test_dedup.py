@@ -135,3 +135,19 @@ def test_simhash(spark):
     assert hamming_near < hamming_far
     pairs = {(r.u, r.v) for r in simhash_candidate_pairs(add_simhash(_corpus(spark)), max_hamming=3).collect()}
     assert (1, 3) in pairs
+
+
+def test_candidate_pair_strategies_equivalent(spark, sf_dir):
+    """groupby (bounded in-bucket expansion) and join (window + equi-join)
+    pair generation must produce identical edge sets."""
+    from llm_data_pipeline_spark.operators.lsh import band_rows, candidate_pairs
+    from llm_data_pipeline_spark.operators.minhash import add_minhash
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bands = band_rows(add_minhash(docs), rows_per_band=8)
+    a = {(r["u"], r["v"]) for r in candidate_pairs(bands).collect()}
+    b = {
+        (r["u"], r["v"])
+        for r in candidate_pairs(bands, strategy="join").collect()
+    }
+    assert a == b and len(a) > 0

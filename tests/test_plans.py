@@ -97,13 +97,19 @@ def test_lsh_candidate_pairs_has_bucket_cap_and_equi_join(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     bands = band_rows(add_minhash(docs))
+    # default (groupby) shape: the mega-bucket cap must survive as a real
+    # size filter on the collected bucket, before the pair explosion
     edges = candidate_pairs(bands)
     plan = I.formatted_plan(edges)
-    # the mega-bucket guard must be a real Filter in the plan
-    assert "bucket_n" in plan, "bucket-cap filter disappeared from the plan"
-    # the self-join must be an equi join on (band_id, band_hash) — any
-    # cartesian/nested-loop here is the O(n^2) catastrophe at scale
+    assert "size(ds" in plan and "500" in plan, (
+        "bucket-cap filter disappeared from the groupby plan"
+    )
     I.assert_no_cartesian(edges)
+    # join shape: window count guard + equi join on (band_id, band_hash) —
+    # any cartesian/nested-loop here is the O(n^2) catastrophe at scale
+    edges_j = candidate_pairs(bands, strategy="join")
+    assert "bucket_n" in I.formatted_plan(edges_j)
+    I.assert_no_cartesian(edges_j)
 
 
 def test_fuzzy_dedup_kept_shape(q):
