@@ -351,15 +351,16 @@ def minhash_signatures(spark: SparkSession, sf_dir: str):
     hash them (an array<long> column is unhashable in pandas)."""
     docs = table(spark, sf_dir, "documents", scatter=True).select("doc_id", "text")
     sig = add_minhash(docs, hash_fn=portable_hash60, stage_hashes=True)
-    # No final ORDER BY: the grader's value-hash is order-insensitive and
-    # all columns are exact integers; a global sort of corpus x k rows
-    # would add a range exchange + a sampling pass that re-runs the
-    # signature UDF — presentation-only cost that grows with the corpus.
-    return sig.select(
-        "doc_id",
-        F.col("length").cast("long").alias("length"),
-        F.posexplode("signature").alias("pos", "sig_val"),
-    )
+    # Checkpoint the computed signatures BEFORE the final sort: the global
+    # orderBy's range-sampling pass re-executes its child plan, and without
+    # the boundary that means a second full signature-UDF run. With it the
+    # sample pass reads 128-long arrays from block storage.
+    staged = sig.select(
+        "doc_id", F.col("length").cast("long").alias("length"), "signature"
+    ).localCheckpoint(eager=False)
+    return staged.select(
+        "doc_id", "length", F.posexplode("signature").alias("pos", "sig_val")
+    ).orderBy("doc_id", "pos")
 
 
 @query(
@@ -485,9 +486,9 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str):
         .select("doc_id", "simhash")
         .localCheckpoint(eager=False)
     )
-    # No final ORDER BY (grader hashes order-insensitively; all columns
-    # exact ints) — the range-sampling pass would re-run the pair join.
-    return simhash_candidate_pairs(sim, max_hamming=3, bucket_cap=None)
+    return simhash_candidate_pairs(sim, max_hamming=3, bucket_cap=None).orderBy(
+        "u", "v"
+    )
 
 
 @query(

@@ -388,11 +388,11 @@ def bpe_byte_fallback_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(0, BPE_FIXTURE_TEXT)], "doc_id long, text string"
     )
     enc = encode_bpe(fix, merges, vocab)
-    # No ORDER BY: the grader's value-hash is order-insensitive and every
-    # column is an exact integer (the ordering convention exists for float
-    # tie-break stability). A global orderBy doubles this plan's runtime —
-    # its range-sampling pass re-executes the UDF stage to sort 52 rows.
-    return enc.select(F.posexplode("input_ids").alias("pos", "piece_id")).select(
-        F.col("pos").cast("long").alias("pos"),
-        F.col("piece_id").cast("long").alias("piece_id"),
+    return (
+        enc.select(F.posexplode("input_ids").alias("pos", "piece_id"))
+        .select(
+            F.col("pos").cast("long").alias("pos"),
+            F.col("piece_id").cast("long").alias("piece_id"),
+        )
+        .orderBy("pos")
     )
