@@ -151,3 +151,47 @@ def test_candidate_pair_strategies_equivalent(spark, sf_dir):
         for r in candidate_pairs(bands, strategy="join").collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_ngram_jaccard_positional_filter_lossless(spark):
+    """The ppjoin positional prune must drop no true pair: compare against
+    a brute-force all-pairs Jaccard over a corpus engineered with heavy
+    shingle overlap (shared vocabulary soup plus near-duplicates)."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = []
+    for i in range(40):
+        words = [rng.choice(vocab) for _ in range(rng.randint(3, 18))]
+        rows.append((i, " ".join(words)))
+        if i % 5 == 0:  # near-duplicate: drop the first word
+            rows.append((100 + i, " ".join(words[1:])))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for threshold in (0.3, 0.5, 0.8):
+        got = {
+            (r["u"], r["v"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(df, threshold=threshold, n=3).collect()
+        }
+        # brute force in python, identical shingle definition
+        def shingles(t):
+            toks = [w for w in t.lower().split() if w]
+            if len(toks) < 3:
+                return {" ".join(toks)}
+            return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+        sets = {d: shingles(t) for d, t in rows}
+        want = {}
+        for (a, sa), (b, sb) in itertools.combinations(sorted(sets.items()), 2):
+            inter = len(sa & sb)
+            union = len(sa | sb)
+            j = inter / union if union else 0.0
+            if union and j >= threshold:
+                want[(a, b)] = j
+        assert set(got) == set(want), (
+            f"t={threshold}: missing={set(want)-set(got)} extra={set(got)-set(want)}"
+        )
+        for k in want:
+            assert abs(got[k] - want[k]) < 1e-12
