@@ -202,3 +202,17 @@ def test_decontaminate_broadcasts_benchmark_shingles(q):
     # never shuffles for the containment probe
     assert I.broadcast_join_count(df) >= 1
     I.assert_no_cartesian(df)
+
+
+def test_scatter_is_noop_on_parallel_input(spark, sf_dir):
+    """scatter() exists only to fix under-parallel single-row-group test
+    scans; on an input that already has cluster-like parallelism it must
+    return the frame untouched (no exchange at scale)."""
+    from llm_data_pipeline_spark.queries import scatter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    target = spark.sparkContext.defaultParallelism
+    wide = docs.repartition(target)
+    assert scatter(wide) is wide  # untouched — no repartition node added
+    narrow = docs.coalesce(1)
+    assert scatter(narrow).rdd.getNumPartitions() == target
