@@ -130,6 +130,15 @@ def main() -> None:
             df = fn(spark, sf_dir)
             _ = df.count() if len(df.columns) > 8 else len(df.collect())
             steady[name] = round(time.perf_counter() - t0, 3)
+        # Lazy localCheckpoint blocks are reaped by the ContextCleaner only
+        # after their RDDs are garbage-collected; over a 93x2 gauntlet the
+        # un-reaped blocks otherwise accumulate in the block manager and
+        # late queries measure the pressure, not their plans. A GC pulse
+        # per query (few ms) keeps measurements independent.
+        import gc
+
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
 
     # Second fixed-position throughput measurement, after the gauntlet.
     if run_throughput:
