@@ -16,13 +16,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from llm_data_pipeline_spark.functions.repetition import (
-    add_repetition_signals,
-    duplicate_gram_fraction,
-    max_word_run,
-    top_gram_char_fraction,
-    word_diversity,
-)
+from llm_data_pipeline_spark.functions.repetition import add_repetition_signals
 from llm_data_pipeline_spark.queries import query, table
 
 # Gopher (web text) uses 0.20/0.18/0.16 for top-2/3/4-gram char coverage
