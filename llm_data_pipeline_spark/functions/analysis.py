@@ -67,7 +67,26 @@ def detect_language(text: Column) -> Column:
     """
     t = F.coalesce(text, F.lit(""))
     hits = {lang: stopword_hits(t, lang) for lang in LANG_ORDER}
-    expr = F.when(cjk_ratio(t) > CJK_LANG_THRESHOLD, F.lit("zh"))
+    return _lang_pred_from_hits(cjk_ratio(t), hits)
+
+
+def language_score(text: Column) -> Column:
+    """Confidence proxy: winning stopword hits / whitespace token count
+    (0.0 for empty; 1.0 for CJK route)."""
+    t = F.coalesce(text, F.lit(""))
+    hits = {lang: stopword_hits(t, lang) for lang in LANG_ORDER}
+    return _lang_score_from_hits(cjk_ratio(t), whitespace_token_count(t), hits)
+
+
+def _hit_count(toks: Column, lang: str) -> Column:
+    """Stopword-hit count over an already-staged token array column."""
+    words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda tok: F.array_contains(words, tok)))
+
+
+def _lang_pred_from_hits(cjk: Column, hits: dict[str, Column]) -> Column:
+    """The LANG_ORDER tie-break when-chain over already-computed hit counts."""
+    expr = F.when(cjk > CJK_LANG_THRESHOLD, F.lit("zh"))
     for i, lang in enumerate(LANG_ORDER):
         cond = hits[lang] > 0
         for other in LANG_ORDER[i + 1 :]:
@@ -78,15 +97,57 @@ def detect_language(text: Column) -> Column:
     return expr.otherwise(F.lit("und"))
 
 
-def language_score(text: Column) -> Column:
-    """Confidence proxy: winning stopword hits / whitespace token count
-    (0.0 for empty; 1.0 for CJK route)."""
-    t = F.coalesce(text, F.lit(""))
-    n = whitespace_token_count(t)
-    best = F.greatest(*[stopword_hits(t, lang) for lang in LANG_ORDER])
-    return F.when(cjk_ratio(t) > CJK_LANG_THRESHOLD, F.lit(1.0)).otherwise(
-        F.when(n > 0, best / n).otherwise(F.lit(0.0))
+def _lang_score_from_hits(
+    cjk: Column, n_tok: Column, hits: dict[str, Column]
+) -> Column:
+    best = F.greatest(*[hits[lang] for lang in LANG_ORDER])
+    return F.when(cjk > CJK_LANG_THRESHOLD, F.lit(1.0)).otherwise(
+        F.when(n_tok > 0, best / n_tok).otherwise(F.lit(0.0))
     )
+
+
+def with_language_heuristic(
+    df,
+    text_col: str = "text",
+    pred_col: str = "lang_pred",
+    score_col: str = "lang_score",
+):
+    """Append ``lang_pred``/``lang_score`` with staged intermediates.
+
+    The Column-expression forms (detect_language / language_score) inline
+    ``tokens(text)`` into every stopword counter, so one row tokenizes ~9x
+    — and any downstream expression referencing lang_pred re-inlines the
+    whole chain again (plan-hygiene rule 1, README). This variant stages
+    the token array, the four hit counts, the token count, and the CJK
+    ratio behind real projection boundaries (each staged column is
+    non-cheap and referenced more than once, so CollapseProject keeps the
+    boundary), then builds the outputs as cheap when-chains over staged
+    columns. Values are bit-identical to the expression forms
+    (tests/test_analysis.py equivalence test).
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    staged = df.withColumn("_lid_toks", tokens(t))
+    staged = staged.select(
+        "*",
+        F.size("_lid_toks").alias("_lid_n_tok"),
+        cjk_ratio(t).alias("_lid_cjk"),
+        *[
+            _hit_count(F.col("_lid_toks"), lang).alias(f"_lid_h_{lang}")
+            for lang in LANG_ORDER
+        ],
+    )
+    hits = {lang: F.col(f"_lid_h_{lang}") for lang in LANG_ORDER}
+    cjk = F.col("_lid_cjk")
+    n_tok = F.col("_lid_n_tok")
+    staged = staged.select(
+        "*",
+        _lang_pred_from_hits(cjk, hits).alias(pred_col),
+        _lang_score_from_hits(cjk, n_tok, hits).alias(score_col),
+    )
+    drop_cols = ["_lid_toks", "_lid_n_tok", "_lid_cjk"] + [
+        f"_lid_h_{lang}" for lang in LANG_ORDER
+    ]
+    return staged.drop(*drop_cols)
 
 
 def quality_score(text: Column) -> Column:
@@ -114,6 +175,44 @@ def quality_score(text: Column) -> Column:
         + F.lit(0.25) * alpha_cjk_ratio(t)
         + F.lit(0.25) * (F.lit(1.0) - F.least(punct_ratio(t) / 0.25, F.lit(1.0)))
         + F.lit(0.25) * F.least(F.lit(4.0) * sw_ratio, F.lit(1.0))
+    )
+
+
+def with_quality_score(df, text_col: str = "text", out_col: str = "quality_score"):
+    """Append the composite quality score with staged token/hit columns
+    (same staging rationale as with_language_heuristic; identical values
+    to quality_score(text) — the char-class ratios are referenced once
+    each so they stay inline)."""
+    from llm_data_pipeline_spark.functions.text import (
+        alpha_cjk_ratio,
+        non_ws_ratio,
+        punct_ratio,
+    )
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    staged = df.withColumn("_qs_toks", tokens(t))
+    staged = staged.select(
+        "*",
+        F.size("_qs_toks").alias("_qs_n_tok"),
+        *[
+            _hit_count(F.col("_qs_toks"), lang).alias(f"_qs_h_{lang}")
+            for lang in LANG_ORDER
+        ],
+    )
+    sw_total = None
+    for lang in LANG_ORDER:
+        h = F.col(f"_qs_h_{lang}")
+        sw_total = h if sw_total is None else sw_total + h
+    n_tok = F.col("_qs_n_tok")
+    sw_ratio = F.when(n_tok > 0, sw_total / n_tok).otherwise(F.lit(0.0))
+    score = (
+        F.lit(0.25) * non_ws_ratio(t)
+        + F.lit(0.25) * alpha_cjk_ratio(t)
+        + F.lit(0.25) * (F.lit(1.0) - F.least(punct_ratio(t) / 0.25, F.lit(1.0)))
+        + F.lit(0.25) * F.least(F.lit(4.0) * sw_ratio, F.lit(1.0))
+    )
+    return staged.withColumn(out_col, score).drop(
+        "_qs_toks", "_qs_n_tok", *[f"_qs_h_{lang}" for lang in LANG_ORDER]
     )
 
 

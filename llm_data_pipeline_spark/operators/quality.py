@@ -22,10 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from llm_data_pipeline_spark.functions.analysis import (
-    detect_language,
-    language_score,
-)
+from llm_data_pipeline_spark.functions.analysis import with_language_heuristic
 
 DEFAULT_ALLOWED_LANGS = ("zh", "en")
 DEFAULT_THRESHOLD = 0.4
@@ -74,10 +71,10 @@ def add_language(
             ("fasttext", model_path),
             lambda: _fasttext_factory(model_path),
         ) is None:
-            text = F.col(text_col)
-            return df.withColumn("lang_pred", detect_language(text)).withColumn(
-                "lang_score", language_score(text)
-            )
+            # staged variant: tokenize once per row, hit counts behind a
+            # projection boundary (plan-hygiene rule 1) — the Column-expr
+            # forms re-tokenize ~9x and re-inline under downstream refs
+            return with_language_heuristic(df, text_col)
         factory = lambda: _fasttext_factory(model_path)  # noqa: E731
         cache_key = ("fasttext", model_path)
     else:

@@ -95,12 +95,11 @@ _QUALITY_SCORE = (
 )
 def text_language_detect(spark: SparkSession, sf_dir: str):
     docs = table(spark, sf_dir, "documents", scatter=True)
-    t = F.col("text")
-    return docs.select(
-        "doc_id",
-        A.detect_language(t).alias("lang_pred"),
-        A.language_score(t).alias("lang_score"),
-    ).orderBy("doc_id")
+    return (
+        A.with_language_heuristic(docs)
+        .select("doc_id", "lang_pred", "lang_score")
+        .orderBy("doc_id")
+    )
 
 
 @query(
@@ -115,9 +114,11 @@ def text_language_detect(spark: SparkSession, sf_dir: str):
 )
 def text_quality_scores(spark: SparkSession, sf_dir: str):
     docs = table(spark, sf_dir, "documents", scatter=True)
-    return docs.select(
-        "doc_id", A.quality_score(F.col("text")).alias("quality_score")
-    ).orderBy("doc_id")
+    return (
+        A.with_quality_score(docs)
+        .select("doc_id", "quality_score")
+        .orderBy("doc_id")
+    )
 
 
 @query(

@@ -115,3 +115,26 @@ def test_winnow_strategies_equivalent(spark, sf_dir):
         for r in add_winnow_fingerprints(docs, strategy="native").collect()
     }
     assert a == b
+
+
+def test_staged_language_heuristic_equivalent(spark, sf_dir):
+    """with_language_heuristic / with_quality_score (staged, plan-hygiene
+    rule 1) must be value-identical to the Column-expression forms."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    expr = docs.select(
+        "doc_id",
+        A.detect_language(F.col("text")).alias("lang_pred"),
+        A.language_score(F.col("text")).alias("lang_score"),
+        A.quality_score(F.col("text")).alias("q"),
+    ).orderBy("doc_id")
+    staged = (
+        A.with_quality_score(A.with_language_heuristic(docs), out_col="q")
+        .select("doc_id", "lang_pred", "lang_score", "q")
+        .orderBy("doc_id")
+    )
+    a, b = expr.collect(), staged.collect()
+    assert len(a) == len(b) == 200
+    for ra, rb in zip(a, b):
+        assert ra == rb
+    # staged temp columns must not leak into the output schema
+    assert staged.columns == ["doc_id", "lang_pred", "lang_score", "q"]
