@@ -95,6 +95,105 @@ def make_signature_udf(k: int = DEFAULT_K, seed: int = DEFAULT_SEED):
     return signature
 
 
+def shingle_array(text: Column, ngram: int = DEFAULT_NGRAM) -> Column:
+    """array<string> of distinct char n-gram shingles of the normalized
+    text (the string stage of shingle_hashes, without the hash map)."""
+    norm = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    return F.when(F.length(norm) < ngram, F.array(norm)).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.length(norm) - ngram),
+                lambda i: F.substring(norm, i + 1, F.lit(ngram)),
+            )
+        )
+    )
+
+
+def make_md5_signature_udf(k: int = DEFAULT_K, seed: int = DEFAULT_SEED):
+    """pandas UDF: array<string> shingles -> array<long> signature, with the
+    portable md5-60 shingle hash computed inside the UDF.
+
+    The graded queries used to evaluate the md5 family per shingle in a JVM
+    transform lambda feeding the signature UDF — md5+conv per element in
+    EvalPythonExec's non-codegen input projection was the single most
+    expensive stage in the registry (BENCH_r03: minhash_signatures 13.2 s).
+    Fusing the hash into the UDF makes it one Arrow transfer of shingle
+    strings plus one hashlib pass per *unique* shingle per batch (shingles
+    repeat heavily across documents), then the same uint64 permutation-min.
+    Values are bit-identical to hash_fn=portable_hash60 (first 60 bits of
+    md5 as non-negative long; equivalence-tested in tests/test_dedup.py).
+    Production path (xxhash64, make_signature_udf) is unchanged.
+    """
+    import hashlib
+
+    a, b = _perm_params(k, seed)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def signature(shingles: pd.Series) -> pd.Series:
+        sizes = [0 if sh is None else len(sh) for sh in shingles]
+        flat: list[str] = []
+        for sh in shingles:
+            if sh is not None and len(sh):
+                flat.extend(sh)
+        if flat:
+            # hash-based dedup (factorize) — sort-based np.unique on
+            # millions of object strings dominated the UDF cost
+            inverse, uniq = pd.factorize(np.asarray(flat, dtype=object))
+            uh = np.empty(len(uniq), dtype=np.uint64)
+            md5 = hashlib.md5
+            for i, s in enumerate(uniq):
+                # first 60 bits of md5 == first 15 hex chars as a long
+                uh[i] = (
+                    int.from_bytes(md5(s.encode("utf-8")).digest()[:8], "big")
+                    >> 4
+                )
+            all_h = uh[inverse]
+        else:
+            all_h = np.empty(0, dtype=np.uint64)
+        out = []
+        pos = 0
+        for n in sizes:
+            if n == 0:
+                out.append(np.zeros(k, dtype=np.int64))
+                continue
+            h = all_h[pos : pos + n]
+            pos += n
+            m = h.reshape(-1, 1) * a + b
+            out.append(m.min(axis=0).view(np.int64))
+        return pd.Series(out)
+
+    return signature
+
+
+def add_minhash_md5(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = DEFAULT_K,
+    seed: int = DEFAULT_SEED,
+    ngram: int = DEFAULT_NGRAM,
+    signature_col: str = "signature",
+) -> DataFrame:
+    """Graded-variant add_minhash: identical output to
+    ``add_minhash(hash_fn=portable_hash60, stage_hashes=True)`` with the
+    shingle hashing fused into the signature UDF (see
+    make_md5_signature_udf). Shingle strings are staged behind a lazy
+    localCheckpoint so generator-filter pushdown / orderBy sampling can
+    never re-run the shingling, mirroring stage_hashes=True."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    sig_udf = make_md5_signature_udf(k, seed)
+    zero = F.array_repeat(F.lit(0).cast("long"), k)
+    staged = (
+        df.withColumn("length", F.length(text))
+        .withColumn("_sh", shingle_array(text, ngram))
+        .withColumn("_empty", F.length(F.trim(text)) == 0)
+        .localCheckpoint(eager=False)
+    )
+    return staged.withColumn(
+        signature_col,
+        F.when(F.col("_empty"), zero).otherwise(sig_udf(F.col("_sh"))),
+    ).drop("_sh", "_empty")
+
+
 def add_minhash(
     df: DataFrame,
     text_col: str = "text",

@@ -28,7 +28,7 @@ from llm_data_pipeline_spark.operators.lsh import (
     connected_components,
     minhash_dedup,
 )
-from llm_data_pipeline_spark.operators.minhash import add_minhash
+from llm_data_pipeline_spark.operators.minhash import add_minhash, add_minhash_md5
 from llm_data_pipeline_spark.queries import query, table
 
 VARIANT_OFFSET = 100_000
@@ -350,7 +350,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str):
     rows — scalar columns only, so the driver's canonicalizer can sort and
     hash them (an array<long> column is unhashable in pandas)."""
     docs = table(spark, sf_dir, "documents", scatter=True).select("doc_id", "text")
-    sig = add_minhash(docs, hash_fn=portable_hash60, stage_hashes=True)
+    sig = add_minhash_md5(docs)
     # Checkpoint the computed signatures BEFORE the final sort: the global
     # orderBy's range-sampling pass re-executes its child plan, and without
     # the boundary that means a second full signature-UDF run. With it the
@@ -425,7 +425,7 @@ def minhash_dedup_kept(spark: SparkSession, sf_dir: str):
     sha1 preimage), the 500-doc bucket cap, recursive-CTE components, and
     the (length desc, doc_id desc) canonical tie-break."""
     aug = _augmented(spark, sf_dir, scatter=True)
-    sig = add_minhash(aug, hash_fn=portable_hash60, stage_hashes=True)
+    sig = add_minhash_md5(aug)
     kept, _ = minhash_dedup(sig, rows_per_band=8)
     return kept.select("doc_id").orderBy("doc_id")
 

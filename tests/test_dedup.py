@@ -195,3 +195,42 @@ def test_ngram_jaccard_positional_filter_lossless(spark):
         )
         for k in want:
             assert abs(got[k] - want[k]) < 1e-12
+
+
+def test_md5_fused_signature_equivalent(spark, sf_dir):
+    """add_minhash_md5 (hash fused into the UDF) must produce signatures
+    bit-identical to add_minhash(hash_fn=portable_hash60) — including the
+    empty-text zero signature and sub-ngram short texts."""
+    from pyspark.sql import Row
+
+    from llm_data_pipeline_spark.functions.hashing import portable_hash60
+    from llm_data_pipeline_spark.operators.minhash import (
+        add_minhash,
+        add_minhash_md5,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(100)
+    extra = spark.createDataFrame(
+        [
+            Row(doc_id=900001, text=""),
+            Row(doc_id=900002, text="   "),
+            Row(doc_id=900003, text=None),
+            Row(doc_id=900004, text="ab"),
+            Row(doc_id=900005, text="abcd"),
+        ],
+        "doc_id bigint, text string",
+    )
+    docs = docs.unionByName(extra)
+    ref = {
+        r.doc_id: (r.length, r.signature)
+        for r in add_minhash(
+            docs, hash_fn=portable_hash60, stage_hashes=True
+        ).collect()
+    }
+    fused = {
+        r.doc_id: (r.length, r.signature)
+        for r in add_minhash_md5(docs).collect()
+    }
+    assert ref == fused and len(ref) == 105
