@@ -157,26 +157,36 @@ def main() -> None:
     # are reported alongside. Under a BENCH_QUERIES override, sum what ran.
     headline = set(HEADLINE) if not extra else set(times)
     total = round(sum(v for k, v in times.items() if k in headline), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "total_all_queries": round(sum(times.values()), 3),
-                **(
-                    {"steady_total_all_queries": round(sum(steady.values()), 3)}
-                    if steady
-                    else {}
-                ),
-                "queries": times,
-                **({"steady_state": steady} if steady else {}),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                **({"throughput": throughput} if throughput else {}),
-                **({"failures": failures} if failures else {}),
-            }
-        )
-    )
+    payload = {
+        # Per-query dicts FIRST, headline scalars LAST: the round driver
+        # keeps only the last ~2 kB of stdout, so ordering the line this
+        # way means a truncated capture still ends with the numbers that
+        # matter (r03's capture lost the headline set to truncation).
+        "queries": times,
+        **({"steady_state": steady} if steady else {}),
+        **({"failures": failures} if failures else {}),
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "total_all_queries": round(sum(times.values()), 3),
+        **(
+            {"steady_total_all_queries": round(sum(steady.values()), 3)}
+            if steady
+            else {}
+        ),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        **({"throughput": throughput} if throughput else {}),
+    }
+    # Full-fidelity committed artifact — per-round numbers must remain
+    # recoverable from the repo even when the driver's stdout capture
+    # truncates. Skipped for subset runs (BENCH_QUERIES) so iteration
+    # never clobbers the round record.
+    if not extra:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "bench_full_latest.json"), "w") as f:
+            json.dump(payload, f, indent=1)
+            f.write("\n")
+    print(json.dumps(payload))
 
 
 def tokenize_throughput(spark, sf_dir: str, target_tokens: int = 25_000_000) -> dict:

@@ -25,10 +25,10 @@ unique words for web-scale corpora; Heaps' law), not corpus size. So:
   text is >95%).
 
 Word model: SentencePiece-style "▁" word-start marker; initial symbols are
-unicode characters. No byte_fallback (chars unseen in training map to UNK
-at encode time — divergence from the reference's byte_fallback=True is
-documented here and in SURVEY terms: the fallback only matters for chars
-absent from a 100 TB training corpus).
+unicode characters. ``byte_fallback=True`` (the reference default,
+tokenizer/train.py:117) adds the 256 ``<0xNN>`` byte pieces at the fixed
+id range [BYTE_ID_BASE, BYTE_ID_BASE+255] so symbols unseen in training
+encode to their UTF-8 bytes instead of UNK.
 
 Special ids match the reference SPM config: unk=0, bos=1, eos=2, pad=3.
 """
@@ -213,6 +213,14 @@ def byte_piece(b: int) -> str:
     return f"<0x{b:02X}>"
 
 
+# With byte_fallback the 256 byte pieces always follow the 4 specials, so
+# their ids are the FIXED range [BYTE_ID_BASE, BYTE_ID_BASE + 255] — the
+# id range, not the piece spelling, is what identifies a byte piece
+# (corpus text can legitimately contain the literal string '<0x41>').
+BYTE_ID_BASE = N_SPECIAL
+_BYTE_SPELLINGS = frozenset(byte_piece(b) for b in range(256))
+
+
 def bpe_vocab(
     word_freqs: list[tuple[str, int]],
     merges: list[tuple[str, str]],
@@ -223,7 +231,7 @@ def bpe_vocab(
     ASC), then merge products in merge order. Deterministic.
 
     ``byte_fallback=True`` is the reference default (SPM config
-    tokenizer/train.py:343-346): symbols unseen in training encode to
+    tokenizer/train.py:117): symbols unseen in training encode to
     their UTF-8 bytes instead of UNK, so no input can lose information.
     """
     char_freq: Counter = Counter()
@@ -231,16 +239,29 @@ def bpe_vocab(
         for c in _initial_symbols(w):
             char_freq[c] += f
     alphabet = sorted(char_freq, key=lambda c: (-char_freq[c], c))
+    text_pieces = alphabet + [a + b for a, b in merges]
+    if byte_fallback:
+        # A merge product can spell exactly '<0xNN>' when the corpus
+        # contains that literal text. It must NOT become a text piece: its
+        # id would be indistinguishable from the byte piece's and decode as
+        # the raw byte. Skip it — encode_word routes any byte-spelled
+        # symbol through byte fallback, which roundtrips the literal text.
+        text_pieces = [p for p in text_pieces if p not in _BYTE_SPELLINGS]
     pieces = (
         ["<unk>", "<s>", "</s>", "<pad>"]
         + ([byte_piece(b) for b in range(256)] if byte_fallback else [])
-        + alphabet
-        + [a + b for a, b in merges]
+        + text_pieces
     )
+    # first-occurrence dedup: two merges may legitimately produce the same
+    # product string (e.g. ('a','bc') and ('ab','c')); both map to one id
     seen = {}
     for p in pieces:
         if p not in seen:
             seen[p] = len(seen)
+    if byte_fallback:
+        assert all(
+            seen[byte_piece(b)] == BYTE_ID_BASE + b for b in range(256)
+        ), "byte pieces must occupy the fixed id range"
     return list(seen.items())
 
 
@@ -252,7 +273,7 @@ def encode_word(
 
     A residual symbol absent from the vocab falls back to its UTF-8 bytes
     when the vocab carries the 256 ``<0xXX>`` pieces (reference parity:
-    byte_fallback=True, tokenizer/train.py:343-346), so unseen characters
+    byte_fallback=True, tokenizer/train.py:117), so unseen characters
     never collapse to UNK. With the fused word-start marker, an unknown
     first-char symbol ``▁X`` byte-encodes marker bytes included — a
     documented divergence from SPM's unfused marker, deterministic on both
@@ -268,14 +289,20 @@ def encode_word(
         if best_j is None:
             break
         syms[best_j : best_j + 2] = [syms[best_j] + syms[best_j + 1]]
-    has_bytes = byte_piece(0) in piece_ids
+    has_bytes = piece_ids.get(byte_piece(0)) == BYTE_ID_BASE
     ids: list[int] = []
     for s in syms:
+        # a residual symbol spelled exactly like a byte piece is literal
+        # corpus text, never a text piece (bpe_vocab refuses to mint one)
+        # — byte-fallback its UTF-8 bytes so '<0x41>' roundtrips as text
+        if has_bytes and s in _BYTE_SPELLINGS:
+            ids.extend(BYTE_ID_BASE + b for b in s.encode("utf-8"))
+            continue
         got = piece_ids.get(s)
         if got is not None:
             ids.append(got)
         elif has_bytes:
-            ids.extend(piece_ids[byte_piece(b)] for b in s.encode("utf-8"))
+            ids.extend(BYTE_ID_BASE + b for b in s.encode("utf-8"))
         else:
             ids.append(UNK_ID)
     return ids
@@ -327,8 +354,13 @@ def encode_bpe(
 
 def decode_ids(ids: list[int], vocab: list[tuple[str, int]]) -> str:
     """Inverse of encode: concat pieces (byte pieces reassembled into
-    UTF-8 runs), ▁ → space."""
+    UTF-8 runs), ▁ → space.
+
+    Byte pieces are identified by their FIXED id range
+    [BYTE_ID_BASE, BYTE_ID_BASE+255] — never by the piece spelling, which
+    corpus text can collide with ('<0x41>' as literal text)."""
     rev = {i: p for p, i in vocab}
+    has_bytes = rev.get(BYTE_ID_BASE) == byte_piece(0)
     specials = {UNK_ID, BOS_ID, EOS_ID, PAD_ID}
     chunks: list[str] = []
     byte_run: list[int] = []
@@ -341,12 +373,11 @@ def decode_ids(ids: list[int], vocab: list[tuple[str, int]]) -> str:
     for i in ids:
         if i in specials:
             continue
-        p = rev.get(i, "")
-        if len(p) == 6 and p.startswith("<0x") and p.endswith(">"):
-            byte_run.append(int(p[3:5], 16))
+        if has_bytes and BYTE_ID_BASE <= i < BYTE_ID_BASE + 256:
+            byte_run.append(i - BYTE_ID_BASE)
         else:
             flush()
-            chunks.append(p)
+            chunks.append(rev.get(i, ""))
     flush()
     return "".join(chunks).replace(WORD_MARKER, " ").strip()
 

@@ -201,7 +201,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-    verify_broadcast_threshold: int = 200_000,
+    verify_broadcast_bytes: int = 128 << 20,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs (u < v, jaccard >= threshold) with
     prefix filtering (SSJoin/ppjoin family — lossless).
@@ -224,14 +224,20 @@ def ngram_jaccard_pairs(
       candidates needed anyway — no extra shuffle.
 
     Survivors are verified exactly once via array_intersect on the full
-    sets. When the corpus is small enough (<= ``verify_broadcast_threshold``
-    docs — known for free because the checkpointed docs frame must
-    materialize anyway), the doc->shingles side is broadcast, so
+    sets. When the doc->shingles map is small enough, it is broadcast, so
     verification is a narrow map over candidates instead of two sort-merge
     shuffles of candidate rows with arrays attached (the checkpointed frame
-    has no catalyst stats, so AQE alone never picks the broadcast). At
-    100 TB the count exceeds the threshold and the join reverts to the
-    shuffle plan, keyed by doc_id.
+    has no catalyst stats, so AQE alone never picks the broadcast). The
+    bound is byte-aware — estimated array bytes (8·Σ|shingles| plus row
+    overhead) vs ``verify_broadcast_bytes`` PER SIDE, because BOTH du and
+    dv are full copies of the map — not a row count, which under-gates for
+    long documents. At 100 TB the estimate exceeds the budget and the join
+    reverts to the shuffle plan, keyed by doc_id.
+
+    Note: deciding the strategy needs the corpus size, so building this
+    frame runs one aggregate job eagerly (it doubles as materializing the
+    checkpoint every downstream branch reuses; a lazy alternative would be
+    a join hint deferred to AQE, which cannot see checkpoint stats).
     """
     # Work on hashed shingles throughout: xxhash64 over the n-word tuple
     # (no per-position string building — concat_ws(slice(...)) inside a
@@ -310,9 +316,15 @@ def ngram_jaccard_pairs(
     )
     du = docs.select(F.col("doc_id").alias("u"), F.col("sh").alias("sh_u"))
     dv = docs.select(F.col("doc_id").alias("v"), F.col("sh").alias("sh_v"))
-    # the count is free parallel work: it materializes the checkpoint that
-    # every downstream branch reuses anyway
-    if docs.count() <= verify_broadcast_threshold:
+    # one eager aggregate job (materializes the checkpoint every downstream
+    # branch reuses anyway) sizes the map in BYTES: 8 per hashed shingle
+    # + ~32 per row of array/offset/id overhead
+    stats = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.coalesce(F.sum("n_sh"), F.lit(0)).alias("total_sh"),
+    ).collect()[0]
+    est_bytes = int(stats["total_sh"]) * 8 + int(stats["n_docs"]) * 32
+    if est_bytes <= verify_broadcast_bytes:
         du, dv = F.broadcast(du), F.broadcast(dv)
     return (
         cands.join(du, "u")

@@ -83,14 +83,20 @@ def candidate_pairs(
     mega-bucket means a degenerate band — pairing it would produce O(n^2)
     edges and its members are connected through other bands anyway).
 
-    strategy='groupby' (default): one aggregation keyed by
-    (band_id, band_hash) collects each bucket's members (bounded by the
-    cap), then in-bucket pairs expand via nested array transforms over the
-    sorted member list — per-bucket work is <= cap^2/2 structs, and the
-    only other shuffle is the final pair dedup. strategy='join': the
-    window-count + equi-self-join formulation (2 wide stages before the
-    dedup); kept for comparison and for caps large enough that a
-    cap^2-sized pair array per bucket would not fit a row.
+    strategy='groupby' (default): a count aggregate first identifies the
+    buckets with 2..cap members (map-side partial counts — the shuffle
+    carries one row per distinct bucket), a semi-join prunes the band rows
+    to those buckets, and only then does collect_list build the bounded
+    member arrays. The prefilter order matters at scale: a degenerate
+    mega-bucket (e.g. every empty doc shares the all-zero signature, hence
+    identical band hashes in every band) must never be materialized as one
+    aggregation-buffer row just to be dropped by a size filter —
+    collect_list buffers cannot spill mid-row. After the prefilter,
+    per-bucket work is <= cap^2/2 structs and the only other shuffle is
+    the final pair dedup. strategy='join': the window-count +
+    equi-self-join formulation (2 wide stages before the dedup); kept for
+    comparison and for caps large enough that a cap^2-sized pair array per
+    bucket would not fit a row.
     """
     if strategy == "join":
         sized = bands.withColumn(
@@ -105,11 +111,16 @@ def candidate_pairs(
             .select("u", "v")
             .dropDuplicates(["u", "v"])
         )
-    buckets = (
+    in_cap = (
         bands.groupBy("band_id", "band_hash")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-        .withColumn("bucket_n", F.size("ds"))
+        .agg(F.count("*").alias("bucket_n"))
         .where((F.col("bucket_n") >= 2) & (F.col("bucket_n") <= bucket_cap))
+        .select("band_id", "band_hash")
+    )
+    buckets = (
+        bands.join(in_cap, ["band_id", "band_hash"], "left_semi")
+        .groupBy("band_id", "band_hash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
     )
     ds = F.col("ds")
     pair_structs = F.flatten(

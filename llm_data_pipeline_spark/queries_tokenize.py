@@ -374,7 +374,7 @@ def bpe_byte_fallback_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (accented latin, CJK, digits, caps, punctuation) with the
     corpus-trained BPE: every unseen symbol must resolve to its UTF-8
     <0xXX> byte pieces (reference SPM byte_fallback=True,
-    tokenizer/train.py:343-346) — the exact (pos, piece_id) sequence is
+    tokenizer/train.py:117) — the exact (pos, piece_id) sequence is
     pinned by the golden, so an UNK anywhere or an id off by one breaks
     the match."""
     from llm_data_pipeline_spark.operators.bpe import encode_bpe, train_bpe

@@ -142,3 +142,24 @@ def test_spark_encode_matches_pure_python(spark, sf_dir):
         for w in (row["text"] or "").split():
             expect.extend(encode_word(w, ranks, pids))
         assert enc[row["doc_id"]] == expect
+
+
+def test_byte_spelling_collision_roundtrips_as_text():
+    """Corpus text literally containing '<0x41>' must never mint a text
+    piece that collides with the byte piece (decode would yield raw byte
+    'A'); the spelled symbol byte-fallbacks and roundtrips losslessly."""
+    from llm_data_pipeline_spark.operators.bpe import BYTE_ID_BASE, byte_piece
+
+    # heavy repetition so merges would otherwise assemble '<0x41>' whole
+    wf = [("x<0x41>y", 50), ("<0x41>", 80), ("ab", 3)]
+    merges = learn_bpe(wf, 60, min_pair_freq=1)
+    vocab = bpe_vocab(wf, merges, byte_fallback=True)
+    pieces = [p for p, _ in vocab]
+    assert len(pieces) == len(set(pieces))  # ids AND spellings unique
+    # byte pieces occupy exactly the fixed id range
+    pid = dict(vocab)
+    assert all(pid[byte_piece(b)] == BYTE_ID_BASE + b for b in range(256))
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w in ("<0x41>", "x<0x41>y", "<0xFF>", "a<0x00>b"):
+        ids = encode_word(w, ranks, pid)
+        assert decode_ids(ids, vocab) == w, w
