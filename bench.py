@@ -152,6 +152,17 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             print(f"bench: post throughput failed: {type(e).__name__}: {e}", file=sys.stderr)
 
+    scale: dict = {}
+    if os.environ.get("BENCH_SCALE", "1") != "0" and not extra:
+        try:
+            scale["dedup_scale_check"] = dedup_scale_check(spark, sf_dir)
+        except Exception as e:  # noqa: BLE001
+            print(f"bench: scale check failed: {type(e).__name__}: {e}", file=sys.stderr)
+        try:
+            scale["bpe_train_curve"] = bpe_train_curve()
+        except Exception as e:  # noqa: BLE001
+            print(f"bench: bpe curve failed: {type(e).__name__}: {e}", file=sys.stderr)
+
     # Headline value stays the sum over the curated HEADLINE set so it is
     # comparable round-over-round; the full-registry totals (93 queries)
     # are reported alongside. Under a BENCH_QUERIES override, sum what ran.
@@ -165,6 +176,7 @@ def main() -> None:
         "queries": times,
         **({"steady_state": steady} if steady else {}),
         **({"failures": failures} if failures else {}),
+        **(scale if scale else {}),
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
@@ -187,6 +199,127 @@ def main() -> None:
             json.dump(payload, f, indent=1)
             f.write("\n")
     print(json.dumps(payload))
+
+
+def bpe_train_curve() -> dict:
+    """Trainer wall-time at reference-scale merge counts (driver-side:
+    merge learning never touches the corpus, only the word-freq dict —
+    the curve shows cost vs vocab size, the axis the reference's
+    vocab-32000 config lives on)."""
+    import hashlib
+    import time as _time
+    from collections import Counter
+
+    from llm_data_pipeline_spark.operators.bpe import learn_bpe
+    from llm_data_pipeline_spark.queries_tokenize import (
+        BPE8K_DRAWS,
+        BPE8K_N_DOCS,
+        BPE8K_POOL,
+        BPE8K_WLEN,
+    )
+
+    pool = [
+        hashlib.md5(str(j).encode()).hexdigest()[:BPE8K_WLEN]
+        for j in range(BPE8K_POOL)
+    ]
+    c: Counter = Counter()
+    for d in range(BPE8K_N_DOCS):
+        for k in range(BPE8K_DRAWS):
+            u = (d * 131071 + k * 8191) % BPE8K_POOL
+            j = (u * u) // BPE8K_POOL
+            c[pool[j]] += 1
+    wf = sorted(c.items())
+    curve = {}
+    for n in (1024, 2048, 4096, 8192):
+        t0 = _time.perf_counter()
+        m = learn_bpe(wf, n, min_pair_freq=2)
+        curve[str(n)] = {
+            "sec": round(_time.perf_counter() - t0, 3),
+            "merges": len(m),
+        }
+    return curve
+
+
+def dedup_scale_check(spark, sf_dir: str, reps: int = 10) -> dict:
+    """Measured (not argued) scale behavior of the dedup family: the
+    corpus is replicated in-plan with per-replica word tags (each replica
+    is DISTINCT content — the '10x more data' model, not '10 copies of
+    the same documents'), then ngram-Jaccard pair generation and
+    MinHash-LSH dedup run at 1x and at ``reps``x. With disjoint replica
+    shingle spaces, bucket sizes stay bounded and candidates grow with
+    corpus size, so runtime should grow ~linearly (ratio well under the
+    quadratic reps^2). Runs at sf0.01 regardless of the bench sf so the
+    check costs seconds, not minutes."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from llm_data_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+    from llm_data_pipeline_spark.operators.lsh import minhash_dedup
+    from llm_data_pipeline_spark.operators.minhash import add_minhash
+    from llm_data_pipeline_spark.queries import table
+
+    small = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
+    base_dir = small if os.path.isdir(small) else sf_dir
+    docs = table(spark, base_dir, "documents").select("doc_id", "text")
+    nparts = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    def replicated(r: int):
+        reps_df = spark.range(r).select(F.col("id").alias("rep"))
+        tag = F.concat(F.lit("r"), F.col("rep").cast("string"), F.lit("_"))
+        return (
+            docs.crossJoin(reps_df)
+            .select(
+                (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.split(F.coalesce("text", F.lit("")), r"\s+"),
+                        lambda w: F.concat(tag, w),
+                    ),
+                ).alias("text"),
+            )
+            # sf0.01 is one tiny parquet split: without this, the whole
+            # replicated corpus lands in one partition and the signature
+            # UDF runs on one core — measuring serialization, not scaling
+            .repartition(nparts)
+        )
+
+    def run_once(r: int) -> tuple[float, int, float, int]:
+        d = replicated(r)
+        t0 = _time.perf_counter()
+        n_pairs = ngram_jaccard_pairs(d, threshold=0.5, n=3).count()
+        t_j = _time.perf_counter() - t0
+        spark.catalog.clearCache()
+        t0 = _time.perf_counter()
+        kept, _ = minhash_dedup(
+            add_minhash(d, stage_hashes=True), rows_per_band=8
+        )
+        n_kept = kept.count()
+        t_m = _time.perf_counter() - t0
+        spark.catalog.clearCache()
+        return t_j, n_pairs, t_m, n_kept
+
+    run_once(1)  # warmup: codegen/broadcast setup must not bill the 1x run
+    out: dict = {"reps": reps, "sf_dir": base_dir}
+    for label, r in (("1x", 1), (f"{reps}x", reps)):
+        t_j, n_pairs, t_m, n_kept = run_once(r)
+        out[label] = {
+            "jaccard_sec": round(t_j, 3),
+            "jaccard_pairs": n_pairs,
+            "minhash_sec": round(t_m, 3),
+            "minhash_kept": n_kept,
+        }
+    big, one = out[f"{reps}x"], out["1x"]
+    out["jaccard_time_ratio"] = round(big["jaccard_sec"] / max(one["jaccard_sec"], 1e-9), 2)
+    out["minhash_time_ratio"] = round(big["minhash_sec"] / max(one["minhash_sec"], 1e-9), 2)
+    # linear-ish growth: time ratio at most ~reps (with generous headroom
+    # for fixed overheads), far below the reps^2 of an all-pairs design
+    out["linear_ok"] = bool(
+        out["jaccard_time_ratio"] <= reps * 1.5
+        and out["minhash_time_ratio"] <= reps * 1.5
+    )
+    return out
 
 
 def tokenize_throughput(spark, sf_dir: str, target_tokens: int = 25_000_000) -> dict:

@@ -396,3 +396,103 @@ def bpe_byte_fallback_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Reference-scale trainer: 8192 merges (the reference trains vocab 32000,
+# tokenizer/train.py:342; this grades the trainer's merge-scale story, the
+# small corpora above exhaust their pairs after ~100 merges)
+# ---------------------------------------------------------------------------
+#
+# Corpus: an in-plan synthetic Zipf word stream over doc_id < 50 (present at
+# every sf, so the query and its one pinned golden are SF-independent):
+#   pool word j = md5(str(j))[:20], j in [0, 6400)
+#   doc d draws k in [0, 320): u = (d*131071 + k*8191) % 6400,
+#                              j = (u*u) // 6400   (quadratic => Zipf-ish)
+# 1683 distinct words sustain >9000 merges at min_pair_freq=2 with decisive
+# argmaxes — the realistic training-corpus shape. The golden is the naive
+# full-recount trainer over the same corpus rebuilt in pure Python
+# (scripts/gen_bpe_golden_8k.py); graded as a per-256-rank-bucket digest
+# (count, total merged length, lexicographic min/max) so any divergence in
+# order, tie-break, or content shifts at least one of 32 rows.
+
+BPE8K_N_DOCS = 50
+BPE8K_DRAWS = 320
+BPE8K_POOL = 6400
+BPE8K_WLEN = 20
+BPE8K_N_MERGES = 8192
+BPE8K_BUCKET = 256
+
+_BPE8K_GOLDEN_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "data", "bpe_golden_8k.json"
+)
+
+
+def _bpe8k_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < BPE8K_N_DOCS)
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+    )
+    u = (F.col("doc_id") * 131071 + F.col("k") * 8191) % BPE8K_POOL
+    j = F.floor((u * u) / BPE8K_POOL).cast("long")
+    word = F.substring(F.md5(j.cast("string")), 1, BPE8K_WLEN)
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(BPE8K_DRAWS - 1))).alias("k"),
+        )
+        .select("doc_id", word.alias("w"))
+        .groupBy("doc_id")
+        .agg(F.concat_ws(" ", F.collect_list("w")).alias("text"))
+    )
+
+
+def _bpe8k_oracle() -> str:
+    with open(_BPE8K_GOLDEN_PATH) as f:
+        rows = json.load(f)["digest"]
+    values = ", ".join(
+        f"({b}, {n}, {s}, '{mn}', '{mx}')" for b, n, s, mn, mx in rows
+    )
+    return (
+        "SELECT CAST(v.bucket AS BIGINT) AS bucket, "
+        "CAST(v.n_merges AS BIGINT) AS n_merges, "
+        "CAST(v.sum_len AS BIGINT) AS sum_len, v.min_merged, v.max_merged "
+        f"FROM (VALUES {values}) v(bucket, n_merges, sum_len, min_merged, max_merged) "
+        "ORDER BY bucket"
+    )
+
+
+@query(
+    "bpe_train_merges_8k",
+    oracle=_bpe8k_oracle() if os.path.exists(_BPE8K_GOLDEN_PATH) else None,
+    tags=("tokenize", "bpe", "train", "scale", "pinned-golden"),
+)
+def bpe_train_merges_8k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8192-merge BPE training (reference-scale vocab story): distributed
+    word counts over the in-plan Zipf corpus -> the incremental heap
+    trainer on the driver -> per-bucket merge digest vs the naive-trainer
+    golden."""
+    from llm_data_pipeline_spark.operators.bpe import train_bpe
+
+    corpus = _bpe8k_corpus(spark, sf_dir)
+    _, merges, _ = train_bpe(
+        corpus, n_merges=BPE8K_N_MERGES, min_pair_freq=2, min_word_freq=1
+    )
+    rows = []
+    for b0 in range(0, len(merges), BPE8K_BUCKET):
+        chunk = [a + b for a, b in merges[b0 : b0 + BPE8K_BUCKET]]
+        rows.append(
+            (
+                b0 // BPE8K_BUCKET,
+                len(chunk),
+                sum(len(m) for m in chunk),
+                min(chunk),
+                max(chunk),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        schema="bucket bigint, n_merges bigint, sum_len bigint, "
+        "min_merged string, max_merged string",
+    ).orderBy("bucket")
