@@ -56,7 +56,9 @@ def streaming_clean_judge(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window rollup; complete-mode memory sink."""
     sdf = read_parquet_stream(spark, f"{sf_dir}/events.parquet")
-    return run_to_memory(hourly_rollup_stream(sdf), mode="complete").orderBy(
+    return run_to_memory(
+        hourly_rollup_stream(sdf), mode="complete", state_partitions=4
+    ).orderBy(
         "hour", "event_type"
     )
 
@@ -97,7 +99,9 @@ def streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     session — hence ``>=`` in the oracle's gap comparison.
     """
     sdf = read_parquet_stream(spark, f"{sf_dir}/events.parquet")
-    return run_to_memory(session_stream(sdf), mode="complete").orderBy(
+    return run_to_memory(
+        session_stream(sdf), mode="complete", state_partitions=4
+    ).orderBy(
         "user_id", "session_start"
     )
 
@@ -123,7 +127,9 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
     deduped = doubled.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
-    out = run_to_memory(deduped.select("event_id", "event_type"), mode="append")
+    out = run_to_memory(
+        deduped.select("event_id", "event_type"), mode="append", state_partitions=4
+    )
     return (
         out.groupBy("event_type")
         .agg(F.count("*").alias("n_unique"))
@@ -149,7 +155,7 @@ def streaming_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFram
     """
     sdf = read_parquet_stream(spark, f"{sf_dir}/events.parquet")
     totals = user_running_totals(sdf)
-    out = run_to_memory(totals, mode="update")
+    out = run_to_memory(totals, mode="update", state_partitions=4)
     # Defensive: if the source ever splits into multiple micro-batches the
     # memory sink holds one row per update; keep the last per user.
     return (
