@@ -125,7 +125,17 @@ def main() -> None:
             # Drop caches the first pass left behind (operators persist
             # intermediates reused within one plan): steady-state means
             # "compiled code, cold data", not "free answers from cache".
+            # Also release the first pass's DataFrame and GC BEFORE timing:
+            # its lazy-checkpoint blocks are reaped asynchronously by the
+            # ContextCleaner once the Python refs die, and without this
+            # pulse that cleanup lands inside the steady window (observed
+            # steady > first on checkpoint-heavy dedup queries).
             spark.catalog.clearCache()
+            del df
+            import gc
+
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             _ = df.count() if len(df.columns) > 8 else len(df.collect())

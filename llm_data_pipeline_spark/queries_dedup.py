@@ -577,3 +577,68 @@ def chunk_dup_stats_query(spark: SparkSession, sf_dir: str):
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     return chunk_dup_stats(docs, chunk_words=_CHUNK_W).orderBy("doc_id")
+
+
+NEW_BATCH_OFFSET = 500_000
+
+
+@query(
+    "bloom_incremental_exact_dedup",
+    oracle=f"""
+    WITH base AS (
+      SELECT md5(trim(regexp_replace(lower(coalesce(text,'')), '\\s+', ' ', 'g')))
+               AS digest
+      FROM documents
+    ),
+    newb AS (
+      SELECT doc_id + {NEW_BATCH_OFFSET} AS new_doc_id,
+             md5(trim(regexp_replace(lower(coalesce(text,'')), '\\s+', ' ', 'g')))
+               AS digest
+      FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + {NEW_BATCH_OFFSET + 100_000} AS new_doc_id,
+             md5(trim(regexp_replace(lower(coalesce(text,'')), '\\s+', ' ', 'g')))
+               AS digest
+      FROM (SELECT doc_id, coalesce(text,'') || ' genuinely-new-suffix' AS text
+            FROM documents WHERE doc_id % 5 = 1)
+    )
+    SELECT n.new_doc_id,
+           EXISTS (SELECT 1 FROM base b WHERE b.digest = n.digest) AS is_dup
+    FROM newb n
+    ORDER BY new_doc_id
+    """,
+    tags=("dedup", "exact", "incremental", "bloom"),
+)
+def bloom_incremental_exact_dedup(spark: SparkSession, sf_dir: str):
+    """Continuous-ingest exact dedup with a Bloom-filter prefilter
+    (operators/bloom.py): the accumulated corpus builds a broadcast
+    bitmap ONCE; the increment (a mix of re-ingested exact copies and
+    genuinely new documents) is screened with a vectorized membership
+    test, and only the BF-positive slice does the exact semi-join that
+    removes false positives — so the result is bit-identical to the
+    plain semi-join the oracle runs, while at scale only an fp-sized
+    slice of the increment ever shuffles."""
+    from llm_data_pipeline_spark.functions.text import norm_ws
+    from llm_data_pipeline_spark.operators.bloom import incremental_exact_dedup
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    digest = F.md5(norm_ws(F.coalesce(F.col("text"), F.lit(""))))
+    base = docs.select(digest.alias("digest"))
+    reingested = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + NEW_BATCH_OFFSET).alias("new_doc_id"),
+        digest.alias("digest"),
+    )
+    fresh = docs.where(F.col("doc_id") % 5 == 1).select(
+        (F.col("doc_id") + NEW_BATCH_OFFSET + 100_000).alias("new_doc_id"),
+        F.md5(
+            norm_ws(
+                F.concat(
+                    F.coalesce(F.col("text"), F.lit("")),
+                    F.lit(" genuinely-new-suffix"),
+                )
+            )
+        ).alias("digest"),
+    )
+    new_batch = reingested.unionByName(fresh)
+    out = incremental_exact_dedup(base, new_batch, digest_col="digest")
+    return out.select("new_doc_id", "is_dup").orderBy("new_doc_id")

@@ -1,0 +1,58 @@
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from llm_data_pipeline_spark.operators.bloom import (
+    build_bloom_bits,
+    incremental_exact_dedup,
+    with_bloom_hit,
+)
+
+
+def _digests(spark, n, prefix):
+    return spark.range(n).select(
+        F.md5(F.concat(F.lit(prefix), F.col("id").cast("string"))).alias("digest")
+    )
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark):
+    base = _digests(spark, 2000, "member-")
+    bits = build_bloom_bits(base, "digest", m_bits=1 << 16, k=7)
+    # every member must hit
+    hits = with_bloom_hit(base, "digest", bits, m_bits=1 << 16, k=7)
+    assert hits.where(~F.col("bloom_hit")).count() == 0
+    # non-members: fp rate stays near the design point
+    # (m/n = 32.8 bits/key, k=7 -> theoretical fp ~ 0.004%)
+    others = _digests(spark, 5000, "outsider-")
+    fp = with_bloom_hit(others, "digest", bits, m_bits=1 << 16, k=7).where(
+        F.col("bloom_hit")
+    ).count()
+    assert fp <= 50, fp  # generous: <=1% observed vs ~0.004% theoretical
+    # bitmap population sanity: k probes per key, minus collisions
+    popcount = int(
+        np.unpackbits(np.frombuffer(bits, dtype=np.uint8)).sum()
+    )
+    assert 0 < popcount <= 2000 * 7
+
+
+def test_incremental_exact_dedup_matches_plain_semijoin(spark):
+    base = _digests(spark, 1000, "member-")
+    new = (
+        _digests(spark, 300, "member-")  # re-ingested: all dups
+        .unionByName(_digests(spark, 300, "fresh-"))
+        .withColumn("row_id", F.monotonically_increasing_id())
+    )
+    got = incremental_exact_dedup(base, new, digest_col="digest")
+    # reference: plain semi-join semantics
+    expected = new.join(
+        base.select("digest").distinct().withColumnRenamed("digest", "d2"),
+        new.digest == F.col("d2"),
+        "left_outer",
+    ).select("digest", F.col("d2").isNotNull().alias("is_dup"))
+    g = sorted((r.digest, r.is_dup) for r in got.select("digest", "is_dup").collect())
+    e = sorted((r.digest, r.is_dup) for r in expected.collect())
+    assert g == e
+    assert got.where(F.col("is_dup")).count() == 300
+    # schema contract: input columns preserved + is_dup appended
+    assert set(got.columns) == {"digest", "row_id", "is_dup"}
