@@ -427,3 +427,76 @@ def chunk_dup_stats(
         .otherwise(F.lit(0.0))
         .alias("dup_frac"),
     )
+
+
+def remove_duplicated_chunks(
+    df: DataFrame,
+    chunk_words: int = 16,
+    max_occurrences: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Cross-corpus duplicated-span REMOVAL (the rewrite step on top of
+    chunk_dup_stats' detection): every word chunk whose exact text occurs
+    more than ``max_occurrences`` times in the corpus is removed from
+    every document, and the text is rebuilt from the kept chunks in
+    position order. This is the boilerplate-stripping shape of
+    RefinedWeb-style exact substring dedup (fixed chunk boundaries) —
+    repeated headers/footers/navigation vanish corpus-wide.
+
+    Returns (id, n_chunks, n_removed, out_col). Scale shape: posexplode
+    -> count by chunk value (high cardinality, naturally balanced) ->
+    anti-join against the over-limit chunk set -> re-aggregate by doc
+    with an ordered rebuild (collect_list of (pos, chunk) structs,
+    array_sort, concat) — two value-keyed shuffles and one doc-keyed
+    shuffle, nothing collected.
+    """
+    toked = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(F.split(norm_ws(F.col(text_col)), " "), lambda x: x != "").alias(
+            "_toks"
+        ),
+    )
+    chunks = toked.select(
+        "doc_id",
+        F.posexplode_outer(
+            doc_chunks_from_toks(F.col("_toks"), chunk_words)
+        ).alias("pos", "chunk"),
+    )
+    over_limit = (
+        chunks.where(F.col("chunk").isNotNull())
+        .groupBy("chunk")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > max_occurrences)
+        .select("chunk")
+    )
+    kept = chunks.where(F.col("chunk").isNotNull()).join(
+        over_limit, "chunk", "left_anti"
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("_n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("chunk")))
+                ),
+                lambda s: s["chunk"],
+            ),
+        ).alias(out_col),
+    )
+    totals = chunks.groupBy("doc_id").agg(
+        F.count(F.col("chunk")).alias("n_chunks")
+    )
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias(id_col),
+            F.col("n_chunks").cast("long").alias("n_chunks"),
+            (
+                F.col("n_chunks") - F.coalesce(F.col("_n_kept"), F.lit(0))
+            ).cast("long").alias("n_removed"),
+            F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
+        )
+    )

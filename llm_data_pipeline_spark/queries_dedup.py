@@ -642,3 +642,91 @@ def bloom_incremental_exact_dedup(spark: SparkSession, sf_dir: str):
     new_batch = reingested.unionByName(fresh)
     out = incremental_exact_dedup(base, new_batch, digest_col="digest")
     return out.select("new_doc_id", "is_dup").orderBy("new_doc_id")
+
+
+# A realistic boilerplate header: exactly 16 words = two aligned 8-word
+# chunks in EVERY document, so the rewrite strips it corpus-wide while each
+# document's own words keep their original chunk boundaries (the prefix
+# length is a chunk multiple).
+BOILERPLATE = (
+    "subscribe to our newsletter accept all cookies to continue "
+    "reading this site uses tracking technologies"
+)
+
+
+@query(
+    "chunk_dedup_rewrite",
+    oracle=f"""
+    WITH src AS (
+      SELECT doc_id, '{BOILERPLATE} ' || coalesce(text, '') AS text
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(regexp_replace(lower(text),
+                         '\\s+', ' ', 'g')), ' '), x -> x <> '') AS toks
+      FROM src
+    ),
+    chunked AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) = 0 THEN []::VARCHAR[] ELSE
+               list_transform(range(0, CAST(ceil(len(toks)/8.0) AS INT)),
+                 i -> array_to_string(toks[i*8+1:i*8+8], ' '))
+             END AS chunks
+      FROM toks
+    ),
+    ch AS (
+      SELECT doc_id,
+             unnest(range(len(chunks))) AS pos,
+             unnest(chunks) AS chunk
+      FROM chunked
+    ),
+    over_limit AS (
+      SELECT chunk FROM ch GROUP BY chunk HAVING count(*) > 1
+    ),
+    kept AS (
+      SELECT c.doc_id, c.pos, c.chunk FROM ch c
+      WHERE NOT EXISTS (SELECT 1 FROM over_limit o WHERE o.chunk = c.chunk)
+    ),
+    rebuilt AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(chunk, ' ' ORDER BY pos) AS clean_text
+      FROM kept GROUP BY doc_id
+    ),
+    totals AS (SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY doc_id)
+    SELECT s.doc_id,
+           CAST(coalesce(t.n_chunks, 0) AS BIGINT) AS n_chunks,
+           CAST(coalesce(t.n_chunks, 0) - coalesce(r.n_kept, 0) AS BIGINT)
+             AS n_removed,
+           CAST(length(coalesce(r.clean_text, '')) AS BIGINT) AS clean_len,
+           md5(coalesce(r.clean_text, '')) AS clean_md5
+    FROM src s
+    LEFT JOIN totals t USING (doc_id)
+    LEFT JOIN rebuilt r USING (doc_id)
+    ORDER BY s.doc_id
+    """,
+    tags=("dedup", "chunk", "rewrite", "boilerplate"),
+)
+def chunk_dedup_rewrite(spark: SparkSession, sf_dir: str):
+    """Duplicated-span REMOVAL (operators/dedup.py:remove_duplicated_chunks):
+    a 16-word boilerplate header is planted on every document; the rewrite
+    strips every chunk whose exact text repeats anywhere in the corpus and
+    rebuilds the text in position order, verified down to an md5 of each
+    rebuilt document."""
+    from llm_data_pipeline_spark.operators.dedup import remove_duplicated_chunks
+
+    docs = table(spark, sf_dir, "documents", scatter=True).select("doc_id", "text")
+    src = docs.select(
+        "doc_id",
+        F.concat(F.lit(BOILERPLATE + " "), F.coalesce("text", F.lit(""))).alias(
+            "text"
+        ),
+    )
+    out = remove_duplicated_chunks(src, chunk_words=8)
+    return out.select(
+        "doc_id",
+        "n_chunks",
+        "n_removed",
+        F.length("clean_text").cast("long").alias("clean_len"),
+        F.md5("clean_text").alias("clean_md5"),
+    ).orderBy("doc_id")

@@ -166,3 +166,50 @@ def streaming_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "streaming_static_enrich",
+    oracle="""
+    SELECT n.n_name AS nation,
+           e.event_type,
+           count(*) AS n_events,
+           round(sum(e.value), 3) AS total_value
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY 1, 2
+    ORDER BY nation, event_type
+    """,
+    tags=("streaming", "join", "stream-static"),
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joins two broadcast
+    dimension tables (customer -> nation) per micro-batch — the standard
+    streaming enrichment shape (dim snapshot read fresh each batch, no
+    stream state for the join itself) — then a complete-mode streaming
+    aggregation rolls up spend by nation and event type. At 100 TB/day
+    the joins stay broadcast (dims are small by definition) and only the
+    aggregation keys shuffle."""
+    from llm_data_pipeline_spark.functions.time import normalize_ts_ntz
+
+    sdf = read_parquet_stream(spark, f"{sf_dir}/events.parquet", ts_col=None)
+    sdf = normalize_ts_ntz(sdf, "ts")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    )
+    enriched = sdf.join(
+        F.broadcast(cust), sdf.user_id == cust.c_custkey
+    ).join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    agg = enriched.groupBy(
+        F.col("n_name").alias("nation"), F.col("event_type")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 3).alias("total_value"),
+    )
+    return run_to_memory(agg, mode="complete", state_partitions=4).orderBy(
+        "nation", "event_type"
+    )

@@ -234,3 +234,39 @@ def test_md5_fused_signature_equivalent(spark, sf_dir):
         for r in add_minhash_md5(docs).collect()
     }
     assert ref == fused and len(ref) == 105
+
+
+def test_remove_duplicated_chunks_strips_boilerplate(spark):
+    from pyspark.sql import Row
+
+    from llm_data_pipeline_spark.operators.dedup import remove_duplicated_chunks
+
+    bp = "w1 w2 w3 w4"  # one aligned 4-word chunk shared by all docs
+    rows = [
+        Row(doc_id=1, text=f"{bp} alpha beta gamma delta"),
+        Row(doc_id=2, text=f"{bp} epsilon zeta eta theta"),
+        Row(doc_id=3, text=f"{bp} iota kappa lambda mu extra"),
+        Row(doc_id=4, text=""),
+        Row(doc_id=5, text=None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        r.doc_id: r
+        for r in remove_duplicated_chunks(df, chunk_words=4).collect()
+    }
+    assert out[1].clean_text == "alpha beta gamma delta"
+    assert out[2].clean_text == "epsilon zeta eta theta"
+    # ragged tail chunk ('extra') is unique, kept in order
+    assert out[3].clean_text == "iota kappa lambda mu extra"
+    assert (out[1].n_chunks, out[1].n_removed) == (2, 1)
+    assert (out[3].n_chunks, out[3].n_removed) == (3, 1)
+    assert out[4].clean_text == "" and out[4].n_chunks == 0
+    assert out[5].clean_text == "" and out[5].n_removed == 0
+    # a corpus with no duplicated chunks roundtrips unchanged
+    uniq = spark.createDataFrame(
+        [Row(doc_id=9, text="one two three four five six seven")],
+        "doc_id int, text string",
+    )
+    r = remove_duplicated_chunks(uniq, chunk_words=4).collect()[0]
+    assert r.clean_text == "one two three four five six seven"
+    assert r.n_removed == 0
