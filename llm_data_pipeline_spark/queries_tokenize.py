@@ -496,3 +496,183 @@ def bpe_train_merges_8k(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="bucket bigint, n_merges bigint, sum_len bigint, "
         "min_merged string, max_merged string",
     ).orderBy("bucket")
+
+
+@query(
+    "tokenizer_compare_vocabs",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '{TOKEN_PATTERN}') AS tl
+  FROM documents
+),
+flat AS (
+  SELECT doc_id, i, tl[i + 1] AS tok
+  FROM toks, unnest(range(len(tl))) t(i)
+),
+ranked AS (
+  SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok) + 3 AS id
+  FROM flat GROUP BY tok
+),
+stats AS (
+  SELECT v.vocab_size,
+         count(*) AS total_tokens,
+         count(*) FILTER (WHERE r.id >= v.vocab_size) AS n_unk
+  FROM flat f
+  JOIN ranked r USING (tok)
+  CROSS JOIN (VALUES (20), (104)) v(vocab_size)
+  GROUP BY v.vocab_size
+)
+SELECT CAST(vocab_size AS BIGINT) AS vocab_size,
+       CAST(total_tokens AS BIGINT) AS total_tokens,
+       CAST(n_unk AS BIGINT) AS n_unk,
+       round(CAST(n_unk AS DOUBLE) / total_tokens, 6) AS oov_rate
+FROM stats
+ORDER BY vocab_size
+""",
+    tags=("tokenize", "compare", "m2"),
+)
+def tokenizer_compare_vocabs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer comparison (M2 analog, reference tokenizer/compare.py:
+    76-181): encode the same corpus with two trained vocab sizes and
+    report total tokens and OOV rate per vocabulary — the deterministic
+    core of compare_tokenizers (wall-clock throughput stays in bench.py
+    where measurement belongs)."""
+    docs = table(spark, sf_dir, "documents")
+    rows = []
+    for size in (20, 104):
+        vocab = train_word_vocab(docs, vocab_size=size)
+        enc = encode_via_join(docs, vocab)
+        rows.append(
+            enc.select(
+                F.lit(size).cast("long").alias("vocab_size"),
+                F.explode("input_ids").alias("id"),
+            )
+        )
+    both = rows[0].unionByName(rows[1])
+    return (
+        both.groupBy("vocab_size")
+        .agg(
+            F.count("*").alias("total_tokens"),
+            F.count(F.when(F.col("id") == 0, 1)).alias("n_unk"),
+        )
+        .select(
+            "vocab_size",
+            "total_tokens",
+            "n_unk",
+            F.round(
+                F.col("n_unk").cast("double") / F.col("total_tokens"), 6
+            ).alias("oov_rate"),
+        )
+        .orderBy("vocab_size")
+    )
+
+
+@query(
+    "tokenizer_inspect_vocab",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '{TOKEN_PATTERN}') AS tl
+  FROM documents
+),
+flat AS (
+  SELECT tl[i + 1] AS tok FROM toks, unnest(range(len(tl))) t(i)
+),
+vocab AS (
+  SELECT tok AS token,
+         row_number() OVER (ORDER BY count(*) DESC, tok) + 3 AS id,
+         count(*) AS freq
+  FROM flat GROUP BY tok
+),
+tot AS (SELECT sum(freq) AS total FROM vocab)
+SELECT CAST(id AS BIGINT) AS id, token, CAST(freq AS BIGINT) AS freq,
+       round(sum(freq) OVER (ORDER BY id) / (SELECT total FROM tot), 6)
+         AS cum_coverage
+FROM vocab
+ORDER BY id
+LIMIT 20
+""",
+    tags=("tokenize", "inspect", "m3"),
+)
+def tokenizer_inspect_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model inspection (M3 analog, reference tokenizer/inspect_model.py):
+    the top pieces of the trained vocabulary in id order with cumulative
+    corpus coverage — the 'what did training learn' report."""
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    vocab = train_word_vocab(docs, vocab_size=1 << 30)
+    total = vocab.agg(F.sum("freq")).collect()[0][0]
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        vocab.select(
+            F.col("id").cast("long").alias("id"),
+            "token",
+            F.col("freq").cast("long").alias("freq"),
+            F.round(
+                F.sum("freq").over(w).cast("double") / F.lit(float(total)), 6
+            ).alias("cum_coverage"),
+        )
+        .orderBy("id")
+        .limit(20)
+    )
+
+
+@query(
+    "binary_export_roundtrip",
+    oracle=_SQL_PRELUDE.format(vocab_size=VOCAB_SIZE) + f"""
+, witheos AS (
+  SELECT doc_id, i, id FROM enc
+  UNION ALL
+  SELECT doc_id, len(tl) AS i, 2 AS id FROM toks WHERE len(tl) > 0
+),
+ordered AS (
+  SELECT id,
+         row_number() OVER (ORDER BY doc_id, i) - 1 AS goff
+  FROM witheos
+),
+chunked AS (
+  SELECT goff // {SEQ_LEN} AS chunk_id, goff % {SEQ_LEN} AS cpos, id
+  FROM ordered
+  WHERE goff < ((SELECT count(*) FROM witheos) // {SEQ_LEN}) * {SEQ_LEN}
+)
+SELECT CAST(count(*) AS BIGINT) AS total_tokens,
+       CAST(count(*) * 2 AS BIGINT) AS total_bytes,
+       CAST(sum(id % 256 + id // 256) AS BIGINT) AS byte_sum,
+       CAST(sum((chunk_id * {SEQ_LEN} + cpos + 1) * id) AS BIGINT)
+         AS stream_checksum
+FROM chunked
+""",
+    tags=("tokenize", "export", "sink", "order-sensitive"),
+)
+def binary_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 graded end to end: encode -> pack -> export_binary (the parallel
+    range-partitioned shard path + ordered concat) -> read final.bin BACK
+    from disk and summarize its uint16-LE byte stream. The oracle
+    re-derives the same stream relationally, so total bytes, the byte-sum
+    (low+high byte per token), and a position-weighted checksum over the
+    whole file pin the sink's byte-exactness and global token order."""
+    import numpy as np
+
+    from llm_data_pipeline_spark.sources.sinks import export_binary
+
+    docs = table(spark, sf_dir, "documents")
+    vocab = train_word_vocab(docs, vocab_size=VOCAB_SIZE)
+    enc = encode_via_udf(docs, vocab)
+    chunks = pack_chunks(
+        enc, seq_len=SEQ_LEN, eos_id=2, add_eos=True, ensure_eos=True,
+        drop_remainder=True, order_col="doc_id",
+    )
+    out_dir = "/tmp/llm_dp_spark_bin_export"
+    meta = export_binary(chunks, out_dir, dtype="uint16", via="partitions")
+    arr = np.fromfile(meta["path"], dtype="<u2").astype(np.int64)
+    row = (
+        int(arr.size),
+        int(arr.size * 2),
+        int((arr & 0xFF).sum() + (arr >> 8).sum()),
+        int((np.arange(1, arr.size + 1, dtype=np.int64) * arr).sum()),
+    )
+    return spark.createDataFrame(
+        [row],
+        schema="total_tokens bigint, total_bytes bigint, byte_sum bigint, "
+        "stream_checksum bigint",
+    )
