@@ -1,0 +1,192 @@
+"""Graded sink roundtrips (S5/S6/S7/S9) — the last SURVEY §2 sink rows
+without a driver-gradeable query (S8 has binary_export_roundtrip).
+
+One query writes each sink to disk with the real writer, reads the files
+BACK with the matching Spark reader, and reduces the read-back contents to
+order-insensitive scalar metrics; the oracle derives the same metrics
+from the source tables directly. Equality proves the files carry exactly
+the data the pipeline computed — roundtrip fidelity, not just "the write
+didn't throw".
+
+Reference parity: S5 core.py:329-356 (overwrite parquet), S6
+tokenizer/train.py:25-87 (newline-flattened text shards), S7
+tokenizer/run.py:220-261 (packed chunk parquet shards), S9
+tokenizer/run.py:392-408 (packing_meta.json).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from llm_data_pipeline_spark.functions.hashing import DUCKDB_HASH60, portable_hash60
+from llm_data_pipeline_spark.operators.clean import score_documents
+from llm_data_pipeline_spark.operators.packing import pack_chunks, packing_meta
+from llm_data_pipeline_spark.operators.tokenizer import (
+    encode_via_udf,
+    train_word_vocab,
+)
+from llm_data_pipeline_spark.queries import query, table
+from llm_data_pipeline_spark.queries_pipeline import CLEAN_METRICS_SQL
+from llm_data_pipeline_spark.queries_tokenize import SEQ_LEN, VOCAB_SIZE, _SQL_PRELUDE
+from llm_data_pipeline_spark.sources.sinks import (
+    write_packed_parquet,
+    write_text_shards,
+)
+from llm_data_pipeline_spark.core.stage import write_parquet_counted
+
+SINK_BASE = "/tmp/llm_dp_spark_sinks"
+_MOD = 1_000_000_007
+
+_FLAT_RE = r"\s*\n\s*"
+
+
+def _hsum(col) -> F.Column:
+    """Overflow-safe portable hash aggregate: sum of (hash60 mod p)."""
+    return F.sum(F.pmod(portable_hash60(col), F.lit(_MOD))).cast("long")
+
+
+_PACK_CHUNK_SQL = (
+    _SQL_PRELUDE.format(vocab_size=VOCAB_SIZE)
+    + f"""
+, witheos AS (
+  SELECT doc_id, i, id FROM enc
+  UNION ALL
+  SELECT doc_id, len(tl) AS i, 2 AS id FROM toks WHERE len(tl) > 0
+),
+ordered AS (
+  SELECT id, row_number() OVER (ORDER BY doc_id, i) - 1 AS goff
+  FROM witheos
+),
+chunked AS (
+  SELECT goff // {SEQ_LEN} AS chunk_id, goff % {SEQ_LEN} AS cpos, id
+  FROM ordered
+  WHERE goff < ((SELECT count(*) FROM witheos) // {SEQ_LEN}) * {SEQ_LEN}
+)
+"""
+)
+
+_H60 = DUCKDB_HASH60.format(s="doc_id::VARCHAR || ':' || drop_reason")
+_H60_LINE = DUCKDB_HASH60.format(s="line")
+
+_ORACLE = (
+    CLEAN_METRICS_SQL
+    + f"""
+, s5 AS (
+  SELECT 's5_rows' AS metric, CAST(count(*) AS BIGINT) AS value FROM judged
+  UNION ALL
+  SELECT 's5_reason_hashsum', CAST(sum(({_H60}) % {_MOD}) AS BIGINT) FROM judged
+),
+flat6 AS (
+  SELECT regexp_replace(text, '{_FLAT_RE}', ' ', 'g') AS line FROM documents
+  WHERE length(regexp_replace(text, '{_FLAT_RE}', ' ', 'g')) > 0
+),
+s6 AS (
+  SELECT 's6_lines', CAST(count(*) AS BIGINT) FROM flat6
+  UNION ALL
+  SELECT 's6_chars', CAST(sum(length(line)) AS BIGINT) FROM flat6
+  UNION ALL
+  SELECT 's6_line_hashsum', CAST(sum(({_H60_LINE}) % {_MOD}) AS BIGINT) FROM flat6
+),
+pack AS ({_PACK_CHUNK_SQL.strip().lstrip(",").strip()} SELECT * FROM chunked),
+s7 AS (
+  SELECT 's7_chunks', CAST(count(DISTINCT chunk_id) AS BIGINT) FROM pack
+  UNION ALL
+  SELECT 's7_ids_checksum_sum', CAST(sum((cpos + 1) * id) AS BIGINT) FROM pack
+),
+s9 AS (
+  SELECT 's9_total_chunks', CAST(count(DISTINCT chunk_id) AS BIGINT) FROM pack
+  UNION ALL
+  SELECT 's9_total_tokens_out',
+         CAST(count(DISTINCT chunk_id) * {SEQ_LEN} AS BIGINT) FROM pack
+)
+SELECT metric, value FROM s5
+UNION ALL SELECT * FROM s6
+UNION ALL SELECT * FROM s7
+UNION ALL SELECT * FROM s9
+ORDER BY metric
+"""
+)
+
+
+@query(
+    "sink_roundtrip_report",
+    oracle=_ORACLE,
+    tags=("sources", "sinks", "roundtrip"),
+)
+def sink_roundtrip_report(spark: SparkSession, sf_dir: str):
+    """Write S5/S6/S7 with the real writers, read the files back, reduce
+    to scalar metrics (counts, char totals, portable-hash sums, chunk
+    checksums, S9 packing-meta values); the oracle computes the same
+    metrics from the source tables, so equality pins roundtrip fidelity
+    of every sink."""
+    os.makedirs(SINK_BASE, exist_ok=True)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    # S5: overwrite parquet of the scored frame, observe-counted write
+    scored = score_documents(docs).select("doc_id", "text", "drop_reason")
+    p5 = os.path.join(SINK_BASE, "scored_parquet")
+    write_parquet_counted(scored, p5)
+    back5 = spark.read.parquet(p5)
+    s5 = back5.agg(
+        F.count("*").alias("s5_rows"),
+        _hsum(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("drop_reason"))
+        ).alias("s5_reason_hashsum"),
+    )
+
+    # S6: newline-flattened text shards, read back as text lines
+    p6 = os.path.join(SINK_BASE, "text_shards")
+    write_text_shards(docs, p6, n_shards=8)
+    back6 = spark.read.text(p6)
+    s6 = back6.agg(
+        F.count("*").alias("s6_lines"),
+        F.sum(F.length("value")).cast("long").alias("s6_chars"),
+        _hsum(F.col("value")).alias("s6_line_hashsum"),
+    )
+
+    # S7: packed chunk shards (zstd, maxRecordsPerFile), read back
+    vocab = train_word_vocab(docs, vocab_size=VOCAB_SIZE)
+    chunks = pack_chunks(
+        encode_via_udf(docs, vocab), seq_len=SEQ_LEN, eos_id=2, add_eos=True,
+        ensure_eos=True, drop_remainder=True, order_col="doc_id",
+    )
+    p7 = os.path.join(SINK_BASE, "packed_parquet")
+    write_packed_parquet(chunks, p7, shard_chunks=16)
+    back7 = spark.read.parquet(p7)
+    checksum = F.aggregate(
+        F.zip_with(
+            F.col("input_ids"),
+            F.sequence(F.lit(1), F.size("input_ids")),
+            lambda x, i: x.cast("long") * i,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    s7 = back7.agg(
+        F.count("*").alias("s7_chunks"),
+        F.sum(checksum).cast("long").alias("s7_ids_checksum_sum"),
+    )
+
+    # S9: packing meta (the stats-json values) over the read-back shards
+    meta = packing_meta(back7, seq_len=SEQ_LEN, eos_id=2)
+
+    rows5 = s5.collect()[0]
+    rows6 = s6.collect()[0]
+    rows7 = s7.collect()[0]
+    data = [
+        ("s5_reason_hashsum", int(rows5["s5_reason_hashsum"])),
+        ("s5_rows", int(rows5["s5_rows"])),
+        ("s6_chars", int(rows6["s6_chars"])),
+        ("s6_line_hashsum", int(rows6["s6_line_hashsum"])),
+        ("s6_lines", int(rows6["s6_lines"])),
+        ("s7_chunks", int(rows7["s7_chunks"])),
+        ("s7_ids_checksum_sum", int(rows7["s7_ids_checksum_sum"])),
+        ("s9_total_chunks", int(meta["total_chunks"])),
+        ("s9_total_tokens_out", int(meta["total_tokens_out"])),
+    ]
+    return spark.createDataFrame(
+        data, schema="metric string, value bigint"
+    ).orderBy("metric")
