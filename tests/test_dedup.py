@@ -270,3 +270,33 @@ def test_remove_duplicated_chunks_strips_boilerplate(spark):
     r = remove_duplicated_chunks(uniq, chunk_words=4).collect()[0]
     assert r.clean_text == "one two three four five six seven"
     assert r.n_removed == 0
+
+
+def test_propagation_pointer_jump_converges_logarithmically(spark):
+    """A 256-node chain must converge in ~log2(n) rounds (pointer jumping),
+    not O(n), and label identically to the driver DSU."""
+    from pyspark.sql import Row
+
+    from llm_data_pipeline_spark.operators.lsh import (
+        _propagation_components,
+        connected_components,
+    )
+
+    n = 256
+    edges = spark.createDataFrame(
+        [Row(u=i, v=i + 1) for i in range(n - 1)] + [Row(u=1000, v=1001)]
+    )
+    stats: dict = {}
+    dist = {
+        r.doc_id: r.component
+        for r in _propagation_components(edges, 25, stats=stats).collect()
+    }
+    assert all(dist[i] == 0 for i in range(n))
+    assert dist[1000] == 1000 and dist[1001] == 1000
+    # plain min-propagation needs ~n rounds on a chain; with path halving
+    # the frontier doubles each round: comfortably under 2*log2(n)+2
+    assert stats["rounds"] <= 18, stats
+    dsu = {
+        r.doc_id: r.component for r in connected_components(edges).collect()
+    }
+    assert dsu == dist
