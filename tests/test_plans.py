@@ -216,3 +216,24 @@ def test_scatter_is_noop_on_parallel_input(spark, sf_dir):
     assert scatter(wide) is wide  # untouched — no repartition node added
     narrow = docs.coalesce(1)
     assert scatter(narrow).rdd.getNumPartitions() == target
+
+
+def test_bloom_incremental_joins_broadcast(q):
+    """The BF-prefilter path must broadcast every join (the verify side is
+    fp-sized, the confirmed set is explicit-broadcast) and never build a
+    cartesian — at scale neither the corpus nor the increment shuffles
+    for the join itself."""
+    df = q("bloom_incremental_exact_dedup")
+    assert I.broadcast_join_count(df) >= 2
+    I.assert_no_cartesian(df)
+
+
+def test_chunk_dedup_rewrite_shuffles_bounded(q):
+    """Rewrite = chunk-value count + anti-join + doc re-aggregation + the
+    final sort: a handful of key shuffles, no cartesian, and the scan
+    pruned to (doc_id, text)."""
+    df = q("chunk_dedup_rewrite")
+    I.assert_no_cartesian(df)
+    assert I.shuffle_count(df) <= 6
+    schemas = I.scan_read_schemas(df)
+    assert schemas and all("n_chars" not in s for s in schemas)
