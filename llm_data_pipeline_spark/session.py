@@ -46,6 +46,14 @@ def get_spark(
         # testdata events.parquet stores TIMESTAMP(NANOS); Spark has no nanos
         # type — read as long and convert at the loader (queries.table).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # split size governs scan parallelism vs per-task overhead; 128 MiB
+        # (the default, pinned here so it is an explicit knob) keeps a
+        # 100 TB scan at ~800k tasks — raise toward 256-512 MiB when the
+        # cluster is scheduler-bound, lower it for CPU-heavy narrow stages
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_MAX_PARTITION_BYTES", "134217728"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", os.environ.get("SPARK_UI_ENABLED", "false"))
     )
