@@ -120,12 +120,95 @@ def with_bloom_hit(
     ).drop("_bf_h1", "_bf_h2")
 
 
+def _shard_of(digest: Column, n_shards: int) -> Column:
+    """Shard router: an independent third xxhash64 draw mod n_shards."""
+    return F.pmod(F.xxhash64(digest, F.lit(0x85EBCA6B)), F.lit(n_shards))
+
+
+def build_bloom_bits_sharded(
+    df: DataFrame,
+    digest_col: str,
+    n_shards: int,
+    m_bits: int = DEFAULT_M_BITS,
+    k: int = DEFAULT_K,
+) -> list[bytes]:
+    """Sharded build — the 100 TB path where one bitmap would exceed the
+    broadcast budget. Each digest routes to ``shard = h3 mod n_shards``
+    and contributes its k probes to that shard's own m-bit bitmap (the
+    per-shard false-positive rate IMPROVES at fixed m because each bitmap
+    holds ~1/n_shards of the keys). One distributed pass: positions keyed
+    by (shard, pos), distinct bounded by n_shards·m, one driver collect.
+    """
+    h1, h2 = _digest_hashes(F.col(digest_col))
+    r1, r2 = F.pmod(h1, F.lit(m_bits)), F.pmod(h2, F.lit(m_bits))
+    positions = (
+        df.select(
+            _shard_of(F.col(digest_col), n_shards).alias("s"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(k - 1)),
+                    lambda i: F.pmod(r1 + i * r2, F.lit(m_bits)),
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    bits = [np.zeros(m_bits // 8, dtype=np.uint8) for _ in range(n_shards)]
+    for r in positions.collect():
+        p = int(r["pos"])
+        bits[int(r["s"])][p // 8] |= 1 << (p % 8)
+    return [b.tobytes() for b in bits]
+
+
+def with_bloom_hit_sharded(
+    df: DataFrame,
+    digest_col: str,
+    shard_bits: list[bytes],
+    m_bits: int = DEFAULT_M_BITS,
+    k: int = DEFAULT_K,
+    out_col: str = "bloom_hit",
+) -> DataFrame:
+    """Membership against the sharded filter: the shard id is staged
+    JVM-side next to the two probe hashes, and the UDF gathers from the
+    matching bitmap per row (numpy fancy-indexing over a stacked bitmap
+    matrix — still no per-row Python)."""
+    spark = df.sparkSession
+    n_shards = len(shard_bits)
+    bc = spark.sparkContext.broadcast(shard_bits)
+
+    @F.pandas_udf(BooleanType())
+    def _member(shards: pd.Series, h1s: pd.Series, h2s: pd.Series) -> pd.Series:
+        mat = np.stack(
+            [np.frombuffer(b, dtype=np.uint8) for b in bc.value]
+        )  # (n_shards, m_bits/8)
+        m = np.int64(mat.shape[1] * 8)
+        s = shards.to_numpy(dtype=np.int64, na_value=0)
+        a = h1s.to_numpy(dtype=np.int64, na_value=0) % m
+        b = h2s.to_numpy(dtype=np.int64, na_value=0) % m
+        hit = np.ones(len(a), dtype=bool)
+        for i in range(k):
+            p = (a + np.int64(i) * b) % m
+            hit &= (mat[s, p // 8] & (np.uint8(1) << (p % 8).astype(np.uint8))) != 0
+        return pd.Series(hit)
+
+    h1, h2 = _digest_hashes(F.col(digest_col))
+    staged = (
+        df.withColumn("_bf_s", _shard_of(F.col(digest_col), n_shards))
+        .withColumn("_bf_h1", h1)
+        .withColumn("_bf_h2", h2)
+    )
+    return staged.withColumn(
+        out_col, _member(F.col("_bf_s"), F.col("_bf_h1"), F.col("_bf_h2"))
+    ).drop("_bf_s", "_bf_h1", "_bf_h2")
+
+
 def incremental_exact_dedup(
     base: DataFrame,
     new: DataFrame,
     digest_col: str = "digest",
     m_bits: int = DEFAULT_M_BITS,
     k: int = DEFAULT_K,
+    n_shards: int = 1,
 ) -> DataFrame:
     """Mark increment rows that already exist in the base corpus (by
     exact digest): ``is_dup: boolean`` appended to ``new``.
@@ -136,9 +219,17 @@ def incremental_exact_dedup(
     result is bit-identical to the plain semi-join — the join's left side
     is fp-rate-sized instead of increment-sized, and the base side can be
     a pre-bucketed digest index at scale.
+
+    ``n_shards > 1`` selects the sharded filter (see
+    build_bloom_bits_sharded) for corpora whose single bitmap would blow
+    the broadcast budget; results are identical for any shard count.
     """
-    bits = build_bloom_bits(base, digest_col, m_bits, k)
-    flagged = with_bloom_hit(new, digest_col, bits, m_bits, k)
+    if n_shards > 1:
+        shard_bits = build_bloom_bits_sharded(base, digest_col, n_shards, m_bits, k)
+        flagged = with_bloom_hit_sharded(new, digest_col, shard_bits, m_bits, k)
+    else:
+        bits = build_bloom_bits(base, digest_col, m_bits, k)
+        flagged = with_bloom_hit(new, digest_col, bits, m_bits, k)
     positives = flagged.where(F.col("bloom_hit"))
     confirmed = positives.join(
         base.select(digest_col).distinct(), digest_col, "left_semi"

@@ -56,3 +56,31 @@ def test_incremental_exact_dedup_matches_plain_semijoin(spark):
     assert got.where(F.col("is_dup")).count() == 300
     # schema contract: input columns preserved + is_dup appended
     assert set(got.columns) == {"digest", "row_id", "is_dup"}
+
+
+def test_sharded_filter_matches_unsharded(spark):
+    from llm_data_pipeline_spark.operators.bloom import (
+        build_bloom_bits_sharded,
+        with_bloom_hit_sharded,
+    )
+
+    base = _digests(spark, 1500, "member-")
+    new = _digests(spark, 400, "member-").unionByName(_digests(spark, 400, "out-"))
+    shard_bits = build_bloom_bits_sharded(base, "digest", n_shards=4, m_bits=1 << 16)
+    hits = with_bloom_hit_sharded(new, "digest", shard_bits, m_bits=1 << 16)
+    # no false negatives on the member half
+    assert hits.where(~F.col("bloom_hit")).count() <= 400  # outsiders only
+    members = _digests(spark, 400, "member-")
+    mh = with_bloom_hit_sharded(members, "digest", shard_bits, m_bits=1 << 16)
+    assert mh.where(~F.col("bloom_hit")).count() == 0
+    # end-to-end sharded dedup equals the unsharded (and the plain join)
+    g1 = sorted(
+        (r.digest, r.is_dup)
+        for r in incremental_exact_dedup(base, new, "digest").collect()
+    )
+    g4 = sorted(
+        (r.digest, r.is_dup)
+        for r in incremental_exact_dedup(base, new, "digest", n_shards=4).collect()
+    )
+    assert g1 == g4
+    assert sum(1 for _, d in g4 if d) == 400
