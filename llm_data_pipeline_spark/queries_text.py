@@ -288,3 +288,55 @@ def corpus_stats_by_lang(spark: SparkSession, sf_dir: str):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "lm_bigram_quality_score",
+    oracle=f"""
+    WITH toked AS (
+      SELECT doc_id, {TOKS} AS toks FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, toks[i + 1] AS w1, toks[i + 2] AS w2
+      FROM toked, unnest(range(len(toks) - 1)) t(i)
+      WHERE len(toks) >= 2
+    ),
+    bgc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+    unic AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+    v AS (
+      SELECT count(DISTINCT w) AS n
+      FROM (SELECT w1 AS w FROM bg UNION ALL SELECT w2 AS w FROM bg)
+    ),
+    lp AS (
+      SELECT b.doc_id,
+             ln((c.c12 + 0.1) / (u.c1 + 0.1 * (SELECT n FROM v))) AS l
+      FROM bg b
+      JOIN unic u USING (w1)
+      JOIN bgc c USING (w1, w2)
+    ),
+    agg AS (
+      SELECT doc_id, avg(l) AS m, count(*) AS nb FROM lp GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           round(coalesce(a.m, 0.0), 6) AS lm_logprob,
+           CAST(coalesce(a.nb, 0) AS BIGINT) AS n_bigrams
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+    tags=("text-analysis", "quality", "lm", "ccnet"),
+)
+def lm_bigram_quality_score(spark: SparkSession, sf_dir: str):
+    """CCNet-style LM quality signal (operators/lm_score.py): a word-bigram
+    model with add-0.1 smoothing trained on the corpus in one distributed
+    count pass scores every document by its mean transition
+    log-probability — the perplexity-filter analog with the model tables
+    riding broadcast joins, no UDF anywhere."""
+    from llm_data_pipeline_spark.operators.lm_score import add_lm_score
+
+    docs = table(spark, sf_dir, "documents", scatter=True).select("doc_id", "text")
+    out = add_lm_score(docs)
+    return out.select(
+        "doc_id",
+        F.round("lm_logprob", 6).alias("lm_logprob"),
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+    ).orderBy("doc_id")

@@ -138,3 +138,24 @@ def test_staged_language_heuristic_equivalent(spark, sf_dir):
         assert ra == rb
     # staged temp columns must not leak into the output schema
     assert staged.columns == ["doc_id", "lang_pred", "lang_score", "q"]
+
+
+def test_lm_bigram_score_ranks_gibberish_below_natural(spark):
+    """Documents whose transitions the corpus has seen often must outscore
+    permuted/gibberish transitions (the CCNet filter property)."""
+    from pyspark.sql import Row
+
+    from llm_data_pipeline_spark.operators.lm_score import add_lm_score
+
+    natural = "the cat sat on the mat and the dog sat on the rug"
+    rows = [Row(doc_id=i, text=natural) for i in range(8)]
+    rows.append(Row(doc_id=100, text="mat the on rug sat dog cat and the on"))
+    rows.append(Row(doc_id=101, text="one"))
+    rows.append(Row(doc_id=102, text=None))
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r.doc_id: r for r in add_lm_score(df).collect()}
+    assert out[0].lm_logprob > out[100].lm_logprob
+    assert out[101].n_bigrams == 0 and out[101].lm_logprob == 0.0
+    assert out[102].n_bigrams == 0 and out[102].lm_logprob == 0.0
+    # input columns preserved
+    assert set(out[0].asDict()) == {"doc_id", "text", "lm_logprob", "n_bigrams"}
