@@ -449,3 +449,88 @@ def near_dup_pairs(
         )
         .where(F.col("score") >= threshold)
     )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_sub: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation (the
+    public IVF-PQ building block, Jégou et al. 2011 — here the PQ half).
+
+    Build: the vector space splits into ``n_sub`` contiguous subspaces;
+    each subspace's codebook is, deterministically, the sub-slices of the
+    ``n_codes`` smallest-id corpus vectors (same oracle-checkable
+    stand-in convention as ivf_flat_topk; swap a per-subspace k-means
+    codebook at scale). Every corpus vector encodes to n_sub uint codes
+    by nearest sub-centroid (L2^2) — the corpus compresses from d doubles
+    to n_sub small ints per vector, the point of PQ at 100 TB.
+
+    Search (ADC): each query computes its tiny (n_sub x n_codes) distance
+    lookup table; the approximate distance of a corpus vector is the SUM
+    of table entries selected by its codes — a join of the code table
+    with the broadcast LUT plus a groupBy, never touching the original
+    vectors.
+
+    Determinism contract: sub-distances use the sequential-fold identity
+    d2 = dot(x,x) - 2 dot(x,y) + dot(y,y), are scaled to integer
+    micro-units (round(d2*1e6)), and every downstream sum/rank runs on
+    exact BIGINTs — no float summation order anywhere. Ties break on
+    (code) at encode time and (vec_id) at rank time. Returns
+    (query_id, vec_id, adist, rank) with adist in micro-units.
+    """
+    from llm_data_pipeline_spark.functions.vectors import dot, to_double
+
+    d2u = lambda a, b: F.round(  # noqa: E731 — integer micro-unit L2^2
+        (dot(a, a) - F.lit(2.0) * dot(a, b) + dot(b, b)) * F.lit(1_000_000.0), 0
+    ).cast("long")
+
+    def sub_rows(df: DataFrame, ident: str) -> DataFrame:
+        dim_per = F.floor(F.size(vec_col) / n_sub).cast("int")
+        return df.select(
+            F.col(ident),
+            F.col(vec_col),
+            F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("m"),
+        ).select(
+            ident,
+            "m",
+            F.slice(
+                to_double(F.col(vec_col)), F.col("m") * dim_per + 1, dim_per
+            ).alias("sv"),
+        )
+
+    cb = sub_rows(
+        corpus.where(F.col(id_col) < n_codes), id_col
+    ).select(F.col(id_col).alias("code"), "m", F.col("sv").alias("cv"))
+
+    corpus_sub = sub_rows(corpus, id_col)
+    scored = corpus_sub.join(F.broadcast(cb), "m").select(
+        id_col, "m", "code", d2u(F.col("sv"), F.col("cv")).alias("_d")
+    )
+    w_enc = Window.partitionBy(id_col, "m").orderBy(F.asc("_d"), F.asc("code"))
+    codes = (
+        scored.withColumn("_rn", F.row_number().over(w_enc))
+        .where(F.col("_rn") == 1)
+        .select(id_col, "m", "code")
+    )
+
+    q_sub = sub_rows(queries, query_id_col)
+    lut = q_sub.join(F.broadcast(cb), "m").select(
+        query_id_col, "m", "code", d2u(F.col("sv"), F.col("cv")).alias("_dq")
+    )
+    adist = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .where(F.col(id_col) != F.col(query_id_col))
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum("_dq").cast("long").alias("adist"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.asc("adist"), F.asc(id_col))
+    return adist.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )

@@ -357,3 +357,69 @@ def embedding_ivf_flat_topk(spark: SparkSession, sf_dir: str):
         .select("query_id", "vec_id", "score", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+@query(
+    "embedding_pq_adc_topk",
+    oracle=f"""
+    WITH {_PAIR_BASE.strip()},
+    subs AS (
+      SELECT vec_id, m, v[m*16+1 : m*16+16] AS sv
+      FROM e, unnest(range(4)) t(m)
+    ),
+    cb AS (
+      SELECT vec_id AS code, m, sv AS cv FROM subs WHERE vec_id < 16
+    ),
+    enc AS (
+      SELECT s.vec_id, s.m, cb.code,
+             CAST(round((list_dot_product(s.sv, s.sv)
+                         - 2 * list_dot_product(s.sv, cb.cv)
+                         + list_dot_product(cb.cv, cb.cv)) * 1000000)
+                  AS BIGINT) AS d
+      FROM subs s JOIN cb ON cb.m = s.m
+    ),
+    codes AS (
+      SELECT vec_id, m, code FROM (
+        SELECT vec_id, m, code,
+               row_number() OVER (PARTITION BY vec_id, m
+                                  ORDER BY d, code) AS rn
+        FROM enc
+      ) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT vec_id AS query_id, m, code, d AS dq
+      FROM enc WHERE vec_id % 100 = 0
+    ),
+    adist AS (
+      SELECT l.query_id, c.vec_id, CAST(sum(l.dq) AS BIGINT) AS adist
+      FROM codes c JOIN lut l ON l.m = c.m AND l.code = c.code
+      WHERE c.vec_id <> l.query_id
+      GROUP BY l.query_id, c.vec_id
+    )
+    SELECT query_id, vec_id, adist, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT query_id, vec_id, adist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adist, vec_id) AS rank
+      FROM adist
+    ) WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+    tags=("similarity", "ann", "pq"),
+)
+def embedding_pq_adc_topk(spark: SparkSession, sf_dir: str):
+    """Product-quantization ANN (operators/similarity.py:pq_adc_topk):
+    4x16-dim subspaces, 16 deterministic sub-centroids, integer
+    micro-unit ADC sums — the memory-compressed scale path where search
+    touches codes and a per-query lookup table, never the vectors. The
+    oracle replays encode and ADC end to end (a query's LUT row for its
+    own code is the same `enc` distance, so `lut` is a filter of `enc`)."""
+    from llm_data_pipeline_spark.operators.similarity import pq_adc_topk
+
+    emb = table(spark, sf_dir, "embeddings", scatter=True)
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = pq_adc_topk(emb, queries, k=10)
+    return out.select(
+        "query_id", "vec_id", "adist", F.col("rank").cast("long").alias("rank")
+    ).orderBy("query_id", "rank")

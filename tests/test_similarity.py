@@ -184,3 +184,41 @@ def test_near_dup_lsh_prebucket_recall_and_exact_scores(spark, sf_dir):
     if naive:
         recall = len(lsh & naive) / len(naive)
         assert recall >= 0.9, recall
+
+
+def test_pq_adc_topk_contract_and_recall(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from llm_data_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        pq_adc_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    pq = pq_adc_topk(emb, queries, k=10).collect()
+    nq = queries.count()
+    assert len(pq) == nq * 10
+    by_q = {}
+    for r in pq:
+        by_q.setdefault(r.query_id, []).append(r)
+    for rows in by_q.values():
+        ranks = sorted(r.rank for r in rows)
+        assert ranks == list(range(1, 11))
+        dists = [r.adist for r in sorted(rows, key=lambda r: r.rank)]
+        assert dists == sorted(dists)  # ascending approximate distance
+        assert all(r.query_id != r.vec_id for r in rows)
+    # deterministic across runs
+    pq2 = pq_adc_topk(emb, queries, k=10).collect()
+    assert sorted(map(tuple, pq)) == sorted(map(tuple, pq2))
+    # sanity: the compressed index still finds some of the true neighbors
+    exact = brute_force_topk(emb, queries, k=10).collect()
+    ex = {}
+    for r in exact:
+        ex.setdefault(r.query_id, set()).add(r.vec_id)
+    hits = sum(
+        1 for r in pq if r.vec_id in ex.get(r.query_id, set())
+    )
+    assert hits > 0, "PQ should recover at least some exact neighbors"
