@@ -340,3 +340,43 @@ def lm_bigram_quality_score(spark: SparkSession, sf_dir: str):
         F.round("lm_logprob", 6).alias("lm_logprob"),
         F.col("n_bigrams").cast("long").alias("n_bigrams"),
     ).orderBy("doc_id")
+
+
+@query(
+    "language_confusion_matrix",
+    oracle=f"""
+    WITH {TEXT_BASE_SQL.strip()},
+    scored AS (
+      SELECT doc_id, {_lang_case()} AS lang_pred FROM feat
+    )
+    SELECT d.lang, s.lang_pred, count(*) AS n_docs,
+           round(count(*) * 1.0 /
+                 sum(count(*)) OVER (PARTITION BY d.lang), 6) AS frac_of_lang
+    FROM documents d JOIN scored s USING (doc_id)
+    GROUP BY d.lang, s.lang_pred
+    ORDER BY d.lang, s.lang_pred
+    """,
+    tags=("text-analysis", "langid", "evaluation"),
+)
+def language_confusion_matrix(spark: SparkSession, sf_dir: str):
+    """LID evaluation report: the heuristic's prediction crossed with the
+    corpus's stored language labels, with per-label fractions — the
+    accuracy view a model-quality dashboard needs before swapping the
+    heuristic for a real fastText model."""
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents", scatter=True)
+    pred = A.with_language_heuristic(docs).select("doc_id", "lang", "lang_pred")
+    counts = pred.groupBy("lang", "lang_pred").agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy("lang")
+    return (
+        counts.select(
+            "lang",
+            "lang_pred",
+            "n_docs",
+            F.round(
+                F.col("n_docs") * 1.0 / F.sum("n_docs").over(w), 6
+            ).alias("frac_of_lang"),
+        )
+        .orderBy("lang", "lang_pred")
+    )
