@@ -534,3 +534,43 @@ def pq_adc_topk(
     return adist.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
     )
+
+
+def pq_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    shortlist: int = 50,
+    n_sub: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """PQ shortlist + exact re-rank (the standard two-stage ANN recipe):
+    the compressed ADC index proposes ``shortlist`` candidates per query,
+    then ONLY those candidates fetch their full vectors for an exact
+    cosine re-rank to top-k. At 100 TB the expensive exact math runs on
+    shortlist x queries rows instead of corpus x queries — the vector
+    fetch is a semi-join-sized lookup against the (bucketed) corpus.
+    Scores round to 6 dp before ranking, ties on id (the repo's exact-
+    similarity convention), so the result is fully oracle-replayable.
+    """
+    cand = pq_adc_topk(
+        corpus, queries, k=shortlist, n_sub=n_sub, n_codes=n_codes,
+        id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+    ).select(query_id_col, id_col)
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
+    rescored = (
+        cand.join(corpus.select(id_col, vec_col), id_col)
+        .join(F.broadcast(q), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(cosine(F.col("_qvec"), F.col(vec_col)), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return rescored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )

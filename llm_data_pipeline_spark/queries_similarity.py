@@ -423,3 +423,79 @@ def embedding_pq_adc_topk(spark: SparkSession, sf_dir: str):
     return out.select(
         "query_id", "vec_id", "adist", F.col("rank").cast("long").alias("rank")
     ).orderBy("query_id", "rank")
+
+
+@query(
+    "embedding_pq_rerank_topk",
+    oracle=f"""
+    WITH {_PAIR_BASE.strip()},
+    subs AS (
+      SELECT vec_id, m, v[m*16+1 : m*16+16] AS sv
+      FROM e, unnest(range(4)) t(m)
+    ),
+    cb AS (
+      SELECT vec_id AS code, m, sv AS cv FROM subs WHERE vec_id < 16
+    ),
+    enc AS (
+      SELECT s.vec_id, s.m, cb.code,
+             CAST(round((list_dot_product(s.sv, s.sv)
+                         - 2 * list_dot_product(s.sv, cb.cv)
+                         + list_dot_product(cb.cv, cb.cv)) * 1000000)
+                  AS BIGINT) AS d
+      FROM subs s JOIN cb ON cb.m = s.m
+    ),
+    codes AS (
+      SELECT vec_id, m, code FROM (
+        SELECT vec_id, m, code,
+               row_number() OVER (PARTITION BY vec_id, m
+                                  ORDER BY d, code) AS rn
+        FROM enc
+      ) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT vec_id AS query_id, m, code, d AS dq
+      FROM enc WHERE vec_id % 100 = 0
+    ),
+    shortlist AS (
+      SELECT query_id, vec_id FROM (
+        SELECT l.query_id, c.vec_id,
+               row_number() OVER (PARTITION BY l.query_id
+                                  ORDER BY sum(l.dq), c.vec_id) AS rn
+        FROM codes c JOIN lut l ON l.m = c.m AND l.code = c.code
+        WHERE c.vec_id <> l.query_id
+        GROUP BY l.query_id, c.vec_id
+      ) WHERE rn <= 50
+    ),
+    rescored AS (
+      SELECT s.query_id, s.vec_id,
+             {cos_sql('q.v', 'c.v')} AS score
+      FROM shortlist s
+      JOIN e q ON q.vec_id = s.query_id
+      JOIN e c ON c.vec_id = s.vec_id
+    )
+    SELECT query_id, vec_id, score, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT query_id, vec_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, vec_id) AS rank
+      FROM rescored
+    ) WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+    tags=("similarity", "ann", "pq", "rerank"),
+)
+def embedding_pq_rerank_topk(spark: SparkSession, sf_dir: str):
+    """Two-stage ANN (operators/similarity.py:pq_rerank_topk): the
+    compressed PQ index shortlists 50 candidates per query, then only
+    those fetch full vectors for an exact cosine re-rank to top-10 — the
+    standard recall-recovery recipe, with the expensive exact math on
+    shortlist x queries rows instead of corpus x queries."""
+    from llm_data_pipeline_spark.operators.similarity import pq_rerank_topk
+
+    emb = table(spark, sf_dir, "embeddings", scatter=True)
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = pq_rerank_topk(emb, queries, k=10, shortlist=50)
+    return out.select(
+        "query_id", "vec_id", "score", F.col("rank").cast("long").alias("rank")
+    ).orderBy("query_id", "rank")
