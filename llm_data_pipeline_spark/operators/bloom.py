@@ -54,9 +54,10 @@ def build_bloom_bits(
     """Distributed Bloom-filter build over a digest column.
 
     Every row expands to its k probe positions (narrow), then a distinct
-    on positions (one shuffle whose cardinality is bounded by m) and a
-    driver collect of at most m row — the only driver-sized object is the
-    m/8-byte bitmap itself.
+    on positions (one shuffle whose cardinality is bounded by m) and an
+    Arrow-batched fetch of a single int64 column (``toPandas`` — no
+    per-position Row objects cross the driver boundary), folded into the
+    m/8-byte bitmap with one vectorized scatter.
     """
     h1, h2 = _digest_hashes(F.col(digest_col))
     # reduce both draws mod m BEFORE combining: ANSI mode (Spark 4
@@ -75,9 +76,7 @@ def build_bloom_bits(
         .distinct()
     )
     bits = np.zeros(m_bits // 8, dtype=np.uint8)
-    pos = np.fromiter(
-        (r["pos"] for r in positions.collect()), dtype=np.int64
-    )
+    pos = positions.toPandas()["pos"].to_numpy(dtype=np.int64)
     if pos.size:
         np.bitwise_or.at(bits, pos // 8, (1 << (pos % 8).astype(np.uint8)))
     return bits.tobytes()
@@ -153,11 +152,15 @@ def build_bloom_bits_sharded(
         )
         .distinct()
     )
-    bits = [np.zeros(m_bits // 8, dtype=np.uint8) for _ in range(n_shards)]
-    for r in positions.collect():
-        p = int(r["pos"])
-        bits[int(r["s"])][p // 8] |= 1 << (p % 8)
-    return [b.tobytes() for b in bits]
+    pdf = positions.toPandas()
+    s = pdf["s"].to_numpy(dtype=np.int64)
+    p = pdf["pos"].to_numpy(dtype=np.int64)
+    # one stacked (n_shards, m/8) matrix; vectorized scatter indexed by
+    # (shard, byte) — no per-row Python loop over millions of positions
+    mat = np.zeros((n_shards, m_bits // 8), dtype=np.uint8)
+    if p.size:
+        np.bitwise_or.at(mat, (s, p // 8), (1 << (p % 8).astype(np.uint8)))
+    return [mat[i].tobytes() for i in range(n_shards)]
 
 
 def with_bloom_hit_sharded(
@@ -230,7 +233,13 @@ def incremental_exact_dedup(
     else:
         bits = build_bloom_bits(base, digest_col, m_bits, k)
         flagged = with_bloom_hit(new, digest_col, bits, m_bits, k)
-    positives = flagged.where(F.col("bloom_hit"))
+    # distinct BEFORE the join: the increment may contain the same digest
+    # many times (duplicate texts inside the re-ingested slice); `confirmed`
+    # must be one row per digest or the final left_outer join would
+    # multiply those increment rows and break semi-join equivalence.
+    positives = (
+        flagged.where(F.col("bloom_hit")).select(digest_col).distinct()
+    )
     confirmed = positives.join(
         base.select(digest_col).distinct(), digest_col, "left_semi"
     ).select(F.col(digest_col).alias("_dup_digest"))

@@ -19,8 +19,11 @@ Scoring: log P(w2|w1) = ln((c(w1,w2) + k) / (c(w1) + k*V)), with V the
 unigram vocabulary size; unseen bigrams fall back to the same smoothed
 formula with c=0 (k/(c(w1)+kV)), and unseen left-words to ln(1/V).
 Mean over a doc's bigrams; single-word/empty docs score 0.0 by
-convention. Deterministic: counts are exact integers, ln is evaluated on
-one engine-portable expression and the graded query rounds the mean.
+convention. Determinism contract (same as pq_adc_topk's): each bigram's
+log-prob is quantized to INTEGER MICRO-UNITS (round(lp*1e6) as int64)
+before aggregation, the per-doc sum is an exact int64 (order-independent
+— F.avg over doubles is not, since partial-aggregation order varies),
+and the division back to a mean happens exactly once at the end.
 """
 
 from __future__ import annotations
@@ -91,24 +94,33 @@ def add_lm_score(
         bigrams.join(F.broadcast(uni_counts), "w1", "left")
         .join(F.broadcast(bg_counts), ["w1", "w2"], "left")
         .withColumn(
-            "_lp",
+            "_lp_micro",
             F.when(
-                F.col("w1").isNull(), F.lit(None).cast("double")
+                F.col("w1").isNull(), F.lit(None).cast("long")
             ).otherwise(
-                F.log(
-                    (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(smooth_k))
-                    / (
-                        F.coalesce(F.col("c1"), F.lit(0))
-                        + F.lit(smooth_k) * F.lit(float(vocab_n))
+                F.round(
+                    F.log(
+                        (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(smooth_k))
+                        / (
+                            F.coalesce(F.col("c1"), F.lit(0))
+                            + F.lit(smooth_k) * F.lit(float(vocab_n))
+                        )
                     )
-                )
+                    * F.lit(1e6),
+                    0,
+                ).cast("long")
             ),
         )
     )
     per_doc = scored.groupBy("doc_id").agg(
-        F.coalesce(F.avg("_lp"), F.lit(0.0)).alias(out_col),
-        F.count(F.col("_lp")).alias("n_bigrams"),
-    )
+        F.sum("_lp_micro").alias("_sum_micro"),
+        F.count(F.col("_lp_micro")).alias("n_bigrams"),
+    ).withColumn(
+        out_col,
+        F.when(F.col("n_bigrams") > 0,
+               F.col("_sum_micro") / (F.lit(1e6) * F.col("n_bigrams")))
+        .otherwise(F.lit(0.0)),
+    ).drop("_sum_micro")
     return df.join(
         per_doc.select(
             F.col("doc_id").alias(id_col), out_col, "n_bigrams"

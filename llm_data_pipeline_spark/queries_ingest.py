@@ -19,6 +19,7 @@ Reference parity: ingest/step.py:41-98 (record rules), ingest/run.py:26-43
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -30,7 +31,11 @@ from llm_data_pipeline_spark.sources.wet import (
     read_wet,
 )
 
-FIXTURE_DIR = "/tmp/llm_dp_spark_wet_fixture_v1"
+# pid-suffixed: two concurrent sessions otherwise race on the fixture
+# bytes mid-write and can ingest a partially-written .gz
+FIXTURE_DIR = os.path.join(
+    tempfile.gettempdir(), f"llm_dp_spark_wet_fixture_v1_{os.getpid()}"
+)
 _CFG = WetIngestConfig(min_text_chars=50, max_text_chars=400, max_docs_per_file=3)
 
 _LONG = " ".join(f"sentence {i} of the long document body" for i in range(20))

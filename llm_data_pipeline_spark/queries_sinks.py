@@ -17,6 +17,7 @@ tokenizer/run.py:392-408 (packing_meta.json).
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -37,7 +38,11 @@ from llm_data_pipeline_spark.sources.sinks import (
 )
 from llm_data_pipeline_spark.core.stage import write_parquet_counted
 
-SINK_BASE = "/tmp/llm_dp_spark_sinks"
+# pid-suffixed so two concurrent sessions on one machine never interleave
+# writes or read each other's roundtrip artifacts
+SINK_BASE = os.path.join(
+    tempfile.gettempdir(), f"llm_dp_spark_sinks_{os.getpid()}"
+)
 _MOD = 1_000_000_007
 
 _FLAT_RE = r"\s*\n\s*"

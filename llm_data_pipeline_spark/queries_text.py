@@ -309,13 +309,16 @@ def corpus_stats_by_lang(spark: SparkSession, sf_dir: str):
     ),
     lp AS (
       SELECT b.doc_id,
-             ln((c.c12 + 0.1) / (u.c1 + 0.1 * (SELECT n FROM v))) AS l
+             CAST(round(ln((c.c12 + 0.1) / (u.c1 + 0.1 * (SELECT n FROM v)))
+                        * 1000000.0) AS BIGINT) AS l_micro
       FROM bg b
       JOIN unic u USING (w1)
       JOIN bgc c USING (w1, w2)
     ),
     agg AS (
-      SELECT doc_id, avg(l) AS m, count(*) AS nb FROM lp GROUP BY doc_id
+      SELECT doc_id, sum(l_micro) / (1000000.0 * count(*)) AS m,
+             count(*) AS nb
+      FROM lp GROUP BY doc_id
     )
     SELECT d.doc_id,
            round(coalesce(a.m, 0.0), 6) AS lm_logprob,

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 import os
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -662,7 +663,9 @@ def binary_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         enc, seq_len=SEQ_LEN, eos_id=2, add_eos=True, ensure_eos=True,
         drop_remainder=True, order_col="doc_id",
     )
-    out_dir = "/tmp/llm_dp_spark_bin_export"
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"llm_dp_spark_bin_export_{os.getpid()}"
+    )
     meta = export_binary(chunks, out_dir, dtype="uint16", via="partitions")
     arr = np.fromfile(meta["path"], dtype="<u2").astype(np.int64)
     row = (

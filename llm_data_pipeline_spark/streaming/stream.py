@@ -32,7 +32,9 @@ from pyspark.sql import functions as F
 _MEM_COUNTER = itertools.count()
 # File-source streams need an explicit schema, taken from a batch scan of
 # the same path — one footer-read job per call otherwise. Parquet fixtures
-# are immutable within a session, so cache per (session, path).
+# are immutable within a session, so cache per (session, path). Keyed on
+# applicationId, not id(spark): CPython reuses object ids after GC, so an
+# id()-keyed cache could serve a dead session's stale schema to a new one.
 _SCHEMA_CACHE: dict = {}
 
 
@@ -53,7 +55,7 @@ def read_parquet_stream(
 
     # Runtime-settable; lets older Spark read TIMESTAMP(NANOS) as longs.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    cache_key = (id(spark), path)
+    cache_key = (spark.sparkContext.applicationId, path)
     batch_schema = _SCHEMA_CACHE.get(cache_key)
     if batch_schema is None:
         batch_schema = spark.read.parquet(path).schema

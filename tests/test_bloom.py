@@ -58,6 +58,34 @@ def test_incremental_exact_dedup_matches_plain_semijoin(spark):
     assert set(got.columns) == {"digest", "row_id", "is_dup"}
 
 
+def test_incremental_dedup_duplicate_digests_in_increment(spark):
+    """Duplicate texts INSIDE the increment must not multiply output rows:
+    the confirm join is keyed on distinct digests, so the result stays
+    row-for-row with the increment (one is_dup flag per input row)."""
+    base = _digests(spark, 200, "member-")
+    dup_slice = _digests(spark, 50, "member-")  # each digest appears 3x
+    fresh_dup = _digests(spark, 30, "fresh-")  # non-base digests, twice each
+    new = (
+        dup_slice.unionByName(dup_slice)
+        .unionByName(dup_slice)
+        .unionByName(fresh_dup)
+        .unionByName(fresh_dup)
+        .withColumn("row_id", F.monotonically_increasing_id())
+    )
+    n_in = new.count()
+    got = incremental_exact_dedup(base, new, digest_col="digest")
+    assert got.count() == n_in  # no row multiplication
+    assert got.where(F.col("is_dup")).count() == 150  # 50 digests x 3 rows
+    assert got.where(~F.col("is_dup")).count() == 60
+    # sharded path agrees
+    got4 = incremental_exact_dedup(base, new, digest_col="digest", n_shards=4)
+    assert sorted(
+        (r.digest, r.is_dup) for r in got.select("digest", "is_dup").collect()
+    ) == sorted(
+        (r.digest, r.is_dup) for r in got4.select("digest", "is_dup").collect()
+    )
+
+
 def test_sharded_filter_matches_unsharded(spark):
     from llm_data_pipeline_spark.operators.bloom import (
         build_bloom_bits_sharded,
