@@ -136,6 +136,12 @@ def main() -> None:
 
             gc.collect()
             spark.sparkContext._jvm.System.gc()
+            # Block/broadcast removal runs on the ContextCleaner thread
+            # AFTER the JVM GC enqueues the weak references — without a
+            # settle window that async cleanup lands inside the timed
+            # steady pass (observed: steady > first-pass on
+            # checkpoint-heavy dedup queries, r4 minhash anomaly).
+            time.sleep(0.3)
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             _ = df.count() if len(df.columns) > 8 else len(df.collect())
@@ -149,6 +155,7 @@ def main() -> None:
 
         gc.collect()
         spark.sparkContext._jvm.System.gc()
+        time.sleep(0.3)  # let the ContextCleaner drain (see above)
 
     # Second fixed-position throughput measurement, after the gauntlet.
     if run_throughput:
@@ -172,6 +179,14 @@ def main() -> None:
             scale["bpe_train_curve"] = bpe_train_curve()
         except Exception as e:  # noqa: BLE001
             print(f"bench: bpe curve failed: {type(e).__name__}: {e}", file=sys.stderr)
+        try:
+            scale["ann_recall_at_10"] = ann_recall(spark, sf_dir)
+        except Exception as e:  # noqa: BLE001
+            print(f"bench: ann recall failed: {type(e).__name__}: {e}", file=sys.stderr)
+        try:
+            scale["cc_scale_check"] = cc_scale_check(spark)
+        except Exception as e:  # noqa: BLE001
+            print(f"bench: cc scale check failed: {type(e).__name__}: {e}", file=sys.stderr)
 
     # Headline value stays the sum over the curated HEADLINE set so it is
     # comparable round-over-round; the full-registry totals (93 queries)
@@ -329,6 +344,89 @@ def dedup_scale_check(spark, sf_dir: str, reps: int = 10) -> dict:
         out["jaccard_time_ratio"] <= reps * 1.5
         and out["minhash_time_ratio"] <= reps * 1.5
     )
+    return out
+
+
+def ann_recall(spark, sf_dir: str) -> dict:
+    """recall@10 of every approximate ANN query against the exact
+    brute-force top-10 on the same corpus/queries — the quality half of
+    the ANN story (speed is the per-query bench rows). Computed as
+    |approx ∩ exact| / |exact| over all (query_id, vec_id) pairs."""
+    bf = (
+        Q.REGISTRY["embedding_topk_bruteforce"]
+        .fn(spark, sf_dir)
+        .select("query_id", "vec_id")
+        .persist()
+    )
+    total = bf.count()
+    out = {}
+    for name in (
+        "embedding_pq_adc_topk",
+        "embedding_pq_rerank_topk",
+        "embedding_ivf_flat_topk",
+        "embedding_ann_lsh_topk",
+    ):
+        if name not in Q.REGISTRY:
+            continue
+        ap = Q.REGISTRY[name].fn(spark, sf_dir).select("query_id", "vec_id")
+        inter = ap.join(bf, ["query_id", "vec_id"], "left_semi").count()
+        out[name] = round(inter / max(total, 1), 4)
+    bf.unpersist()
+    out["k"] = 10
+    out["n_pairs_exact"] = total
+    return out
+
+
+def cc_scale_check(spark) -> dict:
+    """Forced-distributed connected components on an adversarial chain
+    (diameter = n) at 1x/10x, with and without pointer jumping — turns
+    the 'propagation converges in O(log n) rounds' claim into measured
+    round counts. Without jumping, labels move one hop per round, so the
+    run hits the iteration cap (recorded as converged=false); with
+    jumping it converges in ~log2(n) rounds at both scales."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from llm_data_pipeline_spark.operators.lsh import (
+        _driver_dsu_components,
+        _propagation_components,
+    )
+
+    out: dict = {}
+    cap = 25
+    for label, n in (("1x_chain_256", 256), ("10x_chain_2560", 2560)):
+        edges = (
+            spark.range(n - 1)
+            .select(F.col("id").alias("u"), (F.col("id") + 1).alias("v"))
+            .localCheckpoint(eager=False)
+        )
+        entry: dict = {"n_nodes": n}
+        for jump in (True, False):
+            if not jump and n > 256:
+                continue  # one no-jump demonstration is enough; O(n) rounds
+            stats: dict = {}
+            t0 = _time.perf_counter()
+            labels = _propagation_components(
+                edges, max_iterations=cap, stats=stats, pointer_jump=jump
+            )
+            n_comp = labels.select("component").distinct().count()
+            entry["jump" if jump else "no_jump"] = {
+                "rounds": stats["rounds"],
+                "converged": stats["converged"],
+                "sec": round(_time.perf_counter() - t0, 3),
+                "n_components": n_comp,
+            }
+        # correctness pin: jump path labels == driver DSU labels
+        dsu = _driver_dsu_components(edges)
+        jump_labels = _propagation_components(
+            edges, max_iterations=cap, pointer_jump=True
+        )
+        entry["matches_dsu"] = bool(
+            jump_labels.exceptAll(dsu).count() == 0
+            and dsu.exceptAll(jump_labels).count() == 0
+        )
+        out[label] = entry
     return out
 
 

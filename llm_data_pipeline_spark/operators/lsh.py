@@ -184,7 +184,10 @@ def connected_components(
 
 
 def _propagation_components(
-    edges: DataFrame, max_iterations: int, stats: dict | None = None
+    edges: DataFrame,
+    max_iterations: int,
+    stats: dict | None = None,
+    pointer_jump: bool = True,
 ) -> DataFrame:
     """Min-label propagation with pointer jumping.
 
@@ -229,21 +232,28 @@ def _propagation_components(
                 F.col("component"), F.coalesce("nbr_component", "component")
             ).alias("component"),
         )
-        # pointer jump: component := label(component). Labels are node
-        # ids, so the lookup is a self-join; a miss (root) keeps its own.
-        jump_src = stepped.select(
-            F.col("id").alias("jid"), F.col("component").alias("jcomp")
-        )
-        updated = (
-            stepped.join(jump_src, stepped.component == jump_src.jid, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce("jcomp", "component")
-                ).alias("component"),
+        if pointer_jump:
+            # pointer jump: component := label(component). Labels are node
+            # ids, so the lookup is a self-join; a miss (root) keeps its
+            # own. (pointer_jump=False exists only for the bench's
+            # rounds-taken comparison — production always jumps.)
+            jump_src = stepped.select(
+                F.col("id").alias("jid"), F.col("component").alias("jcomp")
             )
-            .localCheckpoint(eager=False)
-        )
+            updated = (
+                stepped.join(
+                    jump_src, stepped.component == jump_src.jid, "left"
+                )
+                .select(
+                    "id",
+                    F.least(
+                        F.col("component"), F.coalesce("jcomp", "component")
+                    ).alias("component"),
+                )
+                .localCheckpoint(eager=False)
+            )
+        else:
+            updated = stepped.localCheckpoint(eager=False)
         # convergence: any label lowered this round? (join against the
         # previous labels; both frames are checkpointed, so this is one
         # cheap job, not a lineage replay)
@@ -260,6 +270,7 @@ def _propagation_components(
             break
     if stats is not None:
         stats["rounds"] = rounds
+        stats["converged"] = n_changed == 0
     return labels.select(F.col("id").alias("doc_id"), "component")
 
 
@@ -326,7 +337,14 @@ def minhash_dedup(
     duplicates (left-anti join against the removal set — fully distributed,
     no driver keep-set).
     """
-    bands = band_rows(df_sig, rows_per_band, id_col=id_col)
+    # Stage the band rows: candidate_pairs consumes them twice (the
+    # count-prefilter pass and the collect_list pass), and without a
+    # boundary each pass re-runs the signature UDF upstream. Band rows are
+    # far narrower than signatures (k/r sha1 strings vs k longs + text),
+    # so this is the cheapest place to pin one evaluation.
+    bands = band_rows(df_sig, rows_per_band, id_col=id_col).localCheckpoint(
+        eager=False
+    )
     edges = candidate_pairs(bands, bucket_cap)
     comps = connected_components(edges)
     # attach (ts, length) for canonical choice

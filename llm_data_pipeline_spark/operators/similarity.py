@@ -159,6 +159,85 @@ def ivf_kmeans_codebook(
     )
 
 
+def kmeans_deterministic(
+    X: np.ndarray, k: int, seed: int = 42, n_iter: int = 20
+) -> np.ndarray:
+    """Plain Lloyd k-means with a fully pinned recipe: seeded sample init
+    (RandomState(seed).choice without replacement), exactly ``n_iter``
+    assignment/update rounds, argmin first-index tie-break, empty clusters
+    keep their previous centroid. Deterministic for a fixed input — the
+    point is not clustering quality frontier but a reproducible codebook
+    whose literals can be committed and replayed by the SQL oracle."""
+    X = np.asarray(X, dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=min(k, len(X)), replace=False)].copy()
+    if len(C) < k:  # degenerate tiny corpus: pad by repeating rows
+        C = np.vstack([C, C[: k - len(C)]])
+    for _ in range(n_iter):
+        # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; argmin over c
+        d2 = (
+            (X * X).sum(axis=1, keepdims=True)
+            - 2.0 * (X @ C.T)
+            + (C * C).sum(axis=1)
+        )
+        assign = d2.argmin(axis=1)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    return C
+
+
+def train_pq_codebook(
+    corpus: DataFrame,
+    n_sub: int = 4,
+    n_codes: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    n_iter: int = 20,
+    max_sample_rows: int = 100_000,
+) -> list[list[list[float]]]:
+    """Per-subspace k-means PQ codebooks fit on a deterministic sample.
+
+    Returns ``book[m][code][dim_per]`` (python floats rounded to 6 dp so
+    the literals are committable and parse to identical doubles in Python
+    and SQL). The sample is the ``max_sample_rows`` smallest-id vectors —
+    a deterministic, order-free rule (orderBy + limit, one pass); at
+    100 TB the codebook is trained once on such a sample and shipped as
+    literals, exactly what this returns."""
+    pdf = corpus.select("*").orderBy(corpus.columns[0]).limit(
+        max_sample_rows
+    ).select(vec_col).toPandas()
+    X = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    dim = X.shape[1]
+    dim_per = dim // n_sub
+    books = []
+    for m in range(n_sub):
+        sub = X[:, m * dim_per : (m + 1) * dim_per]
+        C = kmeans_deterministic(sub, n_codes, seed=seed + m, n_iter=n_iter)
+        books.append([[round(float(x), 6) for x in c] for c in C])
+    return books
+
+
+def train_ivf_codebook(
+    corpus: DataFrame,
+    n_lists: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    n_iter: int = 20,
+    max_sample_rows: int = 100_000,
+) -> list[list[float]]:
+    """Full-dimension k-means IVF codebook on the same deterministic
+    sample rule as :func:`train_pq_codebook`; returns ``[n_lists][dim]``
+    rounded literals."""
+    pdf = corpus.select("*").orderBy(corpus.columns[0]).limit(
+        max_sample_rows
+    ).select(vec_col).toPandas()
+    X = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    C = kmeans_deterministic(X, n_lists, seed=seed, n_iter=n_iter)
+    return [[round(float(x), 6) for x in c] for c in C]
+
+
 def _hyperplanes(nbits: int, dim: int, seed: int, n_tables: int) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.standard_normal(size=(n_tables, nbits, dim))
@@ -460,17 +539,20 @@ def pq_adc_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    codebook: list | None = None,
 ) -> DataFrame:
     """Product-quantization ANN with asymmetric distance computation (the
     public IVF-PQ building block, Jégou et al. 2011 — here the PQ half).
 
     Build: the vector space splits into ``n_sub`` contiguous subspaces;
-    each subspace's codebook is, deterministically, the sub-slices of the
-    ``n_codes`` smallest-id corpus vectors (same oracle-checkable
-    stand-in convention as ivf_flat_topk; swap a per-subspace k-means
-    codebook at scale). Every corpus vector encodes to n_sub uint codes
-    by nearest sub-centroid (L2^2) — the corpus compresses from d doubles
-    to n_sub small ints per vector, the point of PQ at 100 TB.
+    each subspace's codebook is either ``codebook`` —
+    ``book[m][code][dim_per]`` literals, e.g. the committed k-means
+    centroids from :func:`train_pq_codebook` (data/codebooks.py) — or,
+    when None, the sub-slices of the ``n_codes`` smallest-id corpus
+    vectors (the original oracle-checkable stand-in). Every corpus vector
+    encodes to n_sub uint codes by nearest sub-centroid (L2^2) — the
+    corpus compresses from d doubles to n_sub small ints per vector, the
+    point of PQ at 100 TB.
 
     Search (ADC): each query computes its tiny (n_sub x n_codes) distance
     lookup table; the approximate distance of a corpus vector is the SUM
@@ -505,9 +587,19 @@ def pq_adc_topk(
             ).alias("sv"),
         )
 
-    cb = sub_rows(
-        corpus.where(F.col(id_col) < n_codes), id_col
-    ).select(F.col(id_col).alias("code"), "m", F.col("sv").alias("cv"))
+    if codebook is not None:
+        cb = corpus.sparkSession.createDataFrame(
+            [
+                (int(c), int(m), [float(x) for x in codebook[m][c]])
+                for m in range(len(codebook))
+                for c in range(len(codebook[m]))
+            ],
+            "code long, m int, cv array<double>",
+        )
+    else:
+        cb = sub_rows(
+            corpus.where(F.col(id_col) < n_codes), id_col
+        ).select(F.col(id_col).alias("code"), "m", F.col("sv").alias("cv"))
 
     corpus_sub = sub_rows(corpus, id_col)
     scored = corpus_sub.join(F.broadcast(cb), "m").select(
@@ -546,6 +638,7 @@ def pq_rerank_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    codebook: list | None = None,
 ) -> DataFrame:
     """PQ shortlist + exact re-rank (the standard two-stage ANN recipe):
     the compressed ADC index proposes ``shortlist`` candidates per query,
@@ -559,6 +652,7 @@ def pq_rerank_topk(
     cand = pq_adc_topk(
         corpus, queries, k=shortlist, n_sub=n_sub, n_codes=n_codes,
         id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+        codebook=codebook,
     ).select(query_id_col, id_col)
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
     rescored = (

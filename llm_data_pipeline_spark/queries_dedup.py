@@ -427,7 +427,10 @@ def minhash_dedup_kept(spark: SparkSession, sf_dir: str):
     aug = _augmented(spark, sf_dir, scatter=True)
     sig = add_minhash_md5(aug)
     kept, _ = minhash_dedup(sig, rows_per_band=8)
-    return kept.select("doc_id").orderBy("doc_id")
+    # single-column presentation sort: coalesce(1)+sortWithinPartitions
+    # instead of a global orderBy, whose range-partitioner sampling pass
+    # would re-execute the whole dedup child plan a second time
+    return kept.select("doc_id").coalesce(1).sortWithinPartitions("doc_id")
 
 
 @query(

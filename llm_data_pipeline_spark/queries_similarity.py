@@ -13,6 +13,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from llm_data_pipeline_spark.data.codebooks import IVF_CODEBOOK, PQ_CODEBOOK
 from llm_data_pipeline_spark.operators.similarity import (
     brute_force_topk,
     hyperplane_lsh_topk,
@@ -21,6 +22,36 @@ from llm_data_pipeline_spark.operators.similarity import (
     near_dup_pairs_blocked,
 )
 from llm_data_pipeline_spark.queries import query, table
+
+
+def _sql_dlist(vec) -> str:
+    """A DOUBLE[] literal whose decimal reprs parse to the exact same
+    binary doubles in DuckDB as the Python floats do on the Spark side
+    (repr is shortest-round-trip; both parsers are correctly rounded)."""
+    return "[" + ", ".join(repr(float(x)) for x in vec) + "]::DOUBLE[]"
+
+
+# cb(code, m, cv): the committed per-subspace k-means PQ codebook
+_PQ_CB_VALUES = ",\n      ".join(
+    f"({c}, {m}, {_sql_dlist(vec)})"
+    for m, book in enumerate(PQ_CODEBOOK)
+    for c, vec in enumerate(book)
+)
+_PQ_CB_SQL = f"""
+    cb AS (
+      SELECT * FROM (VALUES
+      {_PQ_CB_VALUES}
+      ) AS t(code, m, cv)
+    )"""
+
+# cents(list_id, cvec): the committed full-dimension IVF codebook
+_IVF_CB_SQL = (
+    "cents AS (\n      SELECT * FROM (VALUES\n      "
+    + ",\n      ".join(
+        f"({i}, {_sql_dlist(vec)})" for i, vec in enumerate(IVF_CODEBOOK)
+    )
+    + "\n      ) AS t(list_id, cvec)\n    )"
+)
 
 def cos_sql(a: str, b: str) -> str:
     """Rounded cosine-similarity SQL between two DOUBLE[] expressions."""
@@ -306,7 +337,7 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str):
     "embedding_ivf_flat_topk",
     oracle=f"""
     WITH {_PAIR_BASE.strip()},
-    cents AS (SELECT vec_id AS list_id, v AS cvec FROM e WHERE vec_id < 16),
+    {_IVF_CB_SQL.strip()},
     assign AS (
       SELECT vec_id, list_id FROM (
         SELECT e.vec_id, c.list_id,
@@ -345,15 +376,22 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str):
     tags=("similarity", "ann", "ivf"),
 )
 def embedding_ivf_flat_topk(spark: SparkSession, sf_dir: str):
-    """IVF-Flat ANN (inverted lists + probing) with deterministic
-    centroids; the oracle replays the identical build+probe relationally,
-    so the approximation itself is hash-checked, not just row counts."""
+    """IVF-Flat ANN (inverted lists + probing) with the TRAINED k-means
+    codebook (committed literals, data/codebooks.py — deterministic Lloyd
+    recipe, scripts/gen_codebooks.py); the oracle replays the identical
+    build+probe relationally from the same literals, so the approximation
+    itself is hash-checked, not just row counts."""
     emb = table(spark, sf_dir, "embeddings", scatter=True)
     queries = emb.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(IVF_CODEBOOK)],
+        "list_id long, cvec array<double>",
+    )
     return (
-        ivf_flat_topk(emb, queries, k=10, n_lists=16, n_probe=4)
+        ivf_flat_topk(emb, queries, k=10, n_lists=16, n_probe=4,
+                      centroids=cents)
         .select("query_id", "vec_id", "score", "rank")
         .orderBy("query_id", "rank")
     )
@@ -367,9 +405,7 @@ def embedding_ivf_flat_topk(spark: SparkSession, sf_dir: str):
       SELECT vec_id, m, v[m*16+1 : m*16+16] AS sv
       FROM e, unnest(range(4)) t(m)
     ),
-    cb AS (
-      SELECT vec_id AS code, m, sv AS cv FROM subs WHERE vec_id < 16
-    ),
+    {_PQ_CB_SQL.strip()},
     enc AS (
       SELECT s.vec_id, s.m, cb.code,
              CAST(round((list_dot_product(s.sv, s.sv)
@@ -408,18 +444,18 @@ def embedding_ivf_flat_topk(spark: SparkSession, sf_dir: str):
 )
 def embedding_pq_adc_topk(spark: SparkSession, sf_dir: str):
     """Product-quantization ANN (operators/similarity.py:pq_adc_topk):
-    4x16-dim subspaces, 16 deterministic sub-centroids, integer
-    micro-unit ADC sums — the memory-compressed scale path where search
-    touches codes and a per-query lookup table, never the vectors. The
-    oracle replays encode and ADC end to end (a query's LUT row for its
-    own code is the same `enc` distance, so `lut` is a filter of `enc`)."""
+    4x16-dim subspaces, TRAINED per-subspace k-means sub-centroids
+    (committed literals, data/codebooks.py), integer micro-unit ADC
+    sums — the memory-compressed scale path where search touches codes
+    and a per-query lookup table, never the vectors. The oracle replays
+    encode and ADC end to end from the identical centroid literals."""
     from llm_data_pipeline_spark.operators.similarity import pq_adc_topk
 
     emb = table(spark, sf_dir, "embeddings", scatter=True)
     queries = emb.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = pq_adc_topk(emb, queries, k=10)
+    out = pq_adc_topk(emb, queries, k=10, codebook=PQ_CODEBOOK)
     return out.select(
         "query_id", "vec_id", "adist", F.col("rank").cast("long").alias("rank")
     ).orderBy("query_id", "rank")
@@ -433,9 +469,7 @@ def embedding_pq_adc_topk(spark: SparkSession, sf_dir: str):
       SELECT vec_id, m, v[m*16+1 : m*16+16] AS sv
       FROM e, unnest(range(4)) t(m)
     ),
-    cb AS (
-      SELECT vec_id AS code, m, sv AS cv FROM subs WHERE vec_id < 16
-    ),
+    {_PQ_CB_SQL.strip()},
     enc AS (
       SELECT s.vec_id, s.m, cb.code,
              CAST(round((list_dot_product(s.sv, s.sv)
@@ -495,7 +529,8 @@ def embedding_pq_rerank_topk(spark: SparkSession, sf_dir: str):
     queries = emb.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = pq_rerank_topk(emb, queries, k=10, shortlist=50)
+    out = pq_rerank_topk(emb, queries, k=10, shortlist=50,
+                         codebook=PQ_CODEBOOK)
     return out.select(
         "query_id", "vec_id", "score", F.col("rank").cast("long").alias("rank")
     ).orderBy("query_id", "rank")

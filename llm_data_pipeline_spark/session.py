@@ -56,6 +56,15 @@ def get_spark(
         )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", os.environ.get("SPARK_UI_ENABLED", "false"))
+        # The status listener retains job/stage/task/SQL-execution records
+        # even with the UI off; over a 200+-execution bench gauntlet the
+        # defaults (1000 stages / 100k tasks / 1000 SQL executions) add
+        # steady heap + listener-bus pressure that late queries pay for.
+        # Keep a small diagnostic window instead.
+        .config("spark.ui.retainedJobs", "100")
+        .config("spark.ui.retainedStages", "200")
+        .config("spark.ui.retainedTasks", "10000")
+        .config("spark.sql.ui.retainedExecutions", "50")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
