@@ -310,6 +310,114 @@ def _driver_dsu_components(edges: DataFrame) -> DataFrame:
     )
 
 
+def minhash_incremental_dedup(
+    base_sig: DataFrame,
+    new_sig: DataFrame,
+    rows_per_band: int = DEFAULT_ROWS_PER_BAND,
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental fuzzy dedup: screen a signature-bearing increment
+    against an already-deduped base corpus — the operator a continuous-
+    ingest pipeline runs daily (the fuzzy twin of
+    operators/bloom.py:incremental_exact_dedup).
+
+    Returns the increment rows with ``kept: boolean`` appended.
+
+    Edges considered:
+      (a) new x base same-LSH-bucket pairs — the ONLY place the base is
+          touched. At 100 TB the base band rows are a precomputed index
+          bucketed/stored by (band_id, band_hash), so the equi-join
+          shuffles the (small) increment to the index, never re-shuffles
+          or re-signs the base corpus, and NO base x base pairs are ever
+          generated (that would re-dedup the whole corpus every day).
+      (b) new x new pairs — the increment dedups against itself.
+
+    Keep rule on the connected components of (a) ∪ (b): a component that
+    contains ANY base doc keeps none of its increment members (the base
+    representative is canonical by construction — the base is already
+    deduped); an all-new component keeps its (ts, length, doc_id)-desc
+    canonical, matching minhash_dedup. Increment docs touching no edge
+    are kept. Doc ids must be disjoint across the two inputs.
+
+    Bucket caps are applied to the UNION of both sides' band rows, so a
+    degenerate bucket (e.g. the all-zero empty-text signature) is dropped
+    consistently regardless of which side its members came from.
+    """
+    bb = band_rows(base_sig, rows_per_band, id_col=id_col).localCheckpoint(
+        eager=False
+    )
+    bn = band_rows(new_sig, rows_per_band, id_col=id_col).localCheckpoint(
+        eager=False
+    )
+    keys = ["band_id", "band_hash"]
+    sizes = (
+        bb.select(*keys)
+        .unionByName(bn.select(*keys))
+        .groupBy(*keys)
+        .agg(F.count("*").alias("n"))
+        .where((F.col("n") >= 2) & (F.col("n") <= bucket_cap))
+        .select(*keys)
+    )
+    bbs = bb.join(sizes, keys, "left_semi")
+    bns = bn.join(sizes, keys, "left_semi")
+    nb = (
+        bns.select(*keys, F.col("doc_id").alias("u"))
+        .join(bbs.select(*keys, F.col("doc_id").alias("v")), keys)
+        .select("u", "v")
+        .dropDuplicates(["u", "v"])
+    )
+    nn = (
+        bns.select(*keys, F.col("doc_id").alias("u"))
+        .join(bns.select(*keys, F.col("doc_id").alias("v")), keys)
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .dropDuplicates(["u", "v"])
+    )
+    comps = connected_components(nb.unionByName(nn))
+
+    base_meta = base_sig.select(
+        F.col(id_col).alias("m_doc_id"),
+        F.lit(False).alias("is_new"),
+        F.lit(0).cast("long").alias("ts"),
+        F.lit(0).cast("long").alias("length"),
+    )
+    ts = F.col("ts") if "ts" in new_sig.columns else F.lit(0).cast("long")
+    length = (
+        F.col("length") if "length" in new_sig.columns else F.length("text")
+    )
+    new_meta = new_sig.select(
+        F.col(id_col).alias("m_doc_id"),
+        F.lit(True).alias("is_new"),
+        ts.alias("ts"),
+        length.cast("long").alias("length"),
+    )
+    members = comps.join(
+        base_meta.unionByName(new_meta), comps.doc_id == F.col("m_doc_id")
+    ).select("doc_id", "component", "is_new", "ts", "length")
+    has_base = members.groupBy("component").agg(
+        F.max(~F.col("is_new")).alias("has_base")
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("ts"), F.desc("length"), F.desc("doc_id")
+    )
+    new_members = (
+        members.where(F.col("is_new"))
+        .withColumn("_rk", F.row_number().over(w))
+        .join(has_base, "component")
+    )
+    removals = new_members.where(
+        F.col("has_base") | (F.col("_rk") != 1)
+    ).select(F.col("doc_id").alias("_rm_doc_id"))
+    return (
+        new_sig.join(
+            removals, F.col(id_col) == F.col("_rm_doc_id"), "left_outer"
+        )
+        .withColumn("kept", F.col("_rm_doc_id").isNull())
+        .drop("_rm_doc_id")
+    )
+
+
 def canonical_per_component(
     members: DataFrame,
 ) -> DataFrame:

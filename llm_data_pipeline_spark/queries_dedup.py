@@ -27,6 +27,7 @@ from llm_data_pipeline_spark.operators.dedup import (
 from llm_data_pipeline_spark.operators.lsh import (
     connected_components,
     minhash_dedup,
+    minhash_incremental_dedup,
 )
 from llm_data_pipeline_spark.operators.minhash import add_minhash, add_minhash_md5
 from llm_data_pipeline_spark.queries import query, table
@@ -733,3 +734,194 @@ def chunk_dedup_rewrite(spark: SparkSession, sf_dir: str):
         F.length("clean_text").cast("long").alias("clean_len"),
         F.md5("clean_text").alias("clean_md5"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# incremental fuzzy dedup (base x increment)
+# ---------------------------------------------------------------------------
+
+INC_NEAR_OFFSET = 200_000
+INC_EXACT_OFFSET = 300_000
+INC_FRESH_OFFSET = 400_000
+INC_FRESH2_OFFSET = 500_000
+
+
+def _increment(spark: SparkSession, sf_dir: str, scatter: bool = False) -> DataFrame:
+    """Deterministic daily-increment model over the documents table:
+
+    - near-dups of base docs 0..39 (first two words dropped, ~0.9 Jaccard)
+    - exact re-ingests of base docs 40..59 (same text, new ids)
+    - fresh docs derived from 60..79 (every word tagged with the doc id —
+      disjoint shingle space from the base)
+    - second fresh variants for 60..69 (tagged text minus two words) so
+      all-new components exist and exercise the canonical tie-break.
+    """
+    docs = table(spark, sf_dir, "documents", scatter=scatter).select("doc_id", "text")
+    toks = F.filter(
+        F.split(
+            F.trim(
+                F.regexp_replace(
+                    F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+", " "
+                )
+            ),
+            " ",
+        ),
+        lambda x: x != "",
+    )
+    tagged = F.transform(
+        toks,
+        lambda w: F.concat(
+            F.lit("zq"), F.col("doc_id").cast("string"), F.lit("x"), w
+        ),
+    )
+    near = docs.where(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + INC_NEAR_OFFSET).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(toks, 3, F.greatest(F.size(toks) - 2, F.lit(0)))
+        ).alias("text"),
+    )
+    exact = docs.where(
+        (F.col("doc_id") >= 40) & (F.col("doc_id") < 60)
+    ).select((F.col("doc_id") + INC_EXACT_OFFSET).alias("doc_id"), "text")
+    # stage the tagged text with withColumn BEFORE aliasing the new ids:
+    # in a single select, Spark's lateral-column-alias resolution would
+    # bind the lambda's doc_id to the freshly aliased (doc_id + offset)
+    # column, not the source id the SQL twin tags with
+    fresh = (
+        docs.where((F.col("doc_id") >= 60) & (F.col("doc_id") < 80))
+        .withColumn("_nt", F.concat_ws(" ", tagged))
+        .select(
+            (F.col("doc_id") + INC_FRESH_OFFSET).alias("doc_id"),
+            F.col("_nt").alias("text"),
+        )
+    )
+    fresh2 = (
+        docs.where((F.col("doc_id") >= 60) & (F.col("doc_id") < 70))
+        .withColumn(
+            "_nt",
+            F.concat_ws(
+                " ",
+                F.slice(tagged, 3, F.greatest(F.size(tagged) - 2, F.lit(0))),
+            ),
+        )
+        .select(
+            (F.col("doc_id") + INC_FRESH2_OFFSET).alias("doc_id"),
+            F.col("_nt").alias("text"),
+        )
+    )
+    return near.unionByName(exact).unionByName(fresh).unionByName(fresh2)
+
+
+_INC_SQL = f"""
+tk AS (
+  SELECT doc_id, text,
+         list_filter(string_split(trim(regexp_replace(lower(coalesce(text,'')),
+                     '\\s+', ' ', 'g')), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+inc AS (
+  SELECT tk.doc_id + {INC_NEAR_OFFSET} AS doc_id,
+         array_to_string(list_slice(toks, 3, len(toks)), ' ') AS text
+  FROM tk WHERE tk.doc_id < 40
+  UNION ALL
+  SELECT tk.doc_id + {INC_EXACT_OFFSET}, text
+  FROM tk WHERE tk.doc_id >= 40 AND tk.doc_id < 60
+  UNION ALL
+  SELECT tk.doc_id + {INC_FRESH_OFFSET},
+         array_to_string(list_transform(toks,
+             w -> 'zq' || tk.doc_id::VARCHAR || 'x' || w), ' ')
+  FROM tk WHERE tk.doc_id >= 60 AND tk.doc_id < 80
+  UNION ALL
+  SELECT tk.doc_id + {INC_FRESH2_OFFSET},
+         array_to_string(list_slice(list_transform(toks,
+             w -> 'zq' || tk.doc_id::VARCHAR || 'x' || w), 3, len(toks)), ' ')
+  FROM tk WHERE tk.doc_id >= 60 AND tk.doc_id < 70
+),
+allc AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id, text FROM inc
+)
+"""
+
+
+@query(
+    "minhash_incremental_dedup",
+    oracle=f"""
+    WITH RECURSIVE {_INC_SQL.strip()},
+    {_minhash_sig_sql("allc").strip()},
+    bandkey AS (
+      SELECT doc_id, (pos // 8)::INT AS band_id,
+             string_agg(sig_val::VARCHAR, ',' ORDER BY pos) AS bkey
+      FROM sig GROUP BY doc_id, (pos // 8)
+    ),
+    sized AS (
+      SELECT band_id, bkey, doc_id,
+             count(*) OVER (PARTITION BY band_id, bkey) AS n
+      FROM bandkey
+    ),
+    capped AS (
+      SELECT band_id, bkey, doc_id FROM sized WHERE n >= 2 AND n <= 500
+    ),
+    edges AS (
+      SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+      FROM capped a JOIN capped b
+        ON a.band_id = b.band_id AND a.bkey = b.bkey
+      WHERE a.doc_id >= {INC_NEAR_OFFSET}
+        AND (b.doc_id < {INC_NEAR_OFFSET} OR a.doc_id < b.doc_id)
+    ),
+    sym AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+    walk(id, comp) AS (
+      SELECT DISTINCT u, u FROM sym
+      UNION
+      SELECT s.v, w.comp FROM walk w JOIN sym s ON s.u = w.id
+    ),
+    comps AS (SELECT id AS doc_id, min(comp) AS component FROM walk GROUP BY id),
+    members AS (
+      SELECT c.doc_id, c.component,
+             (c.doc_id >= {INC_NEAR_OFFSET}) AS is_new,
+             CASE WHEN c.doc_id >= {INC_NEAR_OFFSET}
+                  THEN length(coalesce(a.text,'')) ELSE 0 END AS length
+      FROM comps c JOIN allc a ON a.doc_id = c.doc_id
+    ),
+    hb AS (
+      SELECT component, bool_or(NOT is_new) AS has_base
+      FROM members GROUP BY component
+    ),
+    ranked AS (
+      SELECT m.doc_id, m.component,
+             row_number() OVER (PARTITION BY m.component
+                                ORDER BY m.length DESC, m.doc_id DESC) AS rk
+      FROM members m WHERE m.is_new
+    ),
+    removals AS (
+      SELECT r.doc_id FROM ranked r JOIN hb ON hb.component = r.component
+      WHERE hb.has_base OR r.rk <> 1
+    )
+    SELECT i.doc_id,
+           (i.doc_id NOT IN (SELECT doc_id FROM removals)) AS kept
+    FROM inc i ORDER BY i.doc_id
+    """,
+    tags=("dedup", "minhash", "incremental"),
+)
+def minhash_incremental_dedup_query(spark: SparkSession, sf_dir: str):
+    """Incremental MinHash-LSH dedup (operators/lsh.py:
+    minhash_incremental_dedup): a deterministic daily increment (near-dup
+    variants + exact re-ingests + fresh tagged docs + intra-increment
+    near-dup pairs) is screened against the full base corpus. Cross
+    (new x base) and intra (new x new) LSH bucket edges only — no
+    base x base pair is ever generated, the property that makes the
+    operator run daily at 100 TB against a precomputed banded index. The
+    oracle replays the identical chain: md5-portable signatures over
+    base ∪ increment, 8-row band keys, the union bucket cap, the
+    new-side-only edge restriction, recursive-CTE components, the
+    has-base drop rule and the (length desc, doc_id desc) canonical
+    tie-break in all-new components."""
+    base = table(spark, sf_dir, "documents", scatter=True).select("doc_id", "text")
+    inc = _increment(spark, sf_dir)
+    out = minhash_incremental_dedup(
+        add_minhash_md5(base), add_minhash_md5(inc), rows_per_band=8
+    )
+    return out.select("doc_id", "kept").coalesce(1).sortWithinPartitions(
+        "doc_id"
+    )

@@ -300,3 +300,39 @@ def test_propagation_pointer_jump_converges_logarithmically(spark):
         r.doc_id: r.component for r in connected_components(edges).collect()
     }
     assert dsu == dist
+
+
+def test_minhash_incremental_dedup_semantics(spark):
+    """Hand-built base/increment: exact re-ingest dropped, near-dup of a
+    base doc dropped, fresh doc kept, all-new near-dup pair keeps only
+    its (length desc, doc_id desc) canonical."""
+    from llm_data_pipeline_spark.operators.lsh import (
+        minhash_incremental_dedup,
+    )
+    from llm_data_pipeline_spark.operators.minhash import add_minhash
+
+    words = [f"tok{i}" for i in range(40)]
+    base_text = " ".join(words)
+    fresh_long = " ".join(f"zzz{i}" for i in range(40))
+    fresh_short = " ".join(f"zzz{i}" for i in range(2, 40))
+    base = spark.createDataFrame(
+        [(1, base_text), (2, " ".join(f"other{i}" for i in range(40)))],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (101, base_text),                      # exact re-ingest -> drop
+            (102, " ".join(words[2:])),            # near-dup of base -> drop
+            (103, fresh_long),                     # all-new pair canonical -> keep
+            (104, fresh_short),                    # all-new non-canonical -> drop
+            (105, " ".join(f"qqq{i}" for i in range(40))),  # fresh -> keep
+        ],
+        "doc_id long, text string",
+    )
+    out = minhash_incremental_dedup(
+        add_minhash(base), add_minhash(new), rows_per_band=8
+    )
+    kept = {r.doc_id: r.kept for r in out.select("doc_id", "kept").collect()}
+    assert kept == {101: False, 102: False, 103: True, 104: False, 105: True}
+    # row-for-row with the increment: no multiplication, no loss
+    assert out.count() == 5
