@@ -22,7 +22,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 from pyspark.sql.window import Window
 
-from llm_data_pipeline_spark.functions.vectors import cosine, dot, to_double
+from llm_data_pipeline_spark.functions.vectors import (
+    cosine,
+    cosine_arrow,
+    dot,
+    to_double,
+)
 
 
 def brute_force_topk(
@@ -43,10 +48,13 @@ def brute_force_topk(
         F.col(query_id_col), F.col(vec_col).alias("_qvec")
     )
     joined = corpus.join(F.broadcast(q), F.col(id_col) != F.col(query_id_col))
+    # cosine_arrow: bit-identical to the native fold (see vectors.py), one
+    # vectorized pass over the corpus x queries scoring projection — the
+    # widest exact-scoring loop in the engine
     scored = joined.select(
         query_id_col,
         id_col,
-        F.round(cosine(F.col("_qvec"), F.col(vec_col)), 6).alias("score"),
+        F.round(cosine_arrow(F.col("_qvec"), F.col(vec_col)), 6).alias("score"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
     return (
@@ -92,7 +100,7 @@ def ivf_flat_topk(
         scored = df.join(F.broadcast(cents)).select(
             ident,
             "list_id",
-            F.round(cosine(F.col(vcol), F.col("cvec")), 6).alias("_ls"),
+            F.round(cosine_arrow(F.col(vcol), F.col("cvec")), 6).alias("_ls"),
         )
         w = Window.partitionBy(ident).orderBy(F.desc("_ls"), F.asc("list_id"))
         return (
@@ -113,7 +121,7 @@ def ivf_flat_topk(
         .select(
             query_id_col,
             id_col,
-            F.round(cosine(F.col("_qvec"), F.col(vec_col)), 6).alias("score"),
+            F.round(cosine_arrow(F.col("_qvec"), F.col(vec_col)), 6).alias("score"),
         )
         # a vector can surface via at most one list (single assignment), so
         # no dedup needed before ranking
@@ -328,7 +336,7 @@ def hyperplane_lsh_topk(
     scored = cands.select(
         query_id_col,
         id_col,
-        F.round(cosine(F.col("_qvec"), F.col("_cvec")), 6).alias("score"),
+        F.round(cosine_arrow(F.col("_qvec"), F.col("_cvec")), 6).alias("score"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
@@ -661,7 +669,7 @@ def pq_rerank_topk(
         .select(
             query_id_col,
             id_col,
-            F.round(cosine(F.col("_qvec"), F.col(vec_col)), 6).alias("score"),
+            F.round(cosine_arrow(F.col("_qvec"), F.col(vec_col)), 6).alias("score"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))

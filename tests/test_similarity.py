@@ -222,3 +222,51 @@ def test_pq_adc_topk_contract_and_recall(spark, sf_dir):
         1 for r in pq if r.vec_id in ex.get(r.query_id, set())
     )
     assert hits > 0, "PQ should recover at least some exact neighbors"
+
+
+def test_cosine_arrow_bit_identical_to_fold(spark, sf_dir):
+    """cosine_arrow must equal the native sequential fold BIT FOR BIT on
+    the real embeddings cross product — the contract that lets the
+    Arrow-batched scorer stand in for the oracle-checked expression."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from llm_data_pipeline_spark.functions.vectors import cosine, cosine_arrow
+    from llm_data_pipeline_spark.queries import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    joined = emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+    a = {
+        (r.qid, r.vec_id): r.s
+        for r in joined.select(
+            "qid", "vec_id", cosine(F.col("qv"), F.col("embedding")).alias("s")
+        ).collect()
+    }
+    b = {
+        (r.qid, r.vec_id): r.s
+        for r in joined.select(
+            "qid", "vec_id", cosine_arrow(F.col("qv"), F.col("embedding")).alias("s")
+        ).collect()
+    }
+    assert a.keys() == b.keys() and len(a) > 1000
+    assert all(
+        struct.pack("d", a[k]) == struct.pack("d", b[k]) for k in a
+    )
+    # null/zero handling parity
+    rows = spark.createDataFrame(
+        [(1, [0.0] * 4, [1.0] * 4), (2, None, [1.0] * 4), (3, [1.0] * 4, None)],
+        "i long, x array<double>, y array<double>",
+    )
+    got = {
+        r.i: (r.n, r.u)
+        for r in rows.select(
+            "i",
+            cosine(F.col("x"), F.col("y")).alias("n"),
+            cosine_arrow(F.col("x"), F.col("y")).alias("u"),
+        ).collect()
+    }
+    assert all(n == u for n, u in got.values()), got
