@@ -364,6 +364,7 @@ def ann_recall(spark, sf_dir: str) -> dict:
         "embedding_pq_adc_topk",
         "embedding_pq_rerank_topk",
         "embedding_ivf_flat_topk",
+        "embedding_ivfpq_topk",
         "embedding_ann_lsh_topk",
     ):
         if name not in Q.REGISTRY:

@@ -246,6 +246,44 @@ def train_ivf_codebook(
     return [[round(float(x), 6) for x in c] for c in C]
 
 
+def train_residual_pq_codebook(
+    corpus: DataFrame,
+    ivf_centroids: list[list[float]],
+    n_sub: int = 4,
+    n_codes: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 142,
+    n_iter: int = 20,
+    max_sample_rows: int = 100_000,
+) -> list[list[list[float]]]:
+    """Residual PQ codebooks for IVF-PQ (Jégou et al. 2011): every sample
+    vector is assigned to its best-cosine IVF list (the same rounded-6dp,
+    lowest-list-id tie rule the operator uses), the residual
+    ``v - centroid`` is taken, and each residual subspace gets its own
+    deterministic k-means codebook. Returned literals replay in SQL the
+    same way as train_pq_codebook's."""
+    pdf = corpus.select("*").orderBy(corpus.columns[0]).limit(
+        max_sample_rows
+    ).select(vec_col).toPandas()
+    X = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    C = np.array(ivf_centroids, dtype=np.float64)
+    # cosine assignment with the operator's exact tie rule
+    Xn = np.linalg.norm(X, axis=1)
+    Cn = np.linalg.norm(C, axis=1)
+    cos = np.round(
+        (X @ C.T) / np.maximum(Xn[:, None] * Cn[None, :], 1e-300), 6
+    )
+    assign = cos.argmax(axis=1)  # first max == lowest list_id on ties
+    R = X - C[assign]
+    dim_per = X.shape[1] // n_sub
+    books = []
+    for m in range(n_sub):
+        sub = R[:, m * dim_per : (m + 1) * dim_per]
+        Cm = kmeans_deterministic(sub, n_codes, seed=seed + m, n_iter=n_iter)
+        books.append([[round(float(x), 6) for x in c] for c in Cm])
+    return books
+
+
 def _hyperplanes(nbits: int, dim: int, seed: int, n_tables: int) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.standard_normal(size=(n_tables, nbits, dim))
@@ -538,6 +576,141 @@ def near_dup_pairs(
     )
 
 
+def _d2_micro(a, b):
+    """Integer micro-unit squared L2 distance between two DOUBLE[] columns
+    via the sequential-fold identity d2 = aa - 2ab + bb — the PQ family's
+    cross-engine determinism contract (exact BIGINTs after one round)."""
+    return F.round(
+        (dot(a, a) - F.lit(2.0) * dot(a, b) + dot(b, b)) * F.lit(1_000_000.0),
+        0,
+    ).cast("long")
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    ivf_centroids: list,
+    pq_codebook: list,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-PQ with residual encoding and ADC — the production ANN index
+    shape (Jégou et al. 2011; what FAISS calls IVFPQ), composed from the
+    repo's two halves:
+
+    Build: every corpus vector routes to its best-cosine IVF list
+    (``ivf_centroids`` literals — trained k-means, data/codebooks.py),
+    takes the residual ``v - centroid``, and PQ-encodes the residual
+    against per-subspace residual codebooks (``pq_codebook`` literals
+    from train_residual_pq_codebook). Storage per vector: one list id +
+    n_sub codes — the 100 TB memory story.
+
+    Search: a query probes its ``n_probe`` best lists; for EACH probed
+    list it builds the residual LUT (its own residual vs that list's
+    centroid — residual spaces differ per list), and ADC sums run over
+    the probed lists' code rows only: candidates shrink by
+    ~n_probe/n_lists AND the math never touches stored vectors. All
+    distances are integer micro-units (exact BIGINT sums, rank ties on
+    vec_id), so the whole index + search replays in the SQL oracle.
+
+    Returns (query_id, vec_id, adist, rank).
+    """
+    spark = corpus.sparkSession
+    n_sub = len(pq_codebook)
+    dim_per = len(pq_codebook[0][0])
+    cents = spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(ivf_centroids)],
+        "list_id long, cvec array<double>",
+    )
+    rcb = spark.createDataFrame(
+        [
+            (int(c), int(m), [float(x) for x in pq_codebook[m][c]])
+            for m in range(n_sub)
+            for c in range(len(pq_codebook[m]))
+        ],
+        "code long, m int, cv array<double>",
+    )
+
+    def _best_lists(df: DataFrame, ident: str, n: int) -> DataFrame:
+        scored = df.join(F.broadcast(cents)).select(
+            ident,
+            "list_id",
+            F.round(cosine_arrow(F.col(vec_col), F.col("cvec")), 6).alias("_ls"),
+        )
+        w = Window.partitionBy(ident).orderBy(F.desc("_ls"), F.asc("list_id"))
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= n)
+            .select(ident, "list_id")
+        )
+
+    def _residual_subs(df: DataFrame, ident: str) -> DataFrame:
+        """(ident, list_id, m, rsv): per-subspace residual v - centroid."""
+        return (
+            df.join(F.broadcast(cents), "list_id")
+            .select(
+                ident,
+                "list_id",
+                vec_col,
+                "cvec",
+                F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("m"),
+            )
+            .select(
+                ident,
+                "list_id",
+                "m",
+                F.zip_with(
+                    F.slice(
+                        to_double(F.col(vec_col)),
+                        F.col("m") * dim_per + 1,
+                        dim_per,
+                    ),
+                    F.slice(F.col("cvec"), F.col("m") * dim_per + 1, dim_per),
+                    lambda x, y: x - y,
+                ).alias("rsv"),
+            )
+        )
+
+    assign = _best_lists(corpus, id_col, 1)
+    corpus_res = _residual_subs(corpus.join(assign, id_col), id_col)
+    enc = corpus_res.join(F.broadcast(rcb), "m").select(
+        id_col,
+        "list_id",
+        "m",
+        "code",
+        _d2_micro(F.col("rsv"), F.col("cv")).alias("_d"),
+    )
+    w_enc = Window.partitionBy(id_col, "m").orderBy(F.asc("_d"), F.asc("code"))
+    codes = (
+        enc.withColumn("_rn", F.row_number().over(w_enc))
+        .where(F.col("_rn") == 1)
+        .select(id_col, "list_id", "m", "code")
+    )
+
+    probes = _best_lists(queries, query_id_col, n_probe)
+    q_res = _residual_subs(queries.join(probes, query_id_col), query_id_col)
+    lut = q_res.join(F.broadcast(rcb), "m").select(
+        query_id_col,
+        "list_id",
+        "m",
+        "code",
+        _d2_micro(F.col("rsv"), F.col("cv")).alias("_dq"),
+    )
+    adist = (
+        codes.join(F.broadcast(lut), ["list_id", "m", "code"])
+        .where(F.col(id_col) != F.col(query_id_col))
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum("_dq").cast("long").alias("adist"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.asc("adist"), F.asc(id_col))
+    return adist.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
 def pq_adc_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -575,11 +748,7 @@ def pq_adc_topk(
     (code) at encode time and (vec_id) at rank time. Returns
     (query_id, vec_id, adist, rank) with adist in micro-units.
     """
-    from llm_data_pipeline_spark.functions.vectors import dot, to_double
-
-    d2u = lambda a, b: F.round(  # noqa: E731 — integer micro-unit L2^2
-        (dot(a, a) - F.lit(2.0) * dot(a, b) + dot(b, b)) * F.lit(1_000_000.0), 0
-    ).cast("long")
+    d2u = _d2_micro
 
     def sub_rows(df: DataFrame, ident: str) -> DataFrame:
         dim_per = F.floor(F.size(vec_col) / n_sub).cast("int")

@@ -13,7 +13,11 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from llm_data_pipeline_spark.data.codebooks import IVF_CODEBOOK, PQ_CODEBOOK
+from llm_data_pipeline_spark.data.codebooks import (
+    IVF_CODEBOOK,
+    PQ_CODEBOOK,
+    PQ_RESIDUAL_CODEBOOK,
+)
 from llm_data_pipeline_spark.operators.similarity import (
     brute_force_topk,
     hyperplane_lsh_topk,
@@ -41,6 +45,18 @@ _PQ_CB_SQL = f"""
     cb AS (
       SELECT * FROM (VALUES
       {_PQ_CB_VALUES}
+      ) AS t(code, m, cv)
+    )"""
+
+# rcb(code, m, cv): residual PQ books for IVF-PQ
+_RPQ_CB_SQL = f"""
+    rcb AS (
+      SELECT * FROM (VALUES
+      {",{nl}      ".format(nl=chr(10)).join(
+          f"({c}, {m}, {_sql_dlist(vec)})"
+          for m, book in enumerate(PQ_RESIDUAL_CODEBOOK)
+          for c, vec in enumerate(book)
+      )}
       ) AS t(code, m, cv)
     )"""
 
@@ -533,4 +549,110 @@ def embedding_pq_rerank_topk(spark: SparkSession, sf_dir: str):
                          codebook=PQ_CODEBOOK)
     return out.select(
         "query_id", "vec_id", "score", F.col("rank").cast("long").alias("rank")
+    ).orderBy("query_id", "rank")
+
+
+@query(
+    "embedding_ivfpq_topk",
+    oracle=f"""
+    WITH {_PAIR_BASE.strip()},
+    {_IVF_CB_SQL.strip()},
+    {_RPQ_CB_SQL.strip()},
+    assign AS (
+      SELECT vec_id, list_id FROM (
+        SELECT e.vec_id, c.list_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos_sql('e.v', 'c.cvec')} DESC,
+                                           c.list_id) AS rn
+        FROM e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    rsubs AS (
+      SELECT a.vec_id, a.list_id, m,
+             list_transform(range(16),
+                 i -> e.v[m*16 + i + 1] - c.cvec[m*16 + i + 1]) AS sv
+      FROM assign a
+      JOIN e USING (vec_id)
+      JOIN cents c USING (list_id),
+      unnest(range(4)) t(m)
+    ),
+    enc AS (
+      SELECT s.vec_id, s.list_id, s.m, rcb.code,
+             CAST(round((list_dot_product(s.sv, s.sv)
+                         - 2 * list_dot_product(s.sv, rcb.cv)
+                         + list_dot_product(rcb.cv, rcb.cv)) * 1000000)
+                  AS BIGINT) AS d
+      FROM rsubs s JOIN rcb ON rcb.m = s.m
+    ),
+    codes AS (
+      SELECT vec_id, list_id, m, code FROM (
+        SELECT vec_id, list_id, m, code,
+               row_number() OVER (PARTITION BY vec_id, m
+                                  ORDER BY d, code) AS rn
+        FROM enc
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+    probes AS (
+      SELECT query_id, list_id FROM (
+        SELECT q.query_id, c.list_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {cos_sql('q.qv', 'c.cvec')} DESC,
+                                           c.list_id) AS rn
+        FROM q CROSS JOIN cents c
+      ) WHERE rn <= 4
+    ),
+    qrsubs AS (
+      SELECT p.query_id, p.list_id, m,
+             list_transform(range(16),
+                 i -> q.qv[m*16 + i + 1] - c.cvec[m*16 + i + 1]) AS sv
+      FROM probes p
+      JOIN q USING (query_id)
+      JOIN cents c USING (list_id),
+      unnest(range(4)) t(m)
+    ),
+    lut AS (
+      SELECT s.query_id, s.list_id, s.m, rcb.code,
+             CAST(round((list_dot_product(s.sv, s.sv)
+                         - 2 * list_dot_product(s.sv, rcb.cv)
+                         + list_dot_product(rcb.cv, rcb.cv)) * 1000000)
+                  AS BIGINT) AS dq
+      FROM qrsubs s JOIN rcb ON rcb.m = s.m
+    ),
+    adist AS (
+      SELECT l.query_id, c.vec_id, CAST(sum(l.dq) AS BIGINT) AS adist
+      FROM codes c
+      JOIN lut l ON l.list_id = c.list_id AND l.m = c.m AND l.code = c.code
+      WHERE c.vec_id <> l.query_id
+      GROUP BY l.query_id, c.vec_id
+    )
+    SELECT query_id, vec_id, adist, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT query_id, vec_id, adist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adist, vec_id) AS rank
+      FROM adist
+    ) WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+    tags=("similarity", "ann", "ivf", "pq", "ivfpq"),
+)
+def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str):
+    """IVF-PQ with residual encoding + ADC (operators/similarity.py:
+    ivfpq_topk) — the production ANN index (FAISS IVFPQ shape): trained
+    IVF routing, per-list residuals, trained residual PQ codebooks
+    (committed literals), per-(query, probed-list) LUTs, integer
+    micro-unit ADC sums over only the probed lists' code rows. The
+    oracle replays the full index build AND search from the identical
+    centroid literals."""
+    from llm_data_pipeline_spark.operators.similarity import ivfpq_topk
+
+    emb = table(spark, sf_dir, "embeddings", scatter=True)
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivfpq_topk(
+        emb, queries, IVF_CODEBOOK, PQ_RESIDUAL_CODEBOOK, k=10, n_probe=4
+    )
+    return out.select(
+        "query_id", "vec_id", "adist", F.col("rank").cast("long").alias("rank")
     ).orderBy("query_id", "rank")
