@@ -358,21 +358,23 @@ def ann_recall(spark, sf_dir: str) -> dict:
         .select("query_id", "vec_id")
         .persist()
     )
-    total = bf.count()
     out = {}
-    for name in (
-        "embedding_pq_adc_topk",
-        "embedding_pq_rerank_topk",
-        "embedding_ivf_flat_topk",
-        "embedding_ivfpq_topk",
-        "embedding_ann_lsh_topk",
-    ):
-        if name not in Q.REGISTRY:
-            continue
-        ap = Q.REGISTRY[name].fn(spark, sf_dir).select("query_id", "vec_id")
-        inter = ap.join(bf, ["query_id", "vec_id"], "left_semi").count()
-        out[name] = round(inter / max(total, 1), 4)
-    bf.unpersist()
+    try:
+        total = bf.count()
+        for name in (
+            "embedding_pq_adc_topk",
+            "embedding_pq_rerank_topk",
+            "embedding_ivf_flat_topk",
+            "embedding_ivfpq_topk",
+            "embedding_ann_lsh_topk",
+        ):
+            if name not in Q.REGISTRY:
+                continue
+            ap = Q.REGISTRY[name].fn(spark, sf_dir).select("query_id", "vec_id")
+            inter = ap.join(bf, ["query_id", "vec_id"], "left_semi").count()
+            out[name] = round(inter / max(total, 1), 4)
+    finally:
+        bf.unpersist()
     out["k"] = 10
     out["n_pairs_exact"] = total
     return out
@@ -403,6 +405,7 @@ def cc_scale_check(spark) -> dict:
             .localCheckpoint(eager=False)
         )
         entry: dict = {"n_nodes": n}
+        jump_labels = None
         for jump in (True, False):
             if not jump and n > 256:
                 continue  # one no-jump demonstration is enough; O(n) rounds
@@ -412,6 +415,8 @@ def cc_scale_check(spark) -> dict:
                 edges, max_iterations=cap, stats=stats, pointer_jump=jump
             )
             n_comp = labels.select("component").distinct().count()
+            if jump:
+                jump_labels = labels  # reuse below — don't re-propagate
             entry["jump" if jump else "no_jump"] = {
                 "rounds": stats["rounds"],
                 "converged": stats["converged"],
@@ -420,9 +425,6 @@ def cc_scale_check(spark) -> dict:
             }
         # correctness pin: jump path labels == driver DSU labels
         dsu = _driver_dsu_components(edges)
-        jump_labels = _propagation_components(
-            edges, max_iterations=cap, pointer_jump=True
-        )
         entry["matches_dsu"] = bool(
             jump_labels.exceptAll(dsu).count() == 0
             and dsu.exceptAll(jump_labels).count() == 0

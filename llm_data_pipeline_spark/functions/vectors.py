@@ -48,35 +48,55 @@ def cosine_arrow(a: Column, b: Column) -> Column:
     every output double matches the fold bit for bit (pinned on the real
     embeddings table in tests/test_similarity.py). Use in wide scoring
     projections: the interpreted higher-order fold costs ~µs/element,
-    this is one vectorized numpy pass per batch. Null / length-mismatch
-    rows return 0.0 (the native expression's null-condition fallthrough
-    path; equal-length non-null input is the operators' contract)."""
+    this is one vectorized numpy pass per batch.
+
+    Degenerate-row parity with the native expression (all test-pinned):
+    null on either side → 0.0 (the when-condition nulls out and falls to
+    otherwise); equal-length non-null → the fold value (0.0 for empty /
+    zero-norm); LENGTH-MISMATCHED non-null → NULL (zip_with pads the
+    short side with nulls, so dot is null while both norms are positive).
+    Rows are grouped by dimension before stacking, so mixed-dimension
+    batches score correctly instead of crashing np.stack."""
     @F.pandas_udf(DoubleType())
     def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
         n = len(va)
         out = np.zeros(n, dtype=np.float64)
-        valid = np.fromiter(
-            (
-                x is not None and y is not None and len(x) == len(y) and len(x)
-                for x, y in zip(va, vb)
-            ),
-            bool,
-            count=n,
-        )
-        if valid.any():
-            A = np.stack(
-                [np.asarray(x, dtype=np.float64) for x, ok in zip(va, valid) if ok]
-            )
-            B = np.stack(
-                [np.asarray(y, dtype=np.float64) for y, ok in zip(vb, valid) if ok]
-            )
+        is_null = np.zeros(n, dtype=bool)
+        by_dim: dict = {}
+        for i, (x, y) in enumerate(zip(va, vb)):
+            if x is None or y is None:
+                continue  # native: condition null -> otherwise -> 0.0
+            if len(x) != len(y):
+                # native: dot is null (zip_with pads with nulls), so the
+                # result is NULL — unless either norm is 0 (or the vector
+                # empty), where the when-condition is false -> 0.0
+                xa = np.asarray(x, dtype=np.float64)
+                ya = np.asarray(y, dtype=np.float64)
+                na1 = (
+                    np.sqrt(np.add.accumulate(xa * xa)[-1]) if len(xa) else 0.0
+                )
+                nb1 = (
+                    np.sqrt(np.add.accumulate(ya * ya)[-1]) if len(ya) else 0.0
+                )
+                if na1 > 0 and nb1 > 0:
+                    is_null[i] = True
+                continue
+            if len(x):
+                by_dim.setdefault(len(x), []).append(i)
+        for _, idxs in by_dim.items():
+            ix = np.asarray(idxs, dtype=np.int64)
+            A = np.stack([np.asarray(va.iloc[i], dtype=np.float64) for i in idxs])
+            B = np.stack([np.asarray(vb.iloc[i], dtype=np.float64) for i in idxs])
             dot_ = np.add.accumulate(A * B, axis=1)[:, -1]
             na = np.sqrt(np.add.accumulate(A * A, axis=1)[:, -1])
             nb = np.sqrt(np.add.accumulate(B * B, axis=1)[:, -1])
-            ok2 = (na > 0) & (nb > 0)
-            s = np.zeros(len(dot_), dtype=np.float64)
-            s[ok2] = dot_[ok2] / (na[ok2] * nb[ok2])
-            out[valid] = s
-        return pd.Series(out)
+            ok = (na > 0) & (nb > 0)
+            s = np.zeros(len(ix), dtype=np.float64)
+            s[ok] = dot_[ok] / (na[ok] * nb[ok])
+            out[ix] = s
+        res = pd.Series(out)
+        if is_null.any():
+            res[is_null] = None
+        return res
 
     return _cos(a, b)

@@ -217,6 +217,7 @@ def _propagation_components(
         .localCheckpoint(eager=False)
     )
     rounds = 0
+    n_changed = -1  # sentinel: loop never ran -> converged False
     for _ in range(max_iterations):
         rounds += 1
         neighbor_min = (

@@ -63,6 +63,42 @@ def brute_force_topk(
     )
 
 
+def _best_lists(
+    df: DataFrame, cents: DataFrame, ident: str, vcol: str, n: int
+) -> DataFrame:
+    """Top-n codebook lists per row by rounded cosine (ties: lowest
+    list_id) — the single assignment/probing helper shared by IVF-Flat
+    and IVF-PQ so the tie/rounding rule can never diverge between them."""
+    scored = df.join(F.broadcast(cents)).select(
+        ident,
+        "list_id",
+        F.round(cosine_arrow(F.col(vcol), F.col("cvec")), 6).alias("_ls"),
+    )
+    w = Window.partitionBy(ident).orderBy(F.desc("_ls"), F.asc("list_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n)
+        .select(ident, "list_id")
+    )
+
+
+def _sample_vectors(
+    corpus: DataFrame, vec_col: str, max_rows: int
+) -> np.ndarray:
+    """Deterministic training sample shared by the codebook trainers: the
+    ``max_rows`` smallest rows by the frame's first column (orderBy+limit
+    compiles to TakeOrderedAndProject — a top-k, not a full sort), fetched
+    once via Arrow."""
+    pdf = (
+        corpus.select("*")
+        .orderBy(corpus.columns[0])
+        .limit(max_rows)
+        .select(vec_col)
+        .toPandas()
+    )
+    return np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+
+
 def ivf_flat_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -96,23 +132,13 @@ def ivf_flat_topk(
         )
     )
 
-    def _best_lists(df: DataFrame, ident: str, vcol: str, n: int) -> DataFrame:
-        scored = df.join(F.broadcast(cents)).select(
-            ident,
-            "list_id",
-            F.round(cosine_arrow(F.col(vcol), F.col("cvec")), 6).alias("_ls"),
-        )
-        w = Window.partitionBy(ident).orderBy(F.desc("_ls"), F.asc("list_id"))
-        return (
-            scored.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") <= n)
-            .select(ident, "list_id")
-        )
-
-    assigned = corpus.join(_best_lists(corpus, id_col, vec_col, 1), id_col)
+    assigned = corpus.join(
+        _best_lists(corpus, cents, id_col, vec_col, 1), id_col
+    )
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
     probes = _best_lists(
-        q.withColumnRenamed("_qvec", vec_col), query_id_col, vec_col, n_probe
+        q.withColumnRenamed("_qvec", vec_col), cents, query_id_col, vec_col,
+        n_probe,
     )
     cands = (
         probes.join(q, query_id_col)
@@ -213,10 +239,7 @@ def train_pq_codebook(
     a deterministic, order-free rule (orderBy + limit, one pass); at
     100 TB the codebook is trained once on such a sample and shipped as
     literals, exactly what this returns."""
-    pdf = corpus.select("*").orderBy(corpus.columns[0]).limit(
-        max_sample_rows
-    ).select(vec_col).toPandas()
-    X = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    X = _sample_vectors(corpus, vec_col, max_sample_rows)
     dim = X.shape[1]
     dim_per = dim // n_sub
     books = []
@@ -238,10 +261,7 @@ def train_ivf_codebook(
     """Full-dimension k-means IVF codebook on the same deterministic
     sample rule as :func:`train_pq_codebook`; returns ``[n_lists][dim]``
     rounded literals."""
-    pdf = corpus.select("*").orderBy(corpus.columns[0]).limit(
-        max_sample_rows
-    ).select(vec_col).toPandas()
-    X = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    X = _sample_vectors(corpus, vec_col, max_sample_rows)
     C = kmeans_deterministic(X, n_lists, seed=seed, n_iter=n_iter)
     return [[round(float(x), 6) for x in c] for c in C]
 
@@ -262,17 +282,16 @@ def train_residual_pq_codebook(
     ``v - centroid`` is taken, and each residual subspace gets its own
     deterministic k-means codebook. Returned literals replay in SQL the
     same way as train_pq_codebook's."""
-    pdf = corpus.select("*").orderBy(corpus.columns[0]).limit(
-        max_sample_rows
-    ).select(vec_col).toPandas()
-    X = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    X = _sample_vectors(corpus, vec_col, max_sample_rows)
     C = np.array(ivf_centroids, dtype=np.float64)
     # cosine assignment with the operator's exact tie rule
     Xn = np.linalg.norm(X, axis=1)
     Cn = np.linalg.norm(C, axis=1)
-    cos = np.round(
-        (X @ C.T) / np.maximum(Xn[:, None] * Cn[None, :], 1e-300), 6
-    )
+    raw = (X @ C.T) / np.maximum(Xn[:, None] * Cn[None, :], 1e-300)
+    # HALF_UP (away from zero) like Spark's F.round — np.round is
+    # half-to-even and would assign boundary vectors to a different list
+    # than the serving-time operator
+    cos = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
     assign = cos.argmax(axis=1)  # first max == lowest list_id on ties
     R = X - C[assign]
     dim_per = X.shape[1] // n_sub
@@ -634,19 +653,6 @@ def ivfpq_topk(
         "code long, m int, cv array<double>",
     )
 
-    def _best_lists(df: DataFrame, ident: str, n: int) -> DataFrame:
-        scored = df.join(F.broadcast(cents)).select(
-            ident,
-            "list_id",
-            F.round(cosine_arrow(F.col(vec_col), F.col("cvec")), 6).alias("_ls"),
-        )
-        w = Window.partitionBy(ident).orderBy(F.desc("_ls"), F.asc("list_id"))
-        return (
-            scored.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") <= n)
-            .select(ident, "list_id")
-        )
-
     def _residual_subs(df: DataFrame, ident: str) -> DataFrame:
         """(ident, list_id, m, rsv): per-subspace residual v - centroid."""
         return (
@@ -674,7 +680,7 @@ def ivfpq_topk(
             )
         )
 
-    assign = _best_lists(corpus, id_col, 1)
+    assign = _best_lists(corpus, cents, id_col, vec_col, 1)
     corpus_res = _residual_subs(corpus.join(assign, id_col), id_col)
     enc = corpus_res.join(F.broadcast(rcb), "m").select(
         id_col,
@@ -690,7 +696,7 @@ def ivfpq_topk(
         .select(id_col, "list_id", "m", "code")
     )
 
-    probes = _best_lists(queries, query_id_col, n_probe)
+    probes = _best_lists(queries, cents, query_id_col, vec_col, n_probe)
     q_res = _residual_subs(queries.join(probes, query_id_col), query_id_col)
     lut = q_res.join(F.broadcast(rcb), "m").select(
         query_id_col,

@@ -32,10 +32,15 @@ from llm_data_pipeline_spark.sources.wet import (
 )
 
 # pid-suffixed: two concurrent sessions otherwise race on the fixture
-# bytes mid-write and can ingest a partially-written .gz
+# bytes mid-write and can ingest a partially-written .gz; removed at exit
 FIXTURE_DIR = os.path.join(
     tempfile.gettempdir(), f"llm_dp_spark_wet_fixture_v1_{os.getpid()}"
 )
+
+import atexit  # noqa: E402
+import shutil  # noqa: E402
+
+atexit.register(shutil.rmtree, FIXTURE_DIR, ignore_errors=True)
 _CFG = WetIngestConfig(min_text_chars=50, max_text_chars=400, max_docs_per_file=3)
 
 _LONG = " ".join(f"sentence {i} of the long document body" for i in range(20))

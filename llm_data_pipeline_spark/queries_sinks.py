@@ -39,10 +39,16 @@ from llm_data_pipeline_spark.sources.sinks import (
 from llm_data_pipeline_spark.core.stage import write_parquet_counted
 
 # pid-suffixed so two concurrent sessions on one machine never interleave
-# writes or read each other's roundtrip artifacts
+# writes or read each other's roundtrip artifacts; removed at process exit
+# so repeated runs don't accumulate /tmp garbage
 SINK_BASE = os.path.join(
     tempfile.gettempdir(), f"llm_dp_spark_sinks_{os.getpid()}"
 )
+
+import atexit  # noqa: E402
+import shutil  # noqa: E402
+
+atexit.register(shutil.rmtree, SINK_BASE, ignore_errors=True)
 _MOD = 1_000_000_007
 
 _FLAT_RE = r"\s*\n\s*"

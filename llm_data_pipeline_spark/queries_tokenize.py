@@ -38,6 +38,16 @@ from llm_data_pipeline_spark.queries import query, table
 VOCAB_SIZE = 20
 SEQ_LEN = 512
 
+# pid-suffixed (concurrent-session isolation), removed at process exit
+_BIN_EXPORT_DIR = os.path.join(
+    tempfile.gettempdir(), f"llm_dp_spark_bin_export_{os.getpid()}"
+)
+
+import atexit  # noqa: E402
+import shutil  # noqa: E402
+
+atexit.register(shutil.rmtree, _BIN_EXPORT_DIR, ignore_errors=True)
+
 # Shared SQL fragments -------------------------------------------------------
 
 _SQL_PRELUDE = f"""
@@ -663,9 +673,7 @@ def binary_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         enc, seq_len=SEQ_LEN, eos_id=2, add_eos=True, ensure_eos=True,
         drop_remainder=True, order_col="doc_id",
     )
-    out_dir = os.path.join(
-        tempfile.gettempdir(), f"llm_dp_spark_bin_export_{os.getpid()}"
-    )
+    out_dir = _BIN_EXPORT_DIR
     meta = export_binary(chunks, out_dir, dtype="uint16", via="partitions")
     arr = np.fromfile(meta["path"], dtype="<u2").astype(np.int64)
     row = (

@@ -256,9 +256,20 @@ def test_cosine_arrow_bit_identical_to_fold(spark, sf_dir):
     assert all(
         struct.pack("d", a[k]) == struct.pack("d", b[k]) for k in a
     )
-    # null/zero handling parity
+    # degenerate-row parity: zero norm, nulls, length mismatch (native
+    # gives NULL: dot nulls out while both norms stay positive), mismatch
+    # with a zero-norm side (native gives 0.0), and mixed dimensions in
+    # one batch (must score, not crash np.stack)
     rows = spark.createDataFrame(
-        [(1, [0.0] * 4, [1.0] * 4), (2, None, [1.0] * 4), (3, [1.0] * 4, None)],
+        [
+            (1, [0.0] * 4, [1.0] * 4),
+            (2, None, [1.0] * 4),
+            (3, [1.0] * 4, None),
+            (4, [1.0, 2.0], [1.0]),
+            (5, [0.0, 0.0], [1.0]),
+            (6, [1.0, 2.0], [3.0, 4.0]),
+            (7, [1.0, 2.0, 3.0], [4.0, 5.0, 6.0]),
+        ],
         "i long, x array<double>, y array<double>",
     )
     got = {
@@ -270,3 +281,4 @@ def test_cosine_arrow_bit_identical_to_fold(spark, sf_dir):
         ).collect()
     }
     assert all(n == u for n, u in got.values()), got
+    assert got[4] == (None, None), got  # NULL parity on mismatch
