@@ -290,10 +290,10 @@ def corpus_stats_by_lang(spark: SparkSession, sf_dir: str):
     )
 
 
-@query(
-    "lm_bigram_quality_score",
-    oracle=f"""
-    WITH toked AS (
+# Shared CTE chain for the bigram-LM family: per-doc exact mean (double,
+# identical across engines — integer micro-unit sums divided once)
+_LM_CHAIN_SQL = f"""
+    toked AS (
       SELECT doc_id, {TOKS} AS toks FROM documents
     ),
     bg AS (
@@ -319,12 +319,23 @@ def corpus_stats_by_lang(spark: SparkSession, sf_dir: str):
       SELECT doc_id, sum(l_micro) / (1000000.0 * count(*)) AS m,
              count(*) AS nb
       FROM lp GROUP BY doc_id
+    ),
+    perdoc AS (
+      SELECT d.doc_id, coalesce(a.m, 0.0) AS lm, coalesce(a.nb, 0) AS nb
+      FROM documents d LEFT JOIN agg a USING (doc_id)
     )
-    SELECT d.doc_id,
-           round(coalesce(a.m, 0.0), 6) AS lm_logprob,
-           CAST(coalesce(a.nb, 0) AS BIGINT) AS n_bigrams
-    FROM documents d LEFT JOIN agg a USING (doc_id)
-    ORDER BY d.doc_id
+"""
+
+
+@query(
+    "lm_bigram_quality_score",
+    oracle=f"""
+    WITH {_LM_CHAIN_SQL.strip()}
+    SELECT doc_id,
+           round(lm, 6) AS lm_logprob,
+           CAST(nb AS BIGINT) AS n_bigrams
+    FROM perdoc
+    ORDER BY doc_id
     """,
     tags=("text-analysis", "quality", "lm", "ccnet"),
 )
@@ -343,6 +354,73 @@ def lm_bigram_quality_score(spark: SparkSession, sf_dir: str):
         F.round("lm_logprob", 6).alias("lm_logprob"),
         F.col("n_bigrams").cast("long").alias("n_bigrams"),
     ).orderBy("doc_id")
+
+
+@query(
+    "lm_quality_tertiles",
+    oracle=f"""
+    WITH {_LM_CHAIN_SQL.strip()},
+    bucketed AS (
+      SELECT doc_id, lm,
+             CAST(round(lm * 1000000.0) AS BIGINT) AS lm_micro,
+             ntile(3) OVER (ORDER BY lm DESC, doc_id) AS bucket
+      FROM perdoc
+    )
+    SELECT CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                       ELSE 'tail' END AS bucket,
+           count(*) AS n_docs,
+           round(sum(lm_micro) / (1000000.0 * count(*)), 6) AS mean_logprob,
+           round(min(lm), 6) AS min_logprob,
+           round(max(lm), 6) AS max_logprob
+    FROM bucketed
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    tags=("text-analysis", "quality", "lm", "ccnet", "curation"),
+)
+def lm_quality_tertiles(spark: SparkSession, sf_dir: str):
+    """CCNet's signature corpus split: rank every document by its bigram-LM
+    score and cut the corpus into head/middle/tail tertiles (Wenzek et al.
+    2020 keep the head for training). ntile over (score desc, doc_id) is
+    deterministic because the per-doc score is itself exact across engines
+    (integer micro-unit sums); per-bucket means aggregate re-quantized
+    micro scores, so no float summation order leaks in. At 100 TB the
+    ntile becomes a quantile-threshold join (approx or exact percentiles)
+    instead of a global sort — same semantics, two corpus passes."""
+    from pyspark.sql.window import Window
+
+    from llm_data_pipeline_spark.operators.lm_score import add_lm_score
+
+    docs = table(spark, sf_dir, "documents", scatter=True).select("doc_id", "text")
+    scored = add_lm_score(docs).select(
+        "doc_id",
+        F.col("lm_logprob").alias("lm"),
+        F.round(F.col("lm_logprob") * 1e6, 0).cast("long").alias("lm_micro"),
+    )
+    w = Window.orderBy(F.desc("lm"), F.asc("doc_id"))
+    bucketed = scored.withColumn("bucket", F.ntile(3).over(w))
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(
+                F.sum("lm_micro") / (F.lit(1e6) * F.count("*")), 6
+            ).alias("mean_logprob"),
+            F.round(F.min("lm"), 6).alias("min_logprob"),
+            F.round(F.max("lm"), 6).alias("max_logprob"),
+        )
+        .select(
+            F.when(F.col("bucket") == 1, "head")
+            .when(F.col("bucket") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+            "n_docs",
+            "mean_logprob",
+            "min_logprob",
+            "max_logprob",
+        )
+        .orderBy("bucket")
+    )
 
 
 @query(
