@@ -93,6 +93,17 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             print(f"bench: throughput failed: {type(e).__name__}: {e}", file=sys.stderr)
 
+    def drop_persistent_rdds() -> None:
+        """Deterministically free leftover lazy-localCheckpoint / persist
+        blocks from the previous pass. clearCache() only clears the SQL
+        cache; checkpoint RDD blocks otherwise wait for Python GC ->
+        ContextCleaner, and whether that lands before or inside the next
+        timed window was the dominant variance source on checkpoint-heavy
+        dedup queries (measured: steady 4.7-9.7 s noisy before, 3.8-4.0 s
+        stable after)."""
+        for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            jrdd.unpersist(False)
+
     times: dict[str, float] = {}
     # Full-registry coverage: the curated HEADLINE order first (stable
     # round-over-round comparability), then every remaining registered
@@ -132,15 +143,14 @@ def main() -> None:
             # steady > first on checkpoint-heavy dedup queries).
             spark.catalog.clearCache()
             del df
+            drop_persistent_rdds()
             import gc
 
             gc.collect()
             spark.sparkContext._jvm.System.gc()
-            # Block/broadcast removal runs on the ContextCleaner thread
-            # AFTER the JVM GC enqueues the weak references — without a
-            # settle window that async cleanup lands inside the timed
-            # steady pass (observed: steady > first-pass on
-            # checkpoint-heavy dedup queries, r4 minhash anomaly).
+            # Broadcast removal still runs on the ContextCleaner thread
+            # after the JVM GC enqueues the weak references — keep a short
+            # settle window so that async tail lands before the timer.
             time.sleep(0.3)
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
@@ -151,6 +161,7 @@ def main() -> None:
         # un-reaped blocks otherwise accumulate in the block manager and
         # late queries measure the pressure, not their plans. A GC pulse
         # per query (few ms) keeps measurements independent.
+        drop_persistent_rdds()
         import gc
 
         gc.collect()

@@ -60,11 +60,13 @@ def get_spark(
         # even with the UI off; over a 200+-execution bench gauntlet the
         # defaults (1000 stages / 100k tasks / 1000 SQL executions) add
         # steady heap + listener-bus pressure that late queries pay for.
-        # Keep a small diagnostic window instead.
-        .config("spark.ui.retainedJobs", "100")
-        .config("spark.ui.retainedStages", "200")
-        .config("spark.ui.retainedTasks", "10000")
-        .config("spark.sql.ui.retainedExecutions", "50")
+        # Keep a moderate window — NOT lower: evicting executions whose
+        # tasks are still finishing makes the DAGScheduler log storms of
+        # "Failed to update accumulator" errors and churns the listener.
+        .config("spark.ui.retainedJobs", "300")
+        .config("spark.ui.retainedStages", "500")
+        .config("spark.ui.retainedTasks", "50000")
+        .config("spark.sql.ui.retainedExecutions", "200")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
