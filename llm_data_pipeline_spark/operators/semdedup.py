@@ -1,0 +1,122 @@
+"""SemDeDup — semantic deduplication via k-means cluster-bounded pairs.
+
+The published recipe (Abbas et al. 2023, "SemDeDup: Data-efficient
+learning at web-scale through semantic deduplication", arXiv:2303.09540):
+cluster the embedding space with k-means, compute pairwise cosine
+similarity ONLY within each cluster, call pairs above a threshold
+semantic duplicates, and keep the group member with the LOWEST cosine
+similarity to its cluster centroid (the most "extreme" example carries
+the most information).
+
+This is the operator a 100-TB curation pipeline runs to shrink a corpus
+by meaning rather than by tokens — exact/MinHash dedup (operators/
+dedup.py, lsh.py) cannot see that two differently-worded documents say
+the same thing; SemDeDup can, at a cost bounded by sum(|cluster|^2)
+instead of |corpus|^2.
+
+Scale shape:
+- assignment = one broadcast join against the k-entry codebook (the same
+  trained k-means literals the IVF index uses) — a narrow pass;
+- pair generation = an equi-self-join on the cluster id, so the shuffle
+  key is the cluster and the quadratic blow-up is bounded by the largest
+  cluster (the paper uses k large enough that clusters stay ~1e5 rows;
+  a skewed mega-cluster would be re-split by a second k-means level);
+- the keep decision is a pairwise dominance anti-join, never a driver
+  structure.
+
+Dominance rule (deterministic): within a duplicate pair the member with
+the HIGHER centroid similarity is dropped (the paper keeps the
+low-centroid-similarity member); ties drop the higher vec_id. This is
+the pairwise-closure variant of the paper's per-group argmin — where a
+duplicate CHAIN (a~b, b~c, not a~c) exists the paper keeps exactly one
+per group while pairwise dominance can keep the two extreme ends; both
+shrink every >=threshold pair down to one survivor, and pairwise
+dominance needs no connected-components pass (for the group-exact
+variant, feed the pairs to operators/lsh.py:connected_components).
+
+Reference parity note: the reference engine has no semantic-dedup
+operator; this extends its dedup family (reference
+src/llm_data_pipeline/dedup/dedup.py) along the published SemDeDup
+recipe using the engine's existing trained IVF codebook.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from llm_data_pipeline_spark.functions.vectors import cosine_arrow
+
+
+def assign_clusters(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment by rounded cosine (ties: lowest
+    list_id) — same convention as similarity.py:_best_lists but keeps
+    the centroid similarity, which SemDeDup's keep-rule needs.
+
+    Returns (id_col, vec_col, list_id, centroid_sim).
+    """
+    scored = corpus.join(F.broadcast(centroids)).select(
+        id_col,
+        vec_col,
+        "list_id",
+        F.round(cosine_arrow(F.col(vec_col), F.col("cvec")), 6).alias(
+            "centroid_sim"
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("centroid_sim"), F.asc("list_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Kept rows after SemDeDup: (id_col, list_id, centroid_sim).
+
+    ``centroids`` is a (list_id, cvec array<double>) frame — normally the
+    trained k-means codebook (data/codebooks.py:IVF_CODEBOOK).
+    """
+    assigned = assign_clusters(corpus, centroids, id_col, vec_col)
+    a = assigned.select(
+        F.col(id_col).alias("_ua"),
+        F.col(vec_col).alias("_va"),
+        F.col("list_id").alias("_la"),
+        F.col("centroid_sim").alias("_ca"),
+    )
+    b = assigned.select(
+        F.col(id_col).alias("_ub"),
+        F.col(vec_col).alias("_vb"),
+        F.col("list_id").alias("_lb"),
+        F.col("centroid_sim").alias("_cb"),
+    )
+    pairs = (
+        a.join(b, (F.col("_la") == F.col("_lb")) & (F.col("_ua") < F.col("_ub")))
+        .withColumn(
+            "_psim", F.round(cosine_arrow(F.col("_va"), F.col("_vb")), 6)
+        )
+        .where(F.col("_psim") >= F.lit(threshold))
+    )
+    dropped = pairs.select(
+        F.when(F.col("_ca") > F.col("_cb"), F.col("_ua"))
+        .when(F.col("_cb") > F.col("_ca"), F.col("_ub"))
+        .otherwise(F.greatest("_ua", "_ub"))
+        .alias(id_col)
+    ).distinct()
+    return assigned.join(dropped, id_col, "left_anti").select(
+        id_col, "list_id", "centroid_sim"
+    )

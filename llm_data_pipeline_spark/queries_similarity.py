@@ -656,3 +656,59 @@ def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str):
     return out.select(
         "query_id", "vec_id", "adist", F.col("rank").cast("long").alias("rank")
     ).orderBy("query_id", "rank")
+
+
+@query(
+    "semantic_dedup_kept",
+    oracle=f"""
+    WITH {_PAIR_BASE.strip()},
+    {_IVF_CB_SQL.strip()},
+    assigned AS (
+      SELECT vec_id, v, list_id, csim FROM (
+        SELECT e.vec_id, e.v, c.list_id,
+               {cos_sql('e.v', 'c.cvec')} AS csim,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos_sql('e.v', 'c.cvec')} DESC,
+                                           c.list_id) AS rn
+        FROM e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT a.vec_id AS u, a.csim AS cu, b.vec_id AS w, b.csim AS cw
+      FROM assigned a JOIN assigned b
+        ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+      WHERE {cos_sql('a.v', 'b.v')} >= 0.3
+    ),
+    dropped AS (
+      SELECT DISTINCT CASE WHEN cu > cw THEN u
+                           WHEN cw > cu THEN w
+                           ELSE greatest(u, w) END AS vec_id
+      FROM pairs
+    )
+    SELECT a.vec_id, CAST(a.list_id AS BIGINT) AS list_id,
+           a.csim AS centroid_sim
+    FROM assigned a ANTI JOIN dropped d ON a.vec_id = d.vec_id
+    ORDER BY vec_id
+    """,
+    tags=("similarity", "dedup", "semdedup"),
+)
+def semantic_dedup_kept(spark: SparkSession, sf_dir: str):
+    """SemDeDup semantic dedup (operators/semdedup.py, Abbas et al.
+    2023): k-means-cluster-bounded pairwise cosine, drop the
+    higher-centroid-similarity member of every >=0.3 pair. Uses the
+    TRAINED IVF k-means codebook (committed literals) so the oracle
+    replays assignment, pair generation, and the dominance anti-join
+    relationally from the same centroids."""
+    from llm_data_pipeline_spark.operators.semdedup import semantic_dedup
+
+    emb = table(spark, sf_dir, "embeddings", scatter=True)
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(IVF_CODEBOOK)],
+        "list_id long, cvec array<double>",
+    )
+    return (
+        semantic_dedup(emb, cents, threshold=0.3)
+        .select("vec_id", F.col("list_id").cast("long").alias("list_id"),
+                "centroid_sim")
+        .orderBy("vec_id")
+    )

@@ -1,0 +1,86 @@
+from __future__ import annotations
+
+import itertools
+import math
+
+from pyspark.sql import Row
+
+from llm_data_pipeline_spark.operators.semdedup import (
+    assign_clusters,
+    semantic_dedup,
+)
+
+
+def _cents(spark):
+    # Two well-separated cluster centers.
+    return spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "list_id long, cvec array<double>",
+    )
+
+
+def _emb(spark):
+    rows = [
+        # cluster 0: 0 and 1 are semantic dups (cos ~0.9999);
+        # 1 sits closer to the centroid, so SemDeDup drops 1, keeps 0.
+        Row(vec_id=0, embedding=[0.95, 0.05, 0.0]),
+        Row(vec_id=1, embedding=[0.97, 0.03, 0.0]),
+        # cluster 0 loner: similar to nothing above threshold=0.99
+        Row(vec_id=2, embedding=[0.7, 0.0, 0.7]),
+        # cluster 1: a dup pair with IDENTICAL centroid similarity —
+        # tie drops the higher vec_id (4), keeps 3.
+        Row(vec_id=3, embedding=[0.05, 0.95, 0.0]),
+        Row(vec_id=4, embedding=[-0.05, 0.95, 0.0]),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_assignment_nearest_centroid(spark):
+    res = {
+        r.vec_id: r.list_id
+        for r in assign_clusters(_emb(spark), _cents(spark)).collect()
+    }
+    assert res == {0: 0, 1: 0, 2: 0, 3: 1, 4: 1}
+
+
+def test_keeps_low_centroid_sim_member(spark):
+    kept = sorted(
+        r.vec_id
+        for r in semantic_dedup(
+            _emb(spark), _cents(spark), threshold=0.99
+        ).collect()
+    )
+    # pair (0,1): 1 has higher centroid_sim -> dropped; tie pair (3,4)
+    # by symmetry has equal centroid_sim -> higher id 4 dropped.
+    assert kept == [0, 2, 3]
+
+
+def _cos(a, b):
+    num = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return num / (na * nb) if na > 0 and nb > 0 else 0.0
+
+
+def test_no_kept_pair_above_threshold(spark, sf_dir):
+    """Every >=threshold same-cluster pair loses exactly one member, so
+    the kept set can never contain such a pair — checked brute-force on
+    the real sf0.001 embeddings with the trained codebook."""
+    from llm_data_pipeline_spark.data.codebooks import IVF_CODEBOOK
+    from llm_data_pipeline_spark.queries import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(IVF_CODEBOOK)],
+        "list_id long, cvec array<double>",
+    )
+    thr = 0.3
+    kept = semantic_dedup(emb, cents, threshold=thr).collect()
+    vecs = {r.vec_id: r.embedding for r in emb.collect()}
+    by_cluster: dict[int, list[int]] = {}
+    for r in kept:
+        by_cluster.setdefault(r.list_id, []).append(r.vec_id)
+    assert len(kept) < len(vecs)  # something was actually dropped
+    for members in by_cluster.values():
+        for u, v in itertools.combinations(sorted(members), 2):
+            assert round(_cos(vecs[u], vecs[v]), 6) < thr, (u, v)
