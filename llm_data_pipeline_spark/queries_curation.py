@@ -245,3 +245,49 @@ def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_MIXT_HASH_SQL = DUCKDB_HASH60.format(s="(d.doc_id::VARCHAR || ':mix-t-v1')")
+
+
+@query(
+    "temperature_mixture_sample",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+    cs AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS chars
+           FROM d GROUP BY 1),
+    sq AS (SELECT source, chars,
+                  CAST(round(sqrt(chars) * 1000000) AS BIGINT) AS sqm
+           FROM cs),
+    tot AS (SELECT CAST(sum(sqm) AS BIGINT) AS sqtot,
+                   CAST(sum(chars) AS BIGINT) AS ctot
+            FROM sq),
+    probs AS (
+      SELECT s.source,
+             least(1.0, 0.5 * (s.sqm / CAST(t.sqtot AS DOUBLE))
+                        * t.ctot / s.chars) AS p
+      FROM sq s, tot t
+    )
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM d JOIN probs USING (source)
+    WHERE {_MIXT_HASH_SQL} / 1152921504606846976.0 < p
+    ORDER BY d.doc_id
+    """,
+    tags=("curation", "mixing", "sampling"),
+)
+def temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alpha-temperature corpus mixing with weights DERIVED from the
+    corpus (operators/curation.py:temperature_mixture, alpha=0.5 — the
+    XLM/mBERT rare-source upsampling recipe): per-source char masses ->
+    sqrt-flattened target shares (integer micro-unit quantized) -> a
+    per-source Bernoulli keep probability realized by the salted
+    portable-hash uniform. The oracle replays weight derivation and the
+    per-doc keep decision exactly."""
+    from llm_data_pipeline_spark.operators.curation import temperature_mixture
+
+    docs = table(spark, sf_dir, "documents")
+    return (
+        temperature_mixture(docs, budget_frac=0.5, alpha=0.5)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )

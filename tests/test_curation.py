@@ -99,3 +99,25 @@ def test_mix_corpus_source_weights(spark):
     # 3:1 budget split of 200 tokens -> 150 vs 50; docs are 10 tokens each
     assert t["s_a"] == 150
     assert t["s_b"] == 50
+
+
+def test_temperature_mixture_upsamples_rare_source(spark):
+    from llm_data_pipeline_spark.operators.curation import temperature_mixture
+    from pyspark.sql import Row
+
+    rows = [
+        Row(doc_id=i, source="big", n_chars=100) for i in range(100)
+    ] + [
+        Row(doc_id=1000 + i, source="rare", n_chars=100) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows)
+    kept = temperature_mixture(df, budget_frac=0.5, alpha=0.5).collect()
+    n_big = sum(1 for r in kept if r.source == "big")
+    n_rare = sum(1 for r in kept if r.source == "rare")
+    # sqrt flattening: shares sqrt(10000):sqrt(1000) = 0.760:0.240;
+    # p_big = 0.5*0.760*11000/10000 = 0.418, p_rare = min(1, 13.2) = 1.0
+    assert n_rare == 10            # rare source fully kept (p capped at 1)
+    assert 25 <= n_big <= 60       # big source Bernoulli(0.418) over 100
+    # deterministic: same input -> identical kept set
+    again = temperature_mixture(df, budget_frac=0.5, alpha=0.5).collect()
+    assert sorted(r.doc_id for r in again) == sorted(r.doc_id for r in kept)
