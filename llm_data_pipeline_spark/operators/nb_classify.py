@@ -58,12 +58,36 @@ def char_ngrams(col, n: int = 3):
     ).otherwise(F.array().cast("array<string>"))
 
 
-def _doc_grams(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    """(doc_id, gram) — one row per gram OCCURRENCE (multinomial NB)."""
-    return df.select(
+def _doc_grams(
+    df: DataFrame, text_col: str, id_col: str, n: int, *keep: str
+) -> DataFrame:
+    """(doc_id, *keep, gram) — one row per gram OCCURRENCE (multinomial
+    NB), with any ``keep`` columns (e.g. the class label) carried through
+    the explode so no re-join is needed.
+
+    Two staging rules make this linear instead of quadratic in document
+    length (README perf rules #1/#2): positional ``substr`` on a string
+    rescans from the start per call (code-point addressing), so the text
+    is split ONCE into a char array — behind a real column boundary so
+    the lambda doesn't re-inline the split per element — and grams are
+    built from O(1) ``element_at`` accesses.
+    """
+    chars = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(char_ngrams(F.lower(F.col(text_col)), n)).alias("gram"),
+        *keep,
+        F.split(F.lower(F.col(text_col)), "").alias("_chars"),
     )
+    sz = F.size(F.col("_chars"))
+    grams = F.when(
+        sz >= n,
+        F.transform(
+            F.sequence(F.lit(1), sz - F.lit(n - 1)),
+            lambda i: F.concat(
+                *[F.element_at(F.col("_chars"), i + F.lit(j)) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return chars.select("doc_id", *keep, F.explode(grams).alias("gram"))
 
 
 def train_nb(
@@ -84,11 +108,14 @@ def train_nb(
     labeled = train.select(
         F.col(id_col).alias("doc_id"), F.col(label_col).alias("label"), text_col
     )
-    grams = _doc_grams(labeled, text_col, "doc_id", n).join(
-        labeled.select("doc_id", "label"), "doc_id"
-    )
-    gram_counts = grams.groupBy("label", "gram").agg(
-        F.count(F.lit(1)).alias("c")
+    grams = _doc_grams(labeled, text_col, "doc_id", n, "label")
+    # Three consumers (model weights, class totals, vocab size) read this
+    # vocabulary-bounded frame — a lazy checkpoint pins ONE evaluation of
+    # the explode+count subtree instead of three (README perf rule #2).
+    gram_counts = (
+        grams.groupBy("label", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
     )
     totals = gram_counts.groupBy("label").agg(F.sum("c").alias("t"))
     vocab = gram_counts.select("gram").distinct().agg(
@@ -131,7 +158,14 @@ def nb_predict(
     """(doc_id, pred_label, score_micro) — argmax class per document."""
     docs = test.select(F.col(id_col).alias("doc_id"), text_col)
     grams = _doc_grams(docs, text_col, "doc_id", n)
-    g_counts = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("g"))
+    # Per-doc gram count is just len - (n-1), clamped — no second explode
+    # pass over the corpus for a number the row already knows.
+    g_counts = docs.select(
+        "doc_id",
+        F.greatest(
+            F.length(F.col(text_col)) - F.lit(n - 1), F.lit(0)
+        ).alias("g"),
+    )
     seen = (
         grams.join(F.broadcast(model["grams"]), "gram")
         .groupBy("doc_id", "label")

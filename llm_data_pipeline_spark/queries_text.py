@@ -539,7 +539,7 @@ def nb_language_classifier(spark: SparkSession, sf_dir: str):
     test = docs.where(F.col("doc_id") % 2 == 1)
     model = train_nb(train)
     pred = nb_predict(model, test)
-    return (
+    out = (
         pred.join(test.select("doc_id", F.col("lang").alias("true_lang")),
                   "doc_id")
         .select(
@@ -552,5 +552,9 @@ def nb_language_classifier(spark: SparkSession, sf_dir: str):
             .cast("long")
             .alias("correct"),
         )
-        .orderBy("doc_id")
+        # orderBy's range-sampling pass re-executes its child plan; pin
+        # the (|test docs|-row) result first so the sort reads blocks
+        # instead of re-running train+predict (README perf rule #3).
+        .localCheckpoint(eager=False)
     )
+    return out.orderBy("doc_id")
