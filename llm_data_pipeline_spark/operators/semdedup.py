@@ -91,6 +91,10 @@ def semantic_dedup(
     ``centroids`` is a (list_id, cvec array<double>) frame — normally the
     trained k-means codebook (data/codebooks.py:IVF_CODEBOOK).
     """
+    # NOTE: deliberately NOT checkpointed — pinning the assignment frame
+    # hid its stats from the planner and cost more than the (exchange-
+    # reused) recompute across the three consumers (measured: steady
+    # 3.8 s -> 9.4 s with a lazy localCheckpoint here).
     assigned = assign_clusters(corpus, centroids, id_col, vec_col)
     a = assigned.select(
         F.col(id_col).alias("_ua"),
