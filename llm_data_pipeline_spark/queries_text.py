@@ -558,3 +558,82 @@ def nb_language_classifier(spark: SparkSession, sf_dir: str):
         .localCheckpoint(eager=False)
     )
     return out.orderBy("doc_id")
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {TOKS} AS toks FROM documents
+    ),
+    n_docs AS (SELECT count(*) AS n FROM base),
+    tf AS (
+      SELECT doc_id, unnest(toks) AS term FROM base
+    ),
+    tfc AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2),
+    dfc AS (SELECT term, count(*) AS df
+            FROM (SELECT DISTINCT doc_id, term FROM tfc) GROUP BY 1),
+    scored AS (
+      SELECT t.doc_id, t.term, CAST(t.tf AS BIGINT) AS tf,
+             CAST(t.tf AS BIGINT)
+               * CAST(round(ln(n.n / CAST(d.df AS DOUBLE)) * 1000000)
+                      AS BIGINT) AS score_micro
+      FROM tfc t JOIN dfc d USING (term), n_docs n
+    )
+    SELECT doc_id, term, tf, score_micro, CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score_micro DESC, term) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    ORDER BY doc_id, rank
+    """,
+    tags=("text-analysis", "tfidf"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str):
+    """Per-document tf-idf keyword extraction: term frequency from one
+    explode+count, document frequency from a distinct-pair count, idf in
+    integer micro-units (round(ln(N/df)*1e6)) so the tf*idf product and
+    its ranking are exact int64 arithmetic — order-independent and
+    replayed exactly by the oracle. Scale shape: two vocabulary-bounded
+    groupBys + a broadcast of the df table onto the tf rows; the top-3
+    window partitions by doc_id."""
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents", scatter=True)
+    toked = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(T.norm_ws(F.col("text")), " "), lambda x: x != ""
+        ).alias("_toks"),
+    )
+    tf = (
+        toked.select("doc_id", F.explode("_toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = toked.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(F.broadcast(dfc), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            (
+                F.col("tf")
+                * F.round(F.log(F.col("n") / F.col("df")) * 1_000_000).cast(
+                    "long"
+                )
+            ).alias("score_micro"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_micro"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "score_micro",
+                F.col("rank").cast("long").alias("rank"))
+        .orderBy("doc_id", "rank")
+    )
