@@ -31,8 +31,8 @@ the pairwise-closure variant of the paper's per-group argmin — where a
 duplicate CHAIN (a~b, b~c, not a~c) exists the paper keeps exactly one
 per group while pairwise dominance can keep the two extreme ends; both
 shrink every >=threshold pair down to one survivor, and pairwise
-dominance needs no connected-components pass (for the group-exact
-variant, feed the pairs to operators/lsh.py:connected_components).
+dominance needs no connected-components pass. ``semantic_dedup_groups``
+below is the paper-exact variant (components + per-group argmin).
 
 Reference parity note: the reference engine has no semantic-dedup
 operator; this extends its dedup family (reference
@@ -96,6 +96,26 @@ def semantic_dedup(
     # reused) recompute across the three consumers (measured: steady
     # 3.8 s -> 9.4 s with a lazy localCheckpoint here).
     assigned = assign_clusters(corpus, centroids, id_col, vec_col)
+    dropped = cluster_pairs(assigned, threshold, id_col, vec_col).select(
+        F.when(F.col("_ca") > F.col("_cb"), F.col("_ua"))
+        .when(F.col("_cb") > F.col("_ca"), F.col("_ub"))
+        .otherwise(F.greatest("_ua", "_ub"))
+        .alias(id_col)
+    ).distinct()
+    return assigned.join(dropped, id_col, "left_anti").select(
+        id_col, "list_id", "centroid_sim"
+    )
+
+
+def cluster_pairs(
+    assigned: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Same-cluster duplicate pairs (_ua, _ca, _ub, _cb, _psim) with
+    rounded cosine >= threshold — the cluster-bounded quadratic step
+    shared by both SemDeDup variants."""
     a = assigned.select(
         F.col(id_col).alias("_ua"),
         F.col(vec_col).alias("_va"),
@@ -108,19 +128,52 @@ def semantic_dedup(
         F.col("list_id").alias("_lb"),
         F.col("centroid_sim").alias("_cb"),
     )
-    pairs = (
+    return (
         a.join(b, (F.col("_la") == F.col("_lb")) & (F.col("_ua") < F.col("_ub")))
         .withColumn(
             "_psim", F.round(cosine_arrow(F.col("_va"), F.col("_vb")), 6)
         )
         .where(F.col("_psim") >= F.lit(threshold))
+        .select("_ua", "_ca", "_ub", "_cb", "_psim")
     )
-    dropped = pairs.select(
-        F.when(F.col("_ca") > F.col("_cb"), F.col("_ua"))
-        .when(F.col("_cb") > F.col("_ca"), F.col("_ub"))
-        .otherwise(F.greatest("_ua", "_ub"))
-        .alias(id_col)
-    ).distinct()
-    return assigned.join(dropped, id_col, "left_anti").select(
-        id_col, "list_id", "centroid_sim"
+
+
+def semantic_dedup_groups(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The paper-exact (group) SemDeDup variant: duplicate GROUPS are the
+    connected components of the >=threshold same-cluster pair graph, and
+    each group keeps exactly the member with the LOWEST centroid
+    similarity (ties: lowest id) — Abbas et al. 2023 §2's per-group
+    argmin, vs ``semantic_dedup``'s pairwise-dominance approximation
+    (which can keep both extreme ends of a duplicate chain).
+
+    Returns every vector that participates in a duplicate group:
+    (id_col, component, centroid_sim, kept). Singletons (vectors in no
+    pair) are trivially kept and not listed. The component pass reuses
+    the engine's size-gated connected-components operator
+    (operators/lsh.py — driver DSU under the edge gate, distributed
+    min-label propagation with pointer jumping above it).
+    """
+    from llm_data_pipeline_spark.operators.lsh import connected_components
+
+    assigned = assign_clusters(corpus, centroids, id_col, vec_col)
+    edges = cluster_pairs(assigned, threshold, id_col, vec_col).select(
+        F.col("_ua").alias("u"), F.col("_ub").alias("v")
+    )
+    comps = connected_components(edges).select(
+        F.col("doc_id").alias(id_col), "component"
+    )
+    members = comps.join(
+        assigned.select(id_col, "centroid_sim"), id_col
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.asc("centroid_sim"), F.asc(id_col)
+    )
+    return members.withColumn(
+        "kept", (F.row_number().over(w) == 1).cast("boolean")
     )

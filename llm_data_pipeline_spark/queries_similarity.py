@@ -712,3 +712,69 @@ def semantic_dedup_kept(spark: SparkSession, sf_dir: str):
                 "centroid_sim")
         .orderBy("vec_id")
     )
+
+
+@query(
+    "semantic_dedup_groups",
+    oracle=f"""
+    WITH RECURSIVE {_PAIR_BASE.strip()},
+    {_IVF_CB_SQL.strip()},
+    assigned AS (
+      SELECT vec_id, v, list_id, csim FROM (
+        SELECT e.vec_id, e.v, c.list_id,
+               {cos_sql('e.v', 'c.cvec')} AS csim,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos_sql('e.v', 'c.cvec')} DESC,
+                                           c.list_id) AS rn
+        FROM e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT a.vec_id AS u, b.vec_id AS v
+      FROM assigned a JOIN assigned b
+        ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+      WHERE {cos_sql('a.v', 'b.v')} >= 0.3
+    ),
+    sym AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+    walk(id, comp) AS (
+      SELECT DISTINCT u, u FROM sym
+      UNION
+      SELECT s.v, w.comp FROM walk w JOIN sym s ON s.u = w.id
+    ),
+    comps AS (SELECT id AS vec_id, min(comp) AS component
+              FROM walk GROUP BY id),
+    members AS (
+      SELECT c.vec_id, c.component, a.csim AS centroid_sim
+      FROM comps c JOIN assigned a ON a.vec_id = c.vec_id
+    )
+    SELECT vec_id, component, centroid_sim,
+           (row_number() OVER (PARTITION BY component
+                               ORDER BY centroid_sim, vec_id) = 1) AS kept
+    FROM members
+    ORDER BY vec_id
+    """,
+    tags=("similarity", "dedup", "semdedup", "graph"),
+)
+def semantic_dedup_groups_q(spark: SparkSession, sf_dir: str):
+    """Paper-exact SemDeDup (operators/semdedup.py:semantic_dedup_groups):
+    duplicate groups = connected components of the same-cluster
+    >=0.3-cosine pair graph (the engine's size-gated CC operator); each
+    group keeps exactly its lowest-centroid-similarity member — Abbas et
+    al. 2023's per-group argmin. The oracle replays components with a
+    recursive min-label walk from the same committed centroid
+    literals."""
+    from llm_data_pipeline_spark.data.codebooks import IVF_CODEBOOK
+    from llm_data_pipeline_spark.operators.semdedup import (
+        semantic_dedup_groups,
+    )
+
+    emb = table(spark, sf_dir, "embeddings", scatter=True)
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(IVF_CODEBOOK)],
+        "list_id long, cvec array<double>",
+    )
+    return (
+        semantic_dedup_groups(emb, cents, threshold=0.3)
+        .select("vec_id", "component", "centroid_sim", "kept")
+        .orderBy("vec_id")
+    )

@@ -84,3 +84,32 @@ def test_no_kept_pair_above_threshold(spark, sf_dir):
     for members in by_cluster.values():
         for u, v in itertools.combinations(sorted(members), 2):
             assert round(_cos(vecs[u], vecs[v]), 6) < thr, (u, v)
+
+
+def test_group_variant_keeps_one_per_chain(spark):
+    """On a duplicate CHAIN a~b, b~c (a!~c) the group variant keeps
+    exactly one member (the per-group argmin of centroid similarity),
+    while pairwise dominance keeps the two extreme ends — the documented
+    difference between the variants."""
+    from llm_data_pipeline_spark.operators.semdedup import (
+        semantic_dedup_groups,
+    )
+
+    d25, d50 = math.radians(25), math.radians(50)
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0]),                      # a
+        Row(vec_id=1, embedding=[math.cos(d25), math.sin(d25), 0.0]),  # b
+        Row(vec_id=2, embedding=[math.cos(d50), math.sin(d50), 0.0]),  # c
+    ]
+    emb = spark.createDataFrame(rows)
+    cents = spark.createDataFrame(
+        [(0, [math.cos(d25), math.sin(d25), 0.0]), (1, [0.0, 0.0, 1.0])],
+        "list_id long, cvec array<double>",
+    )
+    # cos(25 deg) ~ 0.906 >= 0.9 links a~b and b~c; cos(50 deg) ~ 0.643
+    # keeps a!~c out. Centroid sims: b = 1.0, a = c ~ 0.906 (tie).
+    grp = semantic_dedup_groups(emb, cents, threshold=0.9).collect()
+    assert len(grp) == 3 and len({r.component for r in grp}) == 1
+    assert sorted(r.vec_id for r in grp if r.kept) == [0]   # argmin, tie->id
+    pairwise = semantic_dedup(emb, cents, threshold=0.9).collect()
+    assert sorted(r.vec_id for r in pairwise) == [0, 2]     # both chain ends
