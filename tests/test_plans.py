@@ -237,3 +237,51 @@ def test_chunk_dedup_rewrite_shuffles_bounded(q):
     assert I.shuffle_count(df) <= 6
     schemas = I.scan_read_schemas(df)
     assert schemas and all("n_chars" not in s for s in schemas)
+
+
+def test_semdedup_cluster_join_never_cartesian(q):
+    # the quadratic step must be an equi-join on the cluster id; the only
+    # acceptable nested-loop is the BROADCAST cross against the 16-entry
+    # codebook (same shape as IVF assignment)
+    df = q("semantic_dedup_kept")
+    plan = I.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan  # codebook rides a broadcast
+    schemas = " ".join(I.scan_read_schemas(df))
+    assert "label" not in schemas  # pruned: only vec_id + embedding read
+
+
+def test_nb_classifier_model_joins_broadcast(spark, sf_dir):
+    # the vocabulary-bounded model must ride broadcasts onto gram rows.
+    # Inspect the predict pipeline directly — the registry query pins its
+    # result behind a localCheckpoint (orderBy rule), which truncates the
+    # visible plan.
+    import pyspark.sql.functions as F
+
+    from llm_data_pipeline_spark.operators.nb_classify import (
+        nb_predict,
+        train_nb,
+    )
+    from llm_data_pipeline_spark.queries import table
+
+    docs = table(spark, sf_dir, "documents")
+    model = train_nb(docs.where(F.col("doc_id") % 2 == 0))
+    df = nb_predict(model, docs.where(F.col("doc_id") % 2 == 1))
+    df.collect()
+    plan = I.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert I.broadcast_join_count(df) >= 1   # model grams onto doc grams
+    assert "BroadcastExchange" in plan       # + the |classes|-row cross
+    schemas = " ".join(I.scan_read_schemas(df))
+    assert "source" not in schemas and "n_chars" not in schemas
+
+
+def test_temperature_mixture_no_corpus_window(q):
+    # keep decision = broadcast join + hash compare; no window functions;
+    # the only nested-loop is the broadcast of the 1-row totals (the
+    # BM25-stats shape)
+    df = q("temperature_mixture_sample")
+    plan = I.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    assert "Window" not in I.simple_plan(df)
