@@ -47,7 +47,13 @@ MICRO = 1_000_000
 
 def char_ngrams(col, n: int = 3):
     """Array of overlapping character n-grams of ``col`` (empty when the
-    string is shorter than n). Native functions only."""
+    string is shorter than n). Native functions only.
+
+    Expression-level helper (usable anywhere a Column fits) — but
+    positional substr is O(position), so corpus-scale gram extraction
+    goes through ``_doc_grams``' staged split-once path instead; both
+    are code-point based and produce identical grams
+    (tests/test_nb_classify.py pins the edge cases)."""
     length = F.length(col)
     return F.when(
         length >= n,

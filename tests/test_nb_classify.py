@@ -65,3 +65,31 @@ def test_empty_text_predicts_prior(spark):
     [row] = nb_predict(model, test).collect()
     assert row.pred_label == "en"
     assert row.score_micro == round(math.log(5 / 9) * 1_000_000)
+
+
+def test_gram_paths_agree_on_multibyte(spark):
+    """The expression-level char_ngrams and _doc_grams' staged
+    split-once path must produce identical grams, including multi-byte
+    code points."""
+    import pyspark.sql.functions as F
+
+    from llm_data_pipeline_spark.operators.nb_classify import _doc_grams
+
+    rows = [
+        Row(doc_id=0, text="héllo wörld"),
+        Row(doc_id=1, text="你好世界欢迎"),
+        Row(doc_id=2, text="ab"),
+        Row(doc_id=3, text=""),
+    ]
+    df = spark.createDataFrame(rows)
+    slow = (
+        df.select(
+            "doc_id",
+            F.explode(char_ngrams(F.lower(F.col("text")), 3)).alias("gram"),
+        )
+        .collect()
+    )
+    fast = _doc_grams(df, "text", "doc_id", 3).collect()
+    assert sorted((r.doc_id, r.gram) for r in slow) == sorted(
+        (r.doc_id, r.gram) for r in fast
+    )
