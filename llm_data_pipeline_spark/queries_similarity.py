@@ -778,3 +778,63 @@ def semantic_dedup_groups_q(spark: SparkSession, sf_dir: str):
         .select("vec_id", "component", "centroid_sim", "kept")
         .orderBy("vec_id")
     )
+
+
+@query(
+    "text_hashed_embedding_near_dups",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+    grams AS (
+      SELECT doc_id, substring(t, i, 3) AS gram
+      FROM d, unnest(range(1, greatest(length(t) - 1, 1))) AS u(i)
+    ),
+    hb AS (
+      SELECT doc_id, h % 64 AS bucket,
+             CASE WHEN (h // 256) % 2 = 1 THEN 1 ELSE -1 END AS sign
+      FROM (SELECT doc_id,
+                   ('0x' || substr(md5(gram), 1, 15))::BIGINT AS h
+            FROM grams)
+    ),
+    sums AS (SELECT doc_id, bucket, CAST(sum(sign) AS BIGINT) AS val
+             FROM hb GROUP BY 1, 2),
+    grid AS (SELECT d.doc_id, i AS bucket FROM d, unnest(range(64)) t(i)),
+    dense AS (
+      SELECT g.doc_id, g.bucket, CAST(coalesce(s.val, 0) AS DOUBLE) AS val
+      FROM grid g LEFT JOIN sums s
+        ON s.doc_id = g.doc_id AND s.bucket = g.bucket
+    ),
+    vecs AS (SELECT doc_id, list(val ORDER BY bucket) AS v
+             FROM dense GROUP BY doc_id)
+    SELECT a.doc_id AS u, b.doc_id AS v,
+           {cos_sql('a.v', 'b.v')} AS score
+    FROM vecs a JOIN vecs b ON a.doc_id < b.doc_id
+    WHERE {cos_sql('a.v', 'b.v')} >= 0.9
+    ORDER BY u, v
+    """,
+    tags=("similarity", "dedup", "text", "hashing"),
+)
+def text_hashed_embedding_near_dups(spark: SparkSession, sf_dir: str):
+    """Model-free text semantic near-dup, end to end in-engine: documents
+    -> signed hashed-trigram embeddings (operators/hashed_embedding.py,
+    the Weinberger et al. hashing trick — no vocabulary, no model file)
+    -> exact cosine pairs >= 0.9 via the blocked-GEMM two-phase operator
+    (bit-identical to the naive self-join). The oracle replays hashing,
+    vector build, and pair scoring relationally — the whole text->
+    embedding->dedup chain is hash-checked."""
+    from llm_data_pipeline_spark.operators.hashed_embedding import (
+        hashed_trigram_embedding,
+    )
+    from llm_data_pipeline_spark.operators.similarity import (
+        near_dup_pairs_blocked,
+    )
+
+    docs = table(spark, sf_dir, "documents", scatter=True)
+    # NOT checkpointed: pinning the vectors cost 3x (stats loss degraded
+    # the blocked operator's join strategy — same trap as SemDeDup's
+    # assignment frame); exchange reuse already shares the gram pipeline.
+    emb = hashed_trigram_embedding(docs)
+    return (
+        near_dup_pairs_blocked(emb, threshold=0.9, id_col="doc_id")
+        .select("u", "v", "score")
+        .orderBy("u", "v")
+    )
