@@ -85,18 +85,23 @@ def semantic_dedup(
     threshold: float = 0.3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    use_gemm: bool = False,
 ) -> DataFrame:
     """Kept rows after SemDeDup: (id_col, list_id, centroid_sim).
 
     ``centroids`` is a (list_id, cvec array<double>) frame — normally the
     trained k-means codebook (data/codebooks.py:IVF_CODEBOOK).
+    ``use_gemm`` swaps the pair stage for the per-cluster BLAS path
+    (``cluster_pairs_gemm`` — bit-identical output, the production
+    choice once clusters carry thousands of members).
     """
     # NOTE: deliberately NOT checkpointed — pinning the assignment frame
     # hid its stats from the planner and cost more than the (exchange-
     # reused) recompute across the three consumers (measured: steady
     # 3.8 s -> 9.4 s with a lazy localCheckpoint here).
     assigned = assign_clusters(corpus, centroids, id_col, vec_col)
-    dropped = cluster_pairs(assigned, threshold, id_col, vec_col).select(
+    pairs_fn = cluster_pairs_gemm if use_gemm else cluster_pairs
+    dropped = pairs_fn(assigned, threshold, id_col, vec_col).select(
         F.when(F.col("_ca") > F.col("_cb"), F.col("_ua"))
         .when(F.col("_cb") > F.col("_ca"), F.col("_ub"))
         .otherwise(F.greatest("_ua", "_ub"))
@@ -176,4 +181,82 @@ def semantic_dedup_groups(
     )
     return members.withColumn(
         "kept", (F.row_number().over(w) == 1).cast("boolean")
+    )
+
+
+def _cluster_gemm_pairs(pdf, thr: float):
+    """Candidate (u, v) pairs of ONE cluster's members via a single
+    normalized BLAS GEMM (the paper's own per-cluster matrix multiply)."""
+    import numpy as np
+    import pandas as pd
+
+    ids = pdf["_id"].to_numpy(dtype=np.int64)
+    m = np.array(list(pdf["_v"]), dtype=np.float64)
+    if len(ids) < 2:
+        return pd.DataFrame({"u": [], "v": []}).astype(
+            {"u": "int64", "v": "int64"}
+        )
+    norms = np.linalg.norm(m, axis=1)
+    norms[norms == 0] = 1.0
+    sims = (m / norms[:, None]) @ (m / norms[:, None]).T
+    lo = ids[:, None] < ids[None, :]
+    hits = np.argwhere((sims >= thr) & lo)
+    return pd.DataFrame(
+        {"u": ids[hits[:, 0]], "v": ids[hits[:, 1]]}
+    ).astype({"u": "int64", "v": "int64"})
+
+
+def cluster_pairs_gemm(
+    assigned: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    margin: float = 1e-5,
+) -> DataFrame:
+    """GEMM-backed ``cluster_pairs``: same (_ua, _ca, _ub, _cb, _psim)
+    output, bit-identical scores, ~100x cheaper per pair.
+
+    Phase 1 runs one numpy GEMM per cluster (one applyInPandas group per
+    list_id) keeping entries >= threshold - margin; phase 2 re-scores
+    survivors with the exact sequential-fold cosine, so the margin
+    guarantees phase 1 never drops a pair phase 2 would keep — the same
+    lossless two-phase contract as similarity.py:near_dup_pairs_blocked.
+    Per-task memory is bounded by the largest cluster (the paper's k
+    scaling keeps clusters ~1e5 rows; a mega-cluster would be re-split).
+    """
+    from llm_data_pipeline_spark.functions.vectors import to_double
+
+    thr = threshold - margin
+    tagged = assigned.select(
+        F.col(id_col).alias("_id"),
+        to_double(F.col(vec_col)).alias("_v"),
+        "list_id",
+    )
+    cands = tagged.groupBy("list_id").applyInPandas(
+        lambda pdf: _cluster_gemm_pairs(pdf, thr), schema="u long, v long"
+    )
+    a = assigned.select(
+        F.col(id_col).alias("u"),
+        F.col(vec_col).alias("_va"),
+        F.col("centroid_sim").alias("_ca"),
+    )
+    b = assigned.select(
+        F.col(id_col).alias("v"),
+        F.col(vec_col).alias("_vb"),
+        F.col("centroid_sim").alias("_cb"),
+    )
+    return (
+        cands.join(a, "u")
+        .join(b, "v")
+        .withColumn(
+            "_psim", F.round(cosine_arrow(F.col("_va"), F.col("_vb")), 6)
+        )
+        .where(F.col("_psim") >= F.lit(threshold))
+        .select(
+            F.col("u").alias("_ua"),
+            "_ca",
+            F.col("v").alias("_ub"),
+            "_cb",
+            "_psim",
+        )
     )

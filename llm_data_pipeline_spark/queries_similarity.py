@@ -780,10 +780,9 @@ def semantic_dedup_groups_q(spark: SparkSession, sf_dir: str):
     )
 
 
-@query(
-    "text_hashed_embedding_near_dups",
-    oracle=f"""
-    WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+# documents -> signed hashed-trigram vectors (vecs(doc_id, v DOUBLE[64])),
+# shared by the hashed-embedding queries.
+_HASHED_VECS_SQL = """d AS (SELECT doc_id, lower(text) AS t FROM documents),
     grams AS (
       SELECT doc_id, substring(t, i, 3) AS gram
       FROM d, unnest(range(1, greatest(length(t) - 1, 1))) AS u(i)
@@ -804,7 +803,13 @@ def semantic_dedup_groups_q(spark: SparkSession, sf_dir: str):
         ON s.doc_id = g.doc_id AND s.bucket = g.bucket
     ),
     vecs AS (SELECT doc_id, list(val ORDER BY bucket) AS v
-             FROM dense GROUP BY doc_id)
+             FROM dense GROUP BY doc_id)"""
+
+
+@query(
+    "text_hashed_embedding_near_dups",
+    oracle=f"""
+    WITH {_HASHED_VECS_SQL}
     SELECT a.doc_id AS u, b.doc_id AS v,
            {cos_sql('a.v', 'b.v')} AS score
     FROM vecs a JOIN vecs b ON a.doc_id < b.doc_id
@@ -837,4 +842,83 @@ def text_hashed_embedding_near_dups(spark: SparkSession, sf_dir: str):
         near_dup_pairs_blocked(emb, threshold=0.9, id_col="doc_id")
         .select("u", "v", "score")
         .orderBy("u", "v")
+    )
+
+
+@query(
+    "text_semantic_dedup",
+    oracle=f"""
+    WITH {_HASHED_VECS_SQL},
+    cents AS (
+      SELECT row_number() OVER (ORDER BY doc_id) - 1 AS list_id, v AS cvec
+      FROM (SELECT doc_id, v FROM vecs ORDER BY doc_id LIMIT 16)
+    ),
+    assigned AS (
+      SELECT doc_id, v, list_id, csim FROM (
+        SELECT vecs.doc_id, vecs.v, c.list_id,
+               {cos_sql('vecs.v', 'c.cvec')} AS csim,
+               row_number() OVER (PARTITION BY vecs.doc_id
+                                  ORDER BY {cos_sql('vecs.v', 'c.cvec')} DESC,
+                                           c.list_id) AS rn
+        FROM vecs CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT a.doc_id AS u, a.csim AS cu, b.doc_id AS w, b.csim AS cw
+      FROM assigned a JOIN assigned b
+        ON a.list_id = b.list_id AND a.doc_id < b.doc_id
+      WHERE {cos_sql('a.v', 'b.v')} >= 0.9
+    ),
+    dropped AS (
+      SELECT DISTINCT CASE WHEN cu > cw THEN u
+                           WHEN cw > cu THEN w
+                           ELSE greatest(u, w) END AS doc_id
+      FROM pairs
+    )
+    SELECT a.doc_id, CAST(a.list_id AS BIGINT) AS list_id,
+           a.csim AS centroid_sim
+    FROM assigned a ANTI JOIN dropped dr ON a.doc_id = dr.doc_id
+    ORDER BY doc_id
+    """,
+    tags=("similarity", "dedup", "semdedup", "text", "hashing"),
+)
+def text_semantic_dedup(spark: SparkSession, sf_dir: str):
+    """SemDeDup on RAW TEXT, end to end in-engine and model-free:
+    documents -> signed hashed-trigram embeddings (operators/
+    hashed_embedding.py) -> nearest of 16 deterministic stand-in
+    centroids (the 16 smallest doc_ids' vectors — same stand-in recipe
+    IVF used pre-training; swap for trained k-means in production) ->
+    per-cluster BLAS pair generation (cluster_pairs_gemm, lossless
+    margin + exact re-score) -> pairwise-dominance keep. The oracle
+    replays hashing, centroid derivation, assignment, pairs, and the
+    anti-join relationally — the complete text->embedding->semantic-
+    dedup chain is hash-checked with zero external models."""
+    from pyspark.sql.window import Window
+
+    from llm_data_pipeline_spark.operators.hashed_embedding import (
+        hashed_trigram_embedding,
+    )
+    from llm_data_pipeline_spark.operators.semdedup import semantic_dedup
+
+    docs = table(spark, sf_dir, "documents", scatter=True)
+    emb = hashed_trigram_embedding(docs)
+    # centroid derivation stays a plan subtree: exchange reuse shares the
+    # embedding build across consumers (a bounded 16-row driver collect
+    # measured SLOWER — it broke the reuse and added a standalone job,
+    # 5.2 -> 6.6 s steady)
+    w16 = Window.orderBy("doc_id")
+    cents = (
+        emb.orderBy("doc_id")
+        .limit(16)
+        .select(
+            (F.row_number().over(w16) - 1).cast("long").alias("list_id"),
+            F.col("embedding").alias("cvec"),
+        )
+    )
+    return (
+        semantic_dedup(emb, cents, threshold=0.9, id_col="doc_id",
+                       use_gemm=True)
+        .select("doc_id", F.col("list_id").cast("long").alias("list_id"),
+                "centroid_sim")
+        .orderBy("doc_id")
     )

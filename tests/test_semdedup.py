@@ -113,3 +113,28 @@ def test_group_variant_keeps_one_per_chain(spark):
     assert sorted(r.vec_id for r in grp if r.kept) == [0]   # argmin, tie->id
     pairwise = semantic_dedup(emb, cents, threshold=0.9).collect()
     assert sorted(r.vec_id for r in pairwise) == [0, 2]     # both chain ends
+
+
+def test_gemm_pairs_bit_identical_to_fold_path(spark, sf_dir):
+    """cluster_pairs_gemm must emit exactly the pairs and scores of the
+    interpreted fold path (the blocked-GEMM lossless-margin contract)."""
+    from llm_data_pipeline_spark.data.codebooks import IVF_CODEBOOK
+    from llm_data_pipeline_spark.operators.semdedup import (
+        assign_clusters,
+        cluster_pairs,
+        cluster_pairs_gemm,
+    )
+    from llm_data_pipeline_spark.queries import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(IVF_CODEBOOK)],
+        "list_id long, cvec array<double>",
+    )
+    assigned = assign_clusters(emb, cents)
+    cols = ["_ua", "_ca", "_ub", "_cb", "_psim"]
+    plain = sorted(tuple(r[c] for c in cols)
+                   for r in cluster_pairs(assigned, 0.3).collect())
+    gemm = sorted(tuple(r[c] for c in cols)
+                  for r in cluster_pairs_gemm(assigned, 0.3).collect())
+    assert plain == gemm and len(plain) > 0
