@@ -260,3 +260,72 @@ def cluster_pairs_gemm(
             "_psim",
         )
     )
+
+
+def semantic_dedup_incremental(
+    base: DataFrame,
+    increment: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental SemDeDup (base x daily increment) — kept increment
+    rows: (id_col, list_id, centroid_sim).
+
+    The continuous-ingest variant: only increment rows are candidates
+    for removal; pairs form new x base and new x new WITHIN a cluster,
+    never base x base. A new row duplicating ANY base member is dropped
+    (the base corpus is already canonical); among new x new duplicates
+    the usual dominance rule drops the higher-centroid-similarity member
+    (ties: higher id).
+
+    Scale shape: at 100 TB the base's cluster assignment is a
+    precomputed index stored partitioned by list_id, so the daily run
+    embeds + assigns only the increment and joins it against the base's
+    cluster partitions — the base is never re-scored, never re-shuffled
+    beyond the cluster-keyed join (same contract as
+    lsh.py:minhash_incremental_dedup's banded index).
+    """
+    a_base = assign_clusters(base, centroids, id_col, vec_col).withColumn(
+        "_new", F.lit(False)
+    )
+    a_inc = assign_clusters(increment, centroids, id_col, vec_col).withColumn(
+        "_new", F.lit(True)
+    )
+    allv = a_base.unionByName(a_inc)
+    left = allv.select(
+        F.col(id_col).alias("_ua"),
+        F.col(vec_col).alias("_va"),
+        F.col("list_id").alias("_la"),
+        F.col("centroid_sim").alias("_ca"),
+        F.col("_new").alias("_na"),
+    )
+    right = a_inc.select(
+        F.col(id_col).alias("_ub"),
+        F.col(vec_col).alias("_vb"),
+        F.col("list_id").alias("_lb"),
+        F.col("centroid_sim").alias("_cb"),
+    )
+    pairs = (
+        left.join(
+            right,
+            (F.col("_la") == F.col("_lb"))
+            & (F.col("_ua") != F.col("_ub"))
+            & (~F.col("_na") | (F.col("_ua") < F.col("_ub"))),
+        )
+        .withColumn(
+            "_psim", F.round(cosine_arrow(F.col("_va"), F.col("_vb")), 6)
+        )
+        .where(F.col("_psim") >= F.lit(threshold))
+    )
+    dropped = pairs.select(
+        F.when(~F.col("_na"), F.col("_ub"))          # base wins: drop new
+        .when(F.col("_ca") > F.col("_cb"), F.col("_ua"))
+        .when(F.col("_cb") > F.col("_ca"), F.col("_ub"))
+        .otherwise(F.greatest("_ua", "_ub"))
+        .alias(id_col)
+    ).distinct()
+    return a_inc.join(dropped, id_col, "left_anti").select(
+        id_col, "list_id", "centroid_sim"
+    )

@@ -922,3 +922,106 @@ def text_semantic_dedup(spark: SparkSession, sf_dir: str):
                 "centroid_sim")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "semantic_dedup_incremental",
+    oracle=f"""
+    WITH {_PAIR_BASE.strip()},
+    inc AS (
+      SELECT vec_id + 200000 AS vec_id,
+             list_concat([CAST(0.0 AS DOUBLE)], v[2:64]) AS v
+      FROM e WHERE vec_id < 50
+      UNION ALL
+      SELECT vec_id + 300000, v FROM e WHERE vec_id >= 50 AND vec_id < 100
+      UNION ALL
+      SELECT vec_id + 400000, list_reverse(v)
+      FROM e WHERE vec_id >= 100 AND vec_id < 150
+    ),
+    allv AS (
+      SELECT vec_id, v, FALSE AS isnew FROM e
+      UNION ALL
+      SELECT vec_id, v, TRUE AS isnew FROM inc
+    ),
+    {_IVF_CB_SQL.strip()},
+    assigned AS (
+      SELECT vec_id, v, isnew, list_id, csim FROM (
+        SELECT a.vec_id, a.v, a.isnew, c.list_id,
+               {cos_sql('a.v', 'c.cvec')} AS csim,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {cos_sql('a.v', 'c.cvec')} DESC,
+                                           c.list_id) AS rn
+        FROM allv a CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT a.vec_id AS u, a.csim AS cu, a.isnew AS na,
+             b.vec_id AS w, b.csim AS cw
+      FROM assigned a JOIN assigned b
+        ON a.list_id = b.list_id AND b.isnew
+       AND a.vec_id <> b.vec_id
+       AND (NOT a.isnew OR a.vec_id < b.vec_id)
+      WHERE {cos_sql('a.v', 'b.v')} >= 0.3
+    ),
+    dropped AS (
+      SELECT DISTINCT CASE WHEN NOT na THEN w
+                           WHEN cu > cw THEN u
+                           WHEN cw > cu THEN w
+                           ELSE greatest(u, w) END AS vec_id
+      FROM pairs
+    )
+    SELECT a.vec_id, CAST(a.list_id AS BIGINT) AS list_id,
+           a.csim AS centroid_sim
+    FROM assigned a ANTI JOIN dropped d ON a.vec_id = d.vec_id
+    WHERE a.isnew
+    ORDER BY vec_id
+    """,
+    tags=("similarity", "dedup", "semdedup", "incremental"),
+)
+def semantic_dedup_incremental_q(spark: SparkSession, sf_dir: str):
+    """Incremental SemDeDup (operators/semdedup.py:
+    semantic_dedup_incremental) — the daily-ingest variant: a synthetic
+    increment (50 near-dups with the first component zeroed, 50 exact
+    re-ingests, 50 fresh reversed vectors) joins the base's clusters;
+    pairs form new x base and new x new only, a new row duplicating any
+    base member is dropped (base is canonical), new x new falls to the
+    dominance rule. The oracle replays increment construction,
+    assignment, pair restriction, and the keep decision relationally."""
+    from llm_data_pipeline_spark.functions.vectors import to_double
+    from llm_data_pipeline_spark.operators.semdedup import (
+        semantic_dedup_incremental,
+    )
+
+    emb = table(spark, sf_dir, "embeddings", scatter=True).select(
+        "vec_id", to_double(F.col("embedding")).alias("embedding")
+    )
+    vid = F.col("vec_id")
+    inc = (
+        emb.where(vid < 50).select(
+            (vid + 200000).alias("vec_id"),
+            F.concat(
+                F.array(F.lit(0.0)), F.slice(F.col("embedding"), 2, 63)
+            ).alias("embedding"),
+        )
+        .unionByName(
+            emb.where((vid >= 50) & (vid < 100)).select(
+                (vid + 300000).alias("vec_id"), "embedding"
+            )
+        )
+        .unionByName(
+            emb.where((vid >= 100) & (vid < 150)).select(
+                (vid + 400000).alias("vec_id"),
+                F.reverse(F.col("embedding")).alias("embedding"),
+            )
+        )
+    )
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(IVF_CODEBOOK)],
+        "list_id long, cvec array<double>",
+    )
+    return (
+        semantic_dedup_incremental(emb, inc, cents, threshold=0.3)
+        .select("vec_id", F.col("list_id").cast("long").alias("list_id"),
+                "centroid_sim")
+        .orderBy("vec_id")
+    )

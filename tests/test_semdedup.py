@@ -138,3 +138,36 @@ def test_gemm_pairs_bit_identical_to_fold_path(spark, sf_dir):
     gemm = sorted(tuple(r[c] for c in cols)
                   for r in cluster_pairs_gemm(assigned, 0.3).collect())
     assert plain == gemm and len(plain) > 0
+
+
+def test_incremental_base_wins_and_new_dominance(spark):
+    from llm_data_pipeline_spark.operators.semdedup import (
+        semantic_dedup_incremental,
+    )
+
+    cents = _cents(spark)
+    base = spark.createDataFrame(
+        [Row(vec_id=0, embedding=[0.95, 0.05, 0.0])]
+    )
+    inc = spark.createDataFrame(
+        [
+            # duplicates the base row -> dropped even though its centroid
+            # sim is LOWER (base always wins, dominance does not apply)
+            Row(vec_id=100, embedding=[0.9, 0.1, 0.0]),
+            # new x new duplicate pair in cluster 1: equal centroid sims
+            # -> higher id dropped
+            Row(vec_id=101, embedding=[0.05, 0.95, 0.0]),
+            Row(vec_id=102, embedding=[0.05, 0.95, 0.0]),
+            # fresh: orthogonal-ish to everything
+            Row(vec_id=103, embedding=[0.0, 0.0, 1.0]),
+        ]
+    )
+    kept = sorted(
+        r.vec_id
+        for r in semantic_dedup_incremental(
+            base, inc, cents, threshold=0.99
+        ).collect()
+    )
+    assert kept == [101, 103]
+    # base rows are never in the output
+    assert 0 not in kept
