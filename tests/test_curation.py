@@ -121,3 +121,24 @@ def test_temperature_mixture_upsamples_rare_source(spark):
     # deterministic: same input -> identical kept set
     again = temperature_mixture(df, budget_frac=0.5, alpha=0.5).collect()
     assert sorted(r.doc_id for r in again) == sorted(r.doc_id for r in kept)
+
+
+def test_temperature_mixture_budget_monotone(spark):
+    """The keep decision is u < p_s with u fixed per doc and p_s monotone
+    in budget_frac, so a smaller budget's kept set must be a SUBSET of a
+    larger budget's — the incremental-stability property rand() sampling
+    does not have."""
+    from llm_data_pipeline_spark.operators.curation import temperature_mixture
+    from pyspark.sql import Row
+
+    rows = [
+        Row(doc_id=i, source=f"s{i % 3}", n_chars=50 + 13 * (i % 7))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows)
+    kept = {
+        b: {r.doc_id for r in temperature_mixture(df, budget_frac=b).collect()}
+        for b in (0.2, 0.5, 0.8)
+    }
+    assert kept[0.2] <= kept[0.5] <= kept[0.8]
+    assert len(kept[0.2]) < len(kept[0.8])
