@@ -838,11 +838,15 @@ def text_hashed_embedding_near_dups(spark: SparkSession, sf_dir: str):
     # the blocked operator's join strategy — same trap as SemDeDup's
     # assignment frame); exchange reuse already shares the gram pipeline.
     emb = hashed_trigram_embedding(docs)
-    return (
+    out = (
         near_dup_pairs_blocked(emb, threshold=0.9, id_col="doc_id")
         .select("u", "v", "score")
-        .orderBy("u", "v")
+        # pin the (tiny) pair set before the deterministic final sort so
+        # orderBy's range-sampling pass reads blocks instead of
+        # re-running the embed+GEMM chain (README perf rule #3)
+        .localCheckpoint(eager=False)
     )
+    return out.orderBy("u", "v")
 
 
 @query(
