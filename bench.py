@@ -187,6 +187,10 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             print(f"bench: scale check failed: {type(e).__name__}: {e}", file=sys.stderr)
         try:
+            scale["semdedup_scale_check"] = semdedup_scale_check(spark, sf_dir)
+        except Exception as e:  # noqa: BLE001
+            print(f"bench: semdedup scale check failed: {type(e).__name__}: {e}", file=sys.stderr)
+        try:
             scale["bpe_train_curve"] = bpe_train_curve()
         except Exception as e:  # noqa: BLE001
             print(f"bench: bpe curve failed: {type(e).__name__}: {e}", file=sys.stderr)
@@ -355,6 +359,75 @@ def dedup_scale_check(spark, sf_dir: str, reps: int = 10) -> dict:
         out["jaccard_time_ratio"] <= reps * 1.5
         and out["minhash_time_ratio"] <= reps * 1.5
     )
+    return out
+
+
+def semdedup_scale_check(spark, sf_dir: str, reps: int = 10) -> dict:
+    """Measured scale behavior of SemDeDup under the paper's own scaling
+    contract: k (number of clusters) grows WITH the corpus so expected
+    cluster size stays constant — per-cluster GEMM work then grows
+    ~linearly in corpus size, not quadratically. Each replica applies a
+    rep-dependent deterministic sign pattern so replicas are distinct
+    vectors (the '10x more data' model). Runs at sf0.01."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from llm_data_pipeline_spark.operators.semdedup import semantic_dedup
+    from llm_data_pipeline_spark.queries import table
+
+    small = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
+    base_dir = small if os.path.isdir(small) else sf_dir
+    emb = table(spark, base_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    nparts = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    def replicated(r: int):
+        reps_df = spark.range(r).select(F.col("id").alias("rep"))
+        # rotate each vector by rep positions -> every replica is
+        # distinct content with the same norm (the '10x more data' model)
+        dim = F.size("embedding")
+        rot = F.concat(
+            F.slice(F.col("embedding"), F.col("rep") + 1, dim - F.col("rep")),
+            F.slice(F.col("embedding"), 1, F.col("rep")),
+        )
+        return (
+            emb.crossJoin(reps_df)
+            .select(
+                (F.col("vec_id") + F.col("rep") * 10_000_000).alias("vec_id"),
+                rot.alias("embedding"),
+            )
+            .repartition(nparts)
+        )
+
+    def run_once(r: int) -> tuple[float, int]:
+        d = replicated(r)
+        k = 16 * r
+        cents = d.orderBy("vec_id").limit(k)
+        from pyspark.sql.window import Window
+
+        cents = cents.select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("list_id"),
+            F.col("embedding").alias("cvec"),
+        )
+        t0 = _time.perf_counter()
+        n_kept = semantic_dedup(
+            d, cents, threshold=0.9, use_gemm=True
+        ).count()
+        dt = _time.perf_counter() - t0
+        spark.catalog.clearCache()
+        return dt, n_kept
+
+    run_once(1)  # warmup
+    out: dict = {"reps": reps, "sf_dir": base_dir}
+    for label, r in (("1x", 1), (f"{reps}x", reps)):
+        dt, n_kept = run_once(r)
+        out[label] = {"sec": round(dt, 3), "kept": n_kept}
+    out["time_ratio"] = round(
+        out[f"{reps}x"]["sec"] / max(out["1x"]["sec"], 1e-9), 2
+    )
+    out["linear_ok"] = bool(out["time_ratio"] <= reps * 1.5)
     return out
 
 
