@@ -247,6 +247,94 @@ def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DSIR_BUCKETS = 10_000
+_DSIR_K = 100
+_DSIR_TARGET_SOURCES = ("src0", "src1")
+_DSIR_HASH_SQL = DUCKDB_HASH60.format(s="('dsir-v1:' || feat)")
+_DSIR_TGT_PRED = " OR ".join(
+    f"source = '{s}'" for s in _DSIR_TARGET_SOURCES
+)
+
+
+@query(
+    "dsir_importance_selection",
+    oracle=f"""
+    WITH toked AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(regexp_replace(lower(coalesce(text,'')),
+                         '\\s+', ' ', 'g')), ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id,
+             unnest(list_concat(
+               toks,
+               list_transform(range(greatest(len(toks) - 1, 0)),
+                              i -> toks[i+1] || ' ' || toks[i+2])
+             )) AS feat
+      FROM toked
+    ),
+    dc AS (
+      SELECT doc_id, {_DSIR_HASH_SQL} % {_DSIR_BUCKETS} AS bucket,
+             count(*) AS c
+      FROM feats GROUP BY 1, 2
+    ),
+    raw AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS cr FROM dc GROUP BY 1),
+    tgt AS (
+      SELECT bucket, CAST(sum(c) AS BIGINT) AS ct
+      FROM dc JOIN documents USING (doc_id)
+      WHERE {_DSIR_TGT_PRED}
+      GROUP BY 1
+    ),
+    tot AS (
+      SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM raw) AS tr,
+             (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) FROM tgt) AS tt
+    ),
+    lr AS (
+      SELECT r.bucket,
+             CAST(round(ln(
+                 ((coalesce(t.ct, 0) + 1)::DOUBLE * (o.tr + {_DSIR_BUCKETS})::DOUBLE)
+               / ((r.cr + 1)::DOUBLE * (o.tt + {_DSIR_BUCKETS})::DOUBLE)
+             ) * 1000000) AS BIGINT) AS lr_micro
+      FROM raw r LEFT JOIN tgt t USING (bucket), tot o
+    ),
+    sc AS (
+      SELECT dc.doc_id,
+             CAST(sum(dc.c * lr.lr_micro) AS BIGINT) AS s_micro,
+             CAST(sum(dc.c) AS BIGINT) AS n_feats
+      FROM dc JOIN lr USING (bucket) GROUP BY 1
+    )
+    SELECT d.doc_id, d.source,
+           CAST(coalesce(sc.n_feats, 0) AS BIGINT) AS n_feats,
+           round(coalesce(sc.s_micro, 0) / 1000000.0, 6) AS score
+    FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+    ORDER BY coalesce(sc.s_micro, 0) DESC, d.doc_id
+    LIMIT {_DSIR_K}
+    """,
+    tags=("curation", "selection", "dsir"),
+)
+def dsir_importance_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (operators/dsir.py — Xie et al. 2023): weight
+    every document by the log ratio of two hashed unigram+bigram models
+    (target = sources src0/src1 vs the raw corpus), keep the top 100.
+    Target-source docs must dominate the selection (they define the
+    target distribution) — the importance-resampling contract. Model fit
+    is two 10k-bucket groupBys; scoring a broadcast join; fully
+    DuckDB-replayed via the portable hash + micro-unit quantization."""
+    from llm_data_pipeline_spark.operators.dsir import dsir_select
+
+    docs = table(spark, sf_dir, "documents")
+    target = docs.where(F.col("source").isin(*_DSIR_TARGET_SOURCES)).select(
+        "doc_id", "text"
+    )
+    return dsir_select(docs, target, k=_DSIR_K).select(
+        "doc_id",
+        "source",
+        F.col("n_feats").cast("long").alias("n_feats"),
+        F.round(F.col("score_micro") / 1e6, 6).alias("score"),
+    )
+
+
 _MIXT_HASH_SQL = DUCKDB_HASH60.format(s="(d.doc_id::VARCHAR || ':mix-t-v1')")
 
 

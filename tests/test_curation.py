@@ -142,3 +142,47 @@ def test_temperature_mixture_budget_monotone(spark):
     }
     assert kept[0.2] <= kept[0.5] <= kept[0.8]
     assert len(kept[0.2]) < len(kept[0.8])
+
+
+def test_dsir_ranks_target_like_docs_first(spark):
+    # Two sharply different vocabularies: "science" docs vs "spam" docs.
+    sci = [(i, f"quantum field theory lecture {i} on gauge symmetry") for i in range(8)]
+    spam = [(100 + i, f"buy cheap pills now discount offer {i} click here") for i in range(8)]
+    mixed = [(200, "quantum gauge symmetry lecture notes"),  # target-like
+             (201, "cheap discount pills click now")]        # raw-noise-like
+    docs = spark.createDataFrame(sci + spam + mixed, "doc_id long, text string")
+    target = docs.where("doc_id < 8").select("doc_id", "text")
+
+    from llm_data_pipeline_spark.operators.dsir import (
+        dsir_importance_scores,
+        dsir_select,
+    )
+
+    scored = {
+        r["doc_id"]: r["score_micro"]
+        for r in dsir_importance_scores(docs, target).collect()
+    }
+    # target-like held-out doc outranks the spam-like held-out doc
+    assert scored[200] > scored[201]
+    # every science doc outranks every spam doc
+    assert min(scored[i] for i in range(8)) > max(scored[100 + i] for i in range(8))
+
+    top = dsir_select(docs, target, k=9)
+    ids = {r["doc_id"] for r in top.collect()}
+    assert 200 in ids and 201 not in ids
+    # original columns survive selection
+    assert "text" in top.columns and "score_micro" in top.columns
+
+
+def test_dsir_empty_doc_is_neutral(spark):
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, ""), (2, None), (3, "zulu yankee xray")],
+        "doc_id long, text string",
+    )
+    target = docs.where("doc_id = 0").select("doc_id", "text")
+    from llm_data_pipeline_spark.operators.dsir import dsir_importance_scores
+
+    out = {r["doc_id"]: r for r in dsir_importance_scores(docs, target).collect()}
+    assert out[1]["score_micro"] == 0 and out[1]["n_feats"] == 0
+    assert out[2]["score_micro"] == 0 and out[2]["n_feats"] == 0
+    assert out[0]["score_micro"] > 0

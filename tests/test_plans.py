@@ -285,3 +285,16 @@ def test_temperature_mixture_no_corpus_window(q):
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan
     assert "Window" not in I.simple_plan(df)
+
+
+def test_dsir_model_tables_ride_broadcasts(q):
+    """DSIR scoring: both bucket-bounded model tables (raw<-tgt left join,
+    then the 10k-row log-ratio table onto per-doc counts) must be
+    broadcast joins; the only nested loops are the broadcast crosses of
+    the two 1-row totals. The corpus itself shuffles only for its own
+    count aggregates and the final top-k."""
+    df = q("dsir_importance_selection")
+    plan = I.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert I.broadcast_join_count(df) >= 2
+    assert "EvalPython" not in plan  # pure codegen — no Python UDF
