@@ -201,3 +201,52 @@ def sink_roundtrip_report(spark: SparkSession, sf_dir: str):
     return spark.createDataFrame(
         data, schema="metric string, value bigint"
     ).orderBy("metric")
+
+
+_PRUNE_LANGS = ("en", "zh")
+_PRUNE_PRED = " OR ".join(f"lang = '{lang}'" for lang in _PRUNE_LANGS)
+
+
+@query(
+    "partitioned_sink_pruned_scan",
+    oracle=f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum({DUCKDB_HASH60.format(
+               s="(doc_id::VARCHAR || '#' || coalesce(text, ''))"
+           )} % {_MOD}) AS BIGINT) AS doc_hashsum
+    FROM documents
+    WHERE {_PRUNE_PRED}
+    GROUP BY lang ORDER BY lang
+    """,
+    tags=("sinks", "partitioning", "pruning"),
+)
+def partitioned_sink_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned parquet sink + partition-PRUNED read-back: write
+    the corpus partitioned by lang (the layout a 100-TB corpus store
+    actually uses — per-language subtrees so monolingual jobs touch only
+    their slice), read it back filtered to 2 of the languages, and reduce
+    the read-back rows to per-lang (count, chars, content-hash-sum)
+    fidelity metrics. The filter is satisfied by directory pruning —
+    `PartitionFilters` in the scan node, 0 data files opened for the
+    other languages (guarded in tests/test_plans.py) — while the hash-sum
+    proves the partitioned files carry exactly the source rows."""
+    docs = table(spark, sf_dir, "documents")
+    path = os.path.join(SINK_BASE, "partitioned_docs")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(path)
+    back = spark.read.parquet(path).where(F.col("lang").isin(*_PRUNE_LANGS))
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            _hsum(
+                F.concat(
+                    F.col("doc_id").cast("string"), F.lit("#"),
+                    F.coalesce(F.col("text"), F.lit("")),
+                )
+            ).alias("doc_hashsum"),
+        )
+        .orderBy("lang")
+    )

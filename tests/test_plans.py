@@ -298,3 +298,18 @@ def test_dsir_model_tables_ride_broadcasts(q):
     assert "CartesianProduct" not in plan
     assert I.broadcast_join_count(df) >= 2
     assert "EvalPython" not in plan  # pure codegen — no Python UDF
+
+
+def test_partitioned_sink_scan_prunes_directories(q):
+    """The read-back scan must satisfy the lang filter via PARTITION
+    pruning (directory-level), not row-level filtering: the scan node
+    carries a PartitionFilters entry on lang, and the partition column
+    never appears as a data-filter/pushed-filter (it does not exist in
+    the data files at all)."""
+    df = q("partitioned_sink_pruned_scan")
+    plan = I.formatted_plan(df)
+    pf_lines = [
+        ln for ln in plan.splitlines() if "PartitionFilters" in ln
+    ]
+    assert pf_lines and any("lang" in ln for ln in pf_lines)
+    assert "CartesianProduct" not in plan
