@@ -202,6 +202,10 @@ def main() -> None:
             scale["cc_scale_check"] = cc_scale_check(spark)
         except Exception as e:  # noqa: BLE001
             print(f"bench: cc scale check failed: {type(e).__name__}: {e}", file=sys.stderr)
+        try:
+            scale["dsir_scale_check"] = dsir_scale_check(spark, sf_dir)
+        except Exception as e:  # noqa: BLE001
+            print(f"bench: dsir scale check failed: {type(e).__name__}: {e}", file=sys.stderr)
 
     # Headline value stays the sum over the curated HEADLINE set so it is
     # comparable round-over-round; the full-registry totals (93 queries)
@@ -461,6 +465,101 @@ def ann_recall(spark, sf_dir: str) -> dict:
         bf.unpersist()
     out["k"] = 10
     out["n_pairs_exact"] = total
+    return out
+
+
+def dsir_scale_check(spark, sf_dir: str, reps: int = 10) -> dict:
+    """Measured scale behavior of DSIR selection: the TARGET set stays
+    fixed (the real deployment shape — a small trusted corpus) while the
+    raw corpus is replicated 1x and ``reps``x with per-replica word tags
+    (distinct content, so the hashed-feature space genuinely grows).
+    Feature extraction and the per-doc count aggregate are linear in the
+    corpus; both models stay bucket-bounded (10k rows) at every scale, so
+    the time ratio should sit far below reps — the broadcast-scoring
+    claim, measured. Runs at sf0.01 so the check costs seconds."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from llm_data_pipeline_spark.operators.dsir import dsir_importance_scores
+    from llm_data_pipeline_spark.queries import table
+
+    small = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
+    base_dir = small if os.path.isdir(small) else sf_dir
+    docs = table(spark, base_dir, "documents").select("doc_id", "text")
+    nparts = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    def replicated(r: int):
+        reps_df = spark.range(r).select(F.col("id").alias("rep"))
+        tag = F.concat(F.lit("r"), F.col("rep").cast("string"), F.lit("_"))
+        return (
+            docs.crossJoin(reps_df)
+            .select(
+                (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.split(F.coalesce("text", F.lit("")), r"\s+"),
+                        lambda w: F.concat(tag, w),
+                    ),
+                ).alias("text"),
+            )
+            .repartition(nparts)
+        )
+
+    def planted():
+        """100 docs over a private 31-word vocabulary ("pv0".."pv30") —
+        a genuinely distinct topical cluster (the raw synthetic corpus
+        draws all sources from ONE vocabulary, so nothing in it can show
+        retrieval lift). Deterministic modular construction — no RNG."""
+        return spark.range(100).select(
+            (F.col("id") + 20_000_000).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(39)),
+                    lambda k: F.concat(
+                        F.lit("pv"), ((F.col("id") * 7 + k) % 31).cast("string")
+                    ),
+                ),
+            ).alias("text"),
+        )
+
+    def run_once(r: int) -> tuple[float, int]:
+        d = replicated(r).select("doc_id", "text").unionByName(planted())
+        # fixed target: half the planted cluster (even ids) — the small
+        # trusted-slice shape DSIR serves; its mass is constant while the
+        # raw corpus grows reps x
+        target = d.where(
+            (F.col("doc_id") >= 20_000_000) & (F.col("doc_id") % 2 == 0)
+        )
+        t0 = _time.perf_counter()
+        # retrieval lift alongside time: rank everything EXCEPT the
+        # target members themselves, count how many of the 50 held-out
+        # planted docs (odd ids) land in the top 50 — ideal = 50
+        n = (
+            dsir_importance_scores(d, target)
+            .where(
+                (F.col("doc_id") < 20_000_000) | (F.col("doc_id") % 2 == 1)
+            )
+            .orderBy(F.col("score_micro").desc(), F.col("doc_id"))
+            .limit(50)
+            .where(F.col("doc_id") >= 20_000_000)
+            .count()
+        )
+        dt = _time.perf_counter() - t0
+        spark.catalog.clearCache()
+        return dt, n
+
+    run_once(1)  # warmup
+    out: dict = {"reps": reps, "sf_dir": base_dir}
+    for label, r in (("1x", 1), (f"{reps}x", reps)):
+        dt, n = run_once(r)
+        out[label] = {"sec": round(dt, 3), "heldout_planted_in_top50": n}
+    out["time_ratio"] = round(
+        out[f"{reps}x"]["sec"] / max(out["1x"]["sec"], 1e-9), 2
+    )
+    out["linear_ok"] = bool(out["time_ratio"] <= reps * 1.5)
     return out
 
 

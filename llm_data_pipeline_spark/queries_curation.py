@@ -317,10 +317,14 @@ def dsir_importance_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR data selection (operators/dsir.py — Xie et al. 2023): weight
     every document by the log ratio of two hashed unigram+bigram models
     (target = sources src0/src1 vs the raw corpus), keep the top 100.
-    Target-source docs must dominate the selection (they define the
-    target distribution) — the importance-resampling contract. Model fit
-    is two 10k-bucket groupBys; scoring a broadcast join; fully
-    DuckDB-replayed via the portable hash + micro-unit quantization."""
+    The synthetic corpus draws every source from ONE vocabulary, so no
+    lift is expected here — this query grades the weight math end to end
+    (model fit = two 10k-bucket groupBys, scoring = a broadcast join,
+    DuckDB-replayed via the portable hash + micro-unit quantization);
+    the ranking-lift contract itself is pinned where a distinct target
+    vocabulary exists: tests/test_curation.py::
+    test_dsir_ranks_target_like_docs_first and the planted-cluster
+    retrieval metric in bench.py::dsir_scale_check."""
     from llm_data_pipeline_spark.operators.dsir import dsir_select
 
     docs = table(spark, sf_dir, "documents")
