@@ -500,3 +500,134 @@ def remove_duplicated_chunks(
             F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sliding-window duplicated-SPAN removal (alignment-insensitive)
+# ---------------------------------------------------------------------------
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    window_words: int = 8,
+    max_occurrences: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Exact duplicated-substring removal with stride-1 word windows —
+    the alignment-INSENSITIVE upgrade of :func:`remove_duplicated_chunks`.
+
+    Fixed chunk boundaries miss a duplicate that starts mid-chunk (a
+    boilerplate header behind a per-doc prefix shifts every chunk). Here
+    every w-word window (stride 1) is counted corpus-wide; windows
+    occurring more than ``max_occurrences`` times mark their token range
+    [start, start+w) as duplicated, per-doc overlapping/adjacent ranges
+    merge into maximal spans (islands-and-gaps over a window function),
+    covered tokens are dropped, and the text is rebuilt from the
+    survivors in position order. This is the word-level analog of
+    suffix-array exact substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): any duplicated run of
+    >= w words is removed wherever it sits.
+
+    Returns (id, n_tokens, n_removed, n_spans, out_col).
+
+    Scale shape: stride-1 windows cost w rows per token versus the
+    chunk variant's 1/c — the price of alignment insensitivity (the
+    suffix-array original pays the same linear blowup in its suffix
+    table). All shuffles are value- or doc-keyed: window-value count
+    (high cardinality, naturally balanced), a semi-join of window rows
+    against the over-limit set, one per-doc window-function pass over
+    dup STARTS only (bounded by dup density, not corpus size), and the
+    doc-keyed rebuild. Nothing is collected.
+    """
+    w = int(window_words)
+    toked = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(F.split(norm_ws(F.col(text_col)), " "), lambda x: x != "").alias(
+            "_toks"
+        ),
+    ).localCheckpoint(eager=False)
+    wins = toked.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                F.size("_toks") < w, F.array().cast("array<string>")
+            ).otherwise(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_toks") - w),
+                    lambda i: F.concat_ws(" ", F.slice("_toks", i + 1, w)),
+                )
+            )
+        ).alias("start", "win"),
+    )
+    over_limit = (
+        wins.groupBy("win")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > max_occurrences)
+        .select("win")
+    )
+    starts = wins.join(over_limit, "win", "left_semi").select("doc_id", "start")
+    prev = Window.partitionBy("doc_id").orderBy("start").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    run = Window.partitionBy("doc_id").orderBy("start").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    prev_end = F.max(F.col("start") + F.lit(w)).over(prev)
+    flagged = starts.select(
+        "doc_id",
+        "start",
+        (prev_end.isNull() | (F.col("start") > prev_end))
+        .cast("int")
+        .alias("_newi"),
+    )
+    spans = (
+        flagged.select(
+            "doc_id", "start", F.sum("_newi").over(run).alias("_island")
+        )
+        .groupBy("doc_id", "_island")
+        .agg(
+            F.min("start").alias("b"),
+            (F.max("start") + F.lit(w)).alias("e"),
+        )
+    )
+    covered = spans.select(
+        "doc_id", F.explode(F.sequence(F.col("b"), F.col("e") - 1)).alias("p")
+    )
+    tokpos = toked.select(
+        "doc_id", F.posexplode("_toks").alias("p", "tok")
+    )
+    rebuilt = (
+        tokpos.join(covered, ["doc_id", "p"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("_n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("p"), F.col("tok")))
+                    ),
+                    lambda s: s["tok"],
+                ),
+            ).alias(out_col),
+        )
+    )
+    n_spans = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans")
+    )
+    totals = toked.select("doc_id", F.size("_toks").alias("n_tokens"))
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .join(n_spans, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias(id_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (
+                F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0))
+            ).cast("long").alias("n_removed"),
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
+        )
+    )

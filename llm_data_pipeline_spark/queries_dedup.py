@@ -925,3 +925,127 @@ def minhash_incremental_dedup_query(spark: SparkSession, sf_dir: str):
     return out.select("doc_id", "kept").coalesce(1).sortWithinPartitions(
         "doc_id"
     )
+
+
+_SPAN_W = 8
+_PAD_WORDS = ("padw1", "padw2", "padw3", "padw4")
+_PAD_SQL = (
+    # list_slice, not [1:expr] (a computed slice end of 0 yields NULL),
+    # and coalesce around array_to_string (DuckDB maps the empty list to
+    # NULL where Spark's concat_ws yields '') — both needed to match the
+    # pad-length-0 docs
+    "coalesce(array_to_string(list_slice(['"
+    + "','".join(_PAD_WORDS)
+    + "'], 1, (doc_id % 5)::INT), ' '), '')"
+)
+
+
+@query(
+    "span_dedup_rewrite",
+    oracle=f"""
+    WITH src AS (
+      SELECT doc_id,
+             {_PAD_SQL} || ' {BOILERPLATE} ' || coalesce(text, '') AS text
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(regexp_replace(lower(text),
+                         '\\s+', ' ', 'g')), ' '), x -> x <> '') AS toks
+      FROM src
+    ),
+    wins AS (
+      SELECT doc_id, i AS start,
+             array_to_string(toks[i+1:i+{_SPAN_W}], ' ') AS win
+      FROM toks, unnest(range(greatest(len(toks) - {_SPAN_W - 1}, 0))) t(i)
+    ),
+    over_limit AS (SELECT win FROM wins GROUP BY win HAVING count(*) > 1),
+    starts AS (
+      SELECT w.doc_id, w.start FROM wins w JOIN over_limit o USING (win)
+    ),
+    flagged AS (
+      SELECT doc_id, start,
+             max(start + {_SPAN_W}) OVER (PARTITION BY doc_id ORDER BY start
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM starts
+    ),
+    isl AS (
+      SELECT doc_id, start,
+             sum(CASE WHEN prev_end IS NULL OR start > prev_end
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY start
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM flagged
+    ),
+    spans AS (
+      SELECT doc_id, island, min(start) AS b, max(start) + {_SPAN_W} AS e
+      FROM isl GROUP BY 1, 2
+    ),
+    covered AS (
+      SELECT doc_id, b + x AS p FROM spans, unnest(range(e - b)) t(x)
+    ),
+    tokpos AS (
+      SELECT doc_id, p, toks[p+1] AS tok
+      FROM toks, unnest(range(len(toks))) t(p)
+    ),
+    kept AS (
+      SELECT k.doc_id, k.p, k.tok FROM tokpos k
+      WHERE NOT EXISTS (SELECT 1 FROM covered c
+                        WHERE c.doc_id = k.doc_id AND c.p = k.p)
+    ),
+    rebuilt AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY p) AS clean_text
+      FROM kept GROUP BY 1
+    ),
+    nsp AS (SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY 1),
+    tot AS (SELECT doc_id, len(toks) AS n_tokens FROM toks)
+    SELECT t.doc_id,
+           CAST(t.n_tokens AS BIGINT) AS n_tokens,
+           CAST(t.n_tokens - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
+           CAST(coalesce(n.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(length(coalesce(r.clean_text, '')) AS BIGINT) AS clean_len,
+           md5(coalesce(r.clean_text, '')) AS clean_md5
+    FROM tot t
+    LEFT JOIN rebuilt r USING (doc_id)
+    LEFT JOIN nsp n USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+    tags=("dedup", "span", "rewrite", "boilerplate"),
+)
+def span_dedup_rewrite(spark: SparkSession, sf_dir: str):
+    """Alignment-insensitive duplicated-SPAN removal
+    (operators/dedup.py:remove_duplicated_spans — the word-level analog
+    of Lee et al. 2022 suffix-array substring dedup): the 16-word
+    boilerplate is planted behind a VARIABLE-length per-doc pad
+    (doc_id %% 5 words), so fixed chunk boundaries shift per doc and
+    chunk_dedup_rewrite cannot strip it — stride-1 windows catch it at
+    every offset, overlapping dup windows merge into maximal spans, and
+    the rebuild is verified to an md5 per document."""
+    from llm_data_pipeline_spark.operators.dedup import remove_duplicated_spans
+
+    docs = table(spark, sf_dir, "documents", scatter=True).select("doc_id", "text")
+    pad = F.slice(
+        F.array(*[F.lit(wd) for wd in _PAD_WORDS]),
+        1,
+        (F.col("doc_id") % 5).cast("int"),
+    )
+    src = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.concat_ws(" ", pad),
+            F.lit(BOILERPLATE),
+            F.coalesce("text", F.lit("")),
+        ).alias("text"),
+    )
+    out = remove_duplicated_spans(src, window_words=_SPAN_W)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        "n_spans",
+        F.length("clean_text").cast("long").alias("clean_len"),
+        F.md5("clean_text").alias("clean_md5"),
+    ).orderBy("doc_id")

@@ -336,3 +336,84 @@ def test_minhash_incremental_dedup_semantics(spark):
     assert kept == {101: False, 102: False, 103: True, 104: False, 105: True}
     # row-for-row with the increment: no multiplication, no loss
     assert out.count() == 5
+
+
+class TestRemoveDuplicatedSpans:
+    def test_strips_misaligned_boilerplate(self, spark):
+        from llm_data_pipeline_spark.operators.dedup import (
+            remove_duplicated_chunks,
+            remove_duplicated_spans,
+        )
+
+        bp = "one two three four five six seven eight"  # 8 words
+        docs = spark.createDataFrame(
+            [
+                (0, f"{bp} alpha beta gamma delta"),
+                (1, f"pad {bp} epsilon zeta eta theta"),       # shifted by 1
+                (2, f"pad pad pad {bp} iota kappa mu nu"),     # shifted by 3
+                (3, "totally unrelated words with no overlap here at all"),
+                (4, ""),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in remove_duplicated_spans(docs, window_words=8).collect()
+        }
+        # the boilerplate vanishes from every doc regardless of offset
+        for i in (0, 1, 2):
+            assert bp not in out[i]["clean_text"], out[i]["clean_text"]
+            assert out[i]["n_spans"] >= 1
+        # each doc keeps its unique tail
+        assert "alpha beta gamma delta" in out[0]["clean_text"]
+        assert "epsilon zeta eta theta" in out[1]["clean_text"]
+        assert "iota kappa mu nu" in out[2]["clean_text"]
+        # untouched doc is intact; empty doc is the zero row
+        assert out[3]["n_removed"] == 0 and out[3]["n_spans"] == 0
+        assert out[3]["clean_text"] == docs.collect()[3]["text"]
+        assert out[4]["n_tokens"] == 0 and out[4]["clean_text"] == ""
+        # the fixed-chunk variant MISSES the shifted copies — the reason
+        # the sliding-window operator exists
+        chunk = {
+            r["doc_id"]: r
+            for r in remove_duplicated_chunks(docs, chunk_words=8).collect()
+        }
+        assert bp in chunk[2]["clean_text"]  # shifted boilerplate survives chunks
+
+    def test_overlapping_windows_merge_into_one_span(self, spark):
+        from llm_data_pipeline_spark.operators.dedup import (
+            remove_duplicated_spans,
+        )
+
+        # a 12-word duplicated run -> 5 overlapping dup windows (w=8) that
+        # must merge into ONE maximal span covering exactly 12 tokens
+        run = "r1 r2 r3 r4 r5 r6 r7 r8 r9 r10 r11 r12"
+        docs = spark.createDataFrame(
+            [
+                (0, f"{run} left1 left2 left3"),
+                (1, f"head1 head2 {run}"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in remove_duplicated_spans(docs, window_words=8).collect()
+        }
+        assert out[0]["n_spans"] == 1 and out[0]["n_removed"] == 12
+        assert out[0]["clean_text"] == "left1 left2 left3"
+        assert out[1]["n_spans"] == 1 and out[1]["n_removed"] == 12
+        assert out[1]["clean_text"] == "head1 head2"
+
+    def test_within_doc_repetition_is_removed(self, spark):
+        from llm_data_pipeline_spark.operators.dedup import (
+            remove_duplicated_spans,
+        )
+
+        loop = "a1 a2 a3 a4 a5 a6 a7 a8"
+        docs = spark.createDataFrame(
+            [(0, f"intro {loop} middle {loop} outro")],
+            "doc_id long, text string",
+        )
+        out = remove_duplicated_spans(docs, window_words=8).collect()[0]
+        assert out["n_spans"] == 2 and out["n_removed"] == 16
+        assert out["clean_text"] == "intro middle outro"

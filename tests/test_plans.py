@@ -313,3 +313,16 @@ def test_partitioned_sink_scan_prunes_directories(q):
     ]
     assert pf_lines and any("lang" in ln for ln in pf_lines)
     assert "CartesianProduct" not in plan
+
+
+def test_span_dedup_no_cartesian_no_python(q):
+    """Stride-1 span dedup: window counting, the over-limit semi-join,
+    island windowing and the positional rebuild must all stay equi-keyed
+    JVM codegen — no cartesian, no Python UDF. Join strategies are left
+    to AQE stats (nothing force-broadcast): the over-limit set is
+    dup-density-bounded, not corpus-bounded, so at 100 TB Spark degrades
+    those joins to shuffles on its own."""
+    df = q("span_dedup_rewrite")
+    plan = I.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
