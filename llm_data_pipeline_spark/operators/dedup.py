@@ -542,13 +542,32 @@ def remove_duplicated_spans(
     doc-keyed rebuild. Nothing is collected.
     """
     w = int(window_words)
-    toked = df.select(
+    toked = _span_tokenize(df, text_col, id_col)
+    wins = _span_windows(toked, w)
+    over_limit = (
+        wins.groupBy("win")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > max_occurrences)
+        .select("win")
+    )
+    starts = wins.join(over_limit, "win", "left_semi").select("doc_id", "start")
+    return _strip_spans(toked, starts, w, id_col, out_col)
+
+
+def _span_tokenize(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, _toks) with a lazy checkpoint — the token arrays feed
+    both the window pass and the positional rebuild."""
+    return df.select(
         F.col(id_col).alias("doc_id"),
         F.filter(F.split(norm_ws(F.col(text_col)), " "), lambda x: x != "").alias(
             "_toks"
         ),
     ).localCheckpoint(eager=False)
-    wins = toked.select(
+
+
+def _span_windows(toked: DataFrame, w: int) -> DataFrame:
+    """(doc_id, start, win): every stride-1 w-word window as a string."""
+    return toked.select(
         "doc_id",
         F.posexplode(
             F.when(
@@ -561,13 +580,14 @@ def remove_duplicated_spans(
             )
         ).alias("start", "win"),
     )
-    over_limit = (
-        wins.groupBy("win")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .where(F.col("_n") > max_occurrences)
-        .select("win")
-    )
-    starts = wins.join(over_limit, "win", "left_semi").select("doc_id", "start")
+
+
+def _strip_spans(
+    toked: DataFrame, starts: DataFrame, w: int, id_col: str, out_col: str
+) -> DataFrame:
+    """Merge dup-window ``starts`` into maximal spans (islands-and-gaps),
+    drop covered tokens, rebuild text in position order. Shared tail of
+    the full and incremental span-dedup operators."""
     prev = Window.partitionBy("doc_id").orderBy("start").rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -631,3 +651,48 @@ def remove_duplicated_spans(
             F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
         )
     )
+
+
+def remove_duplicated_spans_incremental(
+    base: DataFrame,
+    new: DataFrame,
+    window_words: int = 8,
+    max_occurrences: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Incremental duplicated-span removal — the continuous-ingest form
+    of :func:`remove_duplicated_spans`: only ``new`` (today's increment)
+    is rewritten. A window in a new doc is duplicated when its exact
+    text occurs ANYWHERE in ``base`` (the already-published corpus — one
+    occurrence there suffices) or more than ``max_occurrences`` times
+    within the increment itself.
+
+    Scale contract (mirrors minhash_incremental_dedup's banded-index
+    shape): the base participates ONLY through its distinct window-value
+    set — at 100 TB that set is a precomputed, value-bucketed index that
+    the daily run semi-joins against; the base corpus itself is never
+    re-tokenized, re-shuffled, or rewritten here. The increment pays the
+    same stride-1 window cost as the full operator, but only over the
+    day's data.
+    """
+    w = int(window_words)
+    toked_new = _span_tokenize(new, text_col, id_col)
+    wins_new = _span_windows(toked_new, w)
+    base_wins = (
+        _span_windows(_span_tokenize(base, text_col, id_col), w)
+        .select("win")
+        .distinct()
+    )
+    new_over = (
+        wins_new.groupBy("win")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > max_occurrences)
+        .select("win")
+    )
+    dup_vals = base_wins.unionByName(new_over).distinct()
+    starts = wins_new.join(dup_vals, "win", "left_semi").select(
+        "doc_id", "start"
+    )
+    return _strip_spans(toked_new, starts, w, id_col, out_col)

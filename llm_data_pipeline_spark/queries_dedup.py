@@ -1049,3 +1049,102 @@ def span_dedup_rewrite(spark: SparkSession, sf_dir: str):
         F.length("clean_text").cast("long").alias("clean_len"),
         F.md5("clean_text").alias("clean_md5"),
     ).orderBy("doc_id")
+
+
+@query(
+    "span_dedup_incremental",
+    oracle=f"""
+    WITH {_INC_SQL.strip()},
+    ntk AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(regexp_replace(lower(coalesce(text,'')),
+                         '\\s+', ' ', 'g')), ' '), x -> x <> '') AS toks
+      FROM inc
+    ),
+    bwins AS (
+      SELECT DISTINCT array_to_string(toks[i+1:i+{_SPAN_W}], ' ') AS win
+      FROM tk, unnest(range(greatest(len(toks) - {_SPAN_W - 1}, 0))) t(i)
+    ),
+    nwins AS (
+      SELECT doc_id, i AS start,
+             array_to_string(toks[i+1:i+{_SPAN_W}], ' ') AS win
+      FROM ntk, unnest(range(greatest(len(toks) - {_SPAN_W - 1}, 0))) t(i)
+    ),
+    nover AS (SELECT win FROM nwins GROUP BY win HAVING count(*) > 1),
+    dup AS (SELECT win FROM bwins UNION SELECT win FROM nover),
+    starts AS (SELECT n.doc_id, n.start FROM nwins n JOIN dup USING (win)),
+    flagged AS (
+      SELECT doc_id, start,
+             max(start + {_SPAN_W}) OVER (PARTITION BY doc_id ORDER BY start
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM starts
+    ),
+    isl AS (
+      SELECT doc_id, start,
+             sum(CASE WHEN prev_end IS NULL OR start > prev_end
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY start
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM flagged
+    ),
+    spans AS (
+      SELECT doc_id, island, min(start) AS b, max(start) + {_SPAN_W} AS e
+      FROM isl GROUP BY 1, 2
+    ),
+    covered AS (
+      SELECT doc_id, b + x AS p FROM spans, unnest(range(e - b)) t(x)
+    ),
+    tokpos AS (
+      SELECT doc_id, p, toks[p+1] AS tok
+      FROM ntk, unnest(range(len(toks))) t(p)
+    ),
+    kept AS (
+      SELECT k.doc_id, k.p, k.tok FROM tokpos k
+      WHERE NOT EXISTS (SELECT 1 FROM covered c
+                        WHERE c.doc_id = k.doc_id AND c.p = k.p)
+    ),
+    rebuilt AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY p) AS clean_text
+      FROM kept GROUP BY 1
+    ),
+    nsp AS (SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY 1),
+    tot AS (SELECT doc_id, len(toks) AS n_tokens FROM ntk)
+    SELECT t.doc_id,
+           CAST(t.n_tokens AS BIGINT) AS n_tokens,
+           CAST(t.n_tokens - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
+           CAST(coalesce(n.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(length(coalesce(r.clean_text, '')) AS BIGINT) AS clean_len,
+           md5(coalesce(r.clean_text, '')) AS clean_md5
+    FROM tot t
+    LEFT JOIN rebuilt r USING (doc_id)
+    LEFT JOIN nsp n USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+    tags=("dedup", "span", "incremental", "rewrite"),
+)
+def span_dedup_incremental(spark: SparkSession, sf_dir: str):
+    """Incremental duplicated-span removal over the daily-increment model
+    (operators/dedup.py:remove_duplicated_spans_incremental): near-dup
+    re-ingests (base text minus a 2-word head) and exact re-ingests are
+    stripped to (almost) nothing because their spans live in the base at
+    ANY offset; tag-fresh docs survive except where the fresh/fresh2
+    pairs duplicate spans WITHIN the increment. Only the increment is
+    rewritten — the base contributes its distinct window-value set (the
+    precomputed index at 100 TB), never a rewrite or re-shuffle."""
+    from llm_data_pipeline_spark.operators.dedup import (
+        remove_duplicated_spans_incremental,
+    )
+
+    docs = table(spark, sf_dir, "documents", scatter=True).select("doc_id", "text")
+    inc = _increment(spark, sf_dir, scatter=True)
+    out = remove_duplicated_spans_incremental(docs, inc, window_words=_SPAN_W)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        "n_spans",
+        F.length("clean_text").cast("long").alias("clean_len"),
+        F.md5("clean_text").alias("clean_md5"),
+    ).orderBy("doc_id")

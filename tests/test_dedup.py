@@ -417,3 +417,61 @@ class TestRemoveDuplicatedSpans:
         out = remove_duplicated_spans(docs, window_words=8).collect()[0]
         assert out["n_spans"] == 2 and out["n_removed"] == 16
         assert out["clean_text"] == "intro middle outro"
+
+    def test_incremental_strips_base_and_within_increment_dups(self, spark):
+        from llm_data_pipeline_spark.operators.dedup import (
+            remove_duplicated_spans_incremental,
+        )
+
+        bp = "b1 b2 b3 b4 b5 b6 b7 b8"  # span that lives in the base
+        base = spark.createDataFrame(
+            [(0, f"intro {bp} outro words here")],
+            "doc_id long, text string",
+        )
+        shared = "s1 s2 s3 s4 s5 s6 s7 s8"  # span shared by two NEW docs
+        new = spark.createDataFrame(
+            [
+                (100, f"prefix {bp} fresh tail words"),   # dups base at offset
+                (101, f"{shared} unique alpha beta gamma"),
+                (102, f"other head {shared}"),
+                (103, "entirely novel content nothing repeats anywhere"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in remove_duplicated_spans_incremental(
+                base, new, window_words=8
+            ).collect()
+        }
+        # only increment docs come back; the base is never rewritten
+        assert set(out) == {100, 101, 102, 103}
+        # base-duplicated span stripped at its shifted offset
+        assert out[100]["clean_text"] == "prefix fresh tail words"
+        assert out[100]["n_spans"] == 1 and out[100]["n_removed"] == 8
+        # within-increment duplicate stripped from BOTH carriers
+        assert out[101]["clean_text"] == "unique alpha beta gamma"
+        assert out[102]["clean_text"] == "other head"
+        # novel doc untouched
+        assert out[103]["n_removed"] == 0 and out[103]["n_spans"] == 0
+
+    def test_incremental_single_base_occurrence_counts(self, spark):
+        # a window occurring ONCE in base + once in new is a duplicate
+        # (the base copy is already published); the plain full-corpus
+        # operator on new alone would NOT flag it
+        from llm_data_pipeline_spark.operators.dedup import (
+            remove_duplicated_spans,
+            remove_duplicated_spans_incremental,
+        )
+
+        run = "w1 w2 w3 w4 w5 w6 w7 w8"
+        base = spark.createDataFrame(
+            [(0, f"{run} base filler")], "doc_id long, text string"
+        )
+        new = spark.createDataFrame(
+            [(100, f"new head {run}")], "doc_id long, text string"
+        )
+        inc = remove_duplicated_spans_incremental(base, new).collect()[0]
+        assert inc["n_removed"] == 8 and inc["clean_text"] == "new head"
+        solo = remove_duplicated_spans(new).collect()[0]
+        assert solo["n_removed"] == 0  # no duplicate within new alone

@@ -326,3 +326,13 @@ def test_span_dedup_no_cartesian_no_python(q):
     plan = I.formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_span_dedup_incremental_no_cartesian_no_python(q):
+    """Incremental span dedup: the base contributes only a distinct
+    window-value set through an equi semi-join; no cartesian, no Python
+    UDF anywhere in the plan."""
+    df = q("span_dedup_incremental")
+    plan = I.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
