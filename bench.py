@@ -71,6 +71,45 @@ HEADLINE = [
 ]
 
 
+def _drop_persistent_rdds(spark) -> None:
+    """Deterministically free leftover lazy-localCheckpoint / persist
+    blocks from a previous pass. clearCache() only clears the SQL cache;
+    checkpoint RDD blocks otherwise wait for Python GC -> ContextCleaner,
+    and whether that lands before or inside the next timed window was the
+    dominant variance source on checkpoint-heavy dedup queries (measured:
+    steady 4.7-9.7 s noisy before, 3.8-4.0 s stable after)."""
+    for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        jrdd.unpersist(False)
+
+
+def _replicated_docs(spark, docs, r: int, nparts: int):
+    """The corpus replicated r x with per-replica word tags: each replica
+    is DISTINCT content (the '10x more data' model, not '10 copies of the
+    same documents'), replica ids offset by rep*10_000_000. Shared by the
+    dedup and DSIR scale checks."""
+    from pyspark.sql import functions as F
+
+    reps_df = spark.range(r).select(F.col("id").alias("rep"))
+    tag = F.concat(F.lit("r"), F.col("rep").cast("string"), F.lit("_"))
+    return (
+        docs.crossJoin(reps_df)
+        .select(
+            (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.split(F.coalesce("text", F.lit("")), r"\s+"),
+                    lambda w: F.concat(tag, w),
+                ),
+            ).alias("text"),
+        )
+        # sf0.01 is one tiny parquet split: without this, the whole
+        # replicated corpus lands in one partition and per-doc UDF/expr
+        # work runs on one core — measuring serialization, not scaling
+        .repartition(nparts)
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -94,15 +133,7 @@ def main() -> None:
             print(f"bench: throughput failed: {type(e).__name__}: {e}", file=sys.stderr)
 
     def drop_persistent_rdds() -> None:
-        """Deterministically free leftover lazy-localCheckpoint / persist
-        blocks from the previous pass. clearCache() only clears the SQL
-        cache; checkpoint RDD blocks otherwise wait for Python GC ->
-        ContextCleaner, and whether that lands before or inside the next
-        timed window was the dominant variance source on checkpoint-heavy
-        dedup queries (measured: steady 4.7-9.7 s noisy before, 3.8-4.0 s
-        stable after)."""
-        for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-            jrdd.unpersist(False)
+        _drop_persistent_rdds(spark)
 
     times: dict[str, float] = {}
     # Full-registry coverage: the curated HEADLINE order first (stable
@@ -309,25 +340,7 @@ def dedup_scale_check(spark, sf_dir: str, reps: int = 10) -> dict:
     nparts = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
     def replicated(r: int):
-        reps_df = spark.range(r).select(F.col("id").alias("rep"))
-        tag = F.concat(F.lit("r"), F.col("rep").cast("string"), F.lit("_"))
-        return (
-            docs.crossJoin(reps_df)
-            .select(
-                (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
-                F.concat_ws(
-                    " ",
-                    F.transform(
-                        F.split(F.coalesce("text", F.lit("")), r"\s+"),
-                        lambda w: F.concat(tag, w),
-                    ),
-                ).alias("text"),
-            )
-            # sf0.01 is one tiny parquet split: without this, the whole
-            # replicated corpus lands in one partition and the signature
-            # UDF runs on one core — measuring serialization, not scaling
-            .repartition(nparts)
-        )
+        return _replicated_docs(spark, docs, r, nparts)
 
     def run_once(r: int) -> tuple[float, int, float, int]:
         d = replicated(r)
@@ -468,6 +481,12 @@ def ann_recall(spark, sf_dir: str) -> dict:
     return out
 
 
+# planted-cluster ids must sit beyond every replica id (doc_id +
+# rep*10_000_000, rep < reps) — a 20M offset collided with rep 2's ids,
+# contaminating both the "fixed" target and the retrieval metric
+_PLANTED_OFFSET = 1_000_000_000
+
+
 def dsir_scale_check(spark, sf_dir: str, reps: int = 10) -> dict:
     """Measured scale behavior of DSIR selection: the TARGET set stays
     fixed (the real deployment shape — a small trusted corpus) while the
@@ -490,22 +509,7 @@ def dsir_scale_check(spark, sf_dir: str, reps: int = 10) -> dict:
     nparts = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
     def replicated(r: int):
-        reps_df = spark.range(r).select(F.col("id").alias("rep"))
-        tag = F.concat(F.lit("r"), F.col("rep").cast("string"), F.lit("_"))
-        return (
-            docs.crossJoin(reps_df)
-            .select(
-                (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
-                F.concat_ws(
-                    " ",
-                    F.transform(
-                        F.split(F.coalesce("text", F.lit("")), r"\s+"),
-                        lambda w: F.concat(tag, w),
-                    ),
-                ).alias("text"),
-            )
-            .repartition(nparts)
-        )
+        return _replicated_docs(spark, docs, r, nparts)
 
     def planted():
         """100 docs over a private 31-word vocabulary ("pv0".."pv30") —
@@ -513,7 +517,7 @@ def dsir_scale_check(spark, sf_dir: str, reps: int = 10) -> dict:
         draws all sources from ONE vocabulary, so nothing in it can show
         retrieval lift). Deterministic modular construction — no RNG."""
         return spark.range(100).select(
-            (F.col("id") + 20_000_000).alias("doc_id"),
+            (F.col("id") + _PLANTED_OFFSET).alias("doc_id"),
             F.concat_ws(
                 " ",
                 F.transform(
@@ -531,7 +535,7 @@ def dsir_scale_check(spark, sf_dir: str, reps: int = 10) -> dict:
         # trusted-slice shape DSIR serves; its mass is constant while the
         # raw corpus grows reps x
         target = d.where(
-            (F.col("doc_id") >= 20_000_000) & (F.col("doc_id") % 2 == 0)
+            (F.col("doc_id") >= _PLANTED_OFFSET) & (F.col("doc_id") % 2 == 0)
         )
         t0 = _time.perf_counter()
         # retrieval lift alongside time: rank everything EXCEPT the
@@ -540,15 +544,23 @@ def dsir_scale_check(spark, sf_dir: str, reps: int = 10) -> dict:
         n = (
             dsir_importance_scores(d, target)
             .where(
-                (F.col("doc_id") < 20_000_000) | (F.col("doc_id") % 2 == 1)
+                (F.col("doc_id") < _PLANTED_OFFSET) | (F.col("doc_id") % 2 == 1)
             )
             .orderBy(F.col("score_micro").desc(), F.col("doc_id"))
             .limit(50)
-            .where(F.col("doc_id") >= 20_000_000)
+            .where(F.col("doc_id") >= _PLANTED_OFFSET)
             .count()
         )
         dt = _time.perf_counter() - t0
+        # free the SQL cache AND the lazy-checkpoint blocks the scoring
+        # pass left behind — otherwise their async ContextCleaner reap
+        # can land inside the next timed window (the measured gauntlet
+        # variance trap) and skew time_ratio
         spark.catalog.clearCache()
+        _drop_persistent_rdds(spark)
+        import gc
+
+        gc.collect()
         return dt, n
 
     run_once(1)  # warmup

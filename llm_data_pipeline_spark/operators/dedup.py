@@ -554,15 +554,24 @@ def remove_duplicated_spans(
     return _strip_spans(toked, starts, w, id_col, out_col)
 
 
-def _span_tokenize(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(doc_id, _toks) with a lazy checkpoint — the token arrays feed
-    both the window pass and the positional rebuild."""
-    return df.select(
+def _span_tokenize(
+    df: DataFrame, text_col: str, id_col: str, checkpoint: bool = True
+) -> DataFrame:
+    """(doc_id, _toks); text is null-coalesced so null rows behave like
+    empty docs (n_tokens 0, not NULL). ``checkpoint`` adds the lazy
+    localCheckpoint for the dual-consumer case (window pass + positional
+    rebuild); pass False when the tokenization is consumed once (the
+    base side of the incremental operator) — materializing a corpus-
+    sized token copy for zero reuse is the repo's measured checkpoint
+    anti-pattern."""
+    out = df.select(
         F.col(id_col).alias("doc_id"),
-        F.filter(F.split(norm_ws(F.col(text_col)), " "), lambda x: x != "").alias(
-            "_toks"
-        ),
-    ).localCheckpoint(eager=False)
+        F.filter(
+            F.split(norm_ws(F.coalesce(F.col(text_col), F.lit(""))), " "),
+            lambda x: x != "",
+        ).alias("_toks"),
+    )
+    return out.localCheckpoint(eager=False) if checkpoint else out
 
 
 def _span_windows(toked: DataFrame, w: int) -> DataFrame:
@@ -681,7 +690,7 @@ def remove_duplicated_spans_incremental(
     toked_new = _span_tokenize(new, text_col, id_col)
     wins_new = _span_windows(toked_new, w)
     base_wins = (
-        _span_windows(_span_tokenize(base, text_col, id_col), w)
+        _span_windows(_span_tokenize(base, text_col, id_col, checkpoint=False), w)
         .select("win")
         .distinct()
     )

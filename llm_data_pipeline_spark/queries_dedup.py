@@ -940,6 +940,73 @@ _PAD_SQL = (
 )
 
 
+# islands-and-gaps merge + positional rebuild — the shared oracle tail of
+# both span-dedup queries ({src} = the (doc_id, toks) CTE of the docs
+# being rewritten; the Spark twin is operators/dedup.py::_strip_spans)
+_SPAN_TAIL_SQL = """
+    flagged AS (
+      SELECT doc_id, start,
+             max(start + {w}) OVER (PARTITION BY doc_id ORDER BY start
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM starts
+    ),
+    isl AS (
+      SELECT doc_id, start,
+             sum(CASE WHEN prev_end IS NULL OR start > prev_end
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY start
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM flagged
+    ),
+    spans AS (
+      SELECT doc_id, island, min(start) AS b, max(start) + {w} AS e
+      FROM isl GROUP BY 1, 2
+    ),
+    covered AS (
+      SELECT doc_id, b + x AS p FROM spans, unnest(range(e - b)) t(x)
+    ),
+    tokpos AS (
+      SELECT doc_id, p, toks[p+1] AS tok
+      FROM {src}, unnest(range(len(toks))) t(p)
+    ),
+    kept AS (
+      SELECT k.doc_id, k.p, k.tok FROM tokpos k
+      WHERE NOT EXISTS (SELECT 1 FROM covered c
+                        WHERE c.doc_id = k.doc_id AND c.p = k.p)
+    ),
+    rebuilt AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY p) AS clean_text
+      FROM kept GROUP BY 1
+    ),
+    nsp AS (SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY 1),
+    tot AS (SELECT doc_id, len(toks) AS n_tokens FROM {src})
+    SELECT t.doc_id,
+           CAST(t.n_tokens AS BIGINT) AS n_tokens,
+           CAST(t.n_tokens - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
+           CAST(coalesce(n.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(length(coalesce(r.clean_text, '')) AS BIGINT) AS clean_len,
+           md5(coalesce(r.clean_text, '')) AS clean_md5
+    FROM tot t
+    LEFT JOIN rebuilt r USING (doc_id)
+    LEFT JOIN nsp n USING (doc_id)
+    ORDER BY t.doc_id
+"""
+
+
+def _span_report(out):
+    """Shared graded-output shape of the two span-dedup queries."""
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        "n_spans",
+        F.length("clean_text").cast("long").alias("clean_len"),
+        F.md5("clean_text").alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
 @query(
     "span_dedup_rewrite",
     oracle=f"""
@@ -963,54 +1030,7 @@ _PAD_SQL = (
     starts AS (
       SELECT w.doc_id, w.start FROM wins w JOIN over_limit o USING (win)
     ),
-    flagged AS (
-      SELECT doc_id, start,
-             max(start + {_SPAN_W}) OVER (PARTITION BY doc_id ORDER BY start
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
-      FROM starts
-    ),
-    isl AS (
-      SELECT doc_id, start,
-             sum(CASE WHEN prev_end IS NULL OR start > prev_end
-                      THEN 1 ELSE 0 END)
-               OVER (PARTITION BY doc_id ORDER BY start
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS island
-      FROM flagged
-    ),
-    spans AS (
-      SELECT doc_id, island, min(start) AS b, max(start) + {_SPAN_W} AS e
-      FROM isl GROUP BY 1, 2
-    ),
-    covered AS (
-      SELECT doc_id, b + x AS p FROM spans, unnest(range(e - b)) t(x)
-    ),
-    tokpos AS (
-      SELECT doc_id, p, toks[p+1] AS tok
-      FROM toks, unnest(range(len(toks))) t(p)
-    ),
-    kept AS (
-      SELECT k.doc_id, k.p, k.tok FROM tokpos k
-      WHERE NOT EXISTS (SELECT 1 FROM covered c
-                        WHERE c.doc_id = k.doc_id AND c.p = k.p)
-    ),
-    rebuilt AS (
-      SELECT doc_id, count(*) AS n_kept,
-             string_agg(tok, ' ' ORDER BY p) AS clean_text
-      FROM kept GROUP BY 1
-    ),
-    nsp AS (SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY 1),
-    tot AS (SELECT doc_id, len(toks) AS n_tokens FROM toks)
-    SELECT t.doc_id,
-           CAST(t.n_tokens AS BIGINT) AS n_tokens,
-           CAST(t.n_tokens - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
-           CAST(coalesce(n.n_spans, 0) AS BIGINT) AS n_spans,
-           CAST(length(coalesce(r.clean_text, '')) AS BIGINT) AS clean_len,
-           md5(coalesce(r.clean_text, '')) AS clean_md5
-    FROM tot t
-    LEFT JOIN rebuilt r USING (doc_id)
-    LEFT JOIN nsp n USING (doc_id)
-    ORDER BY t.doc_id
+    {_SPAN_TAIL_SQL.format(w=_SPAN_W, src="toks").strip()}
     """,
     tags=("dedup", "span", "rewrite", "boilerplate"),
 )
@@ -1041,14 +1061,7 @@ def span_dedup_rewrite(spark: SparkSession, sf_dir: str):
         ).alias("text"),
     )
     out = remove_duplicated_spans(src, window_words=_SPAN_W)
-    return out.select(
-        "doc_id",
-        "n_tokens",
-        "n_removed",
-        "n_spans",
-        F.length("clean_text").cast("long").alias("clean_len"),
-        F.md5("clean_text").alias("clean_md5"),
-    ).orderBy("doc_id")
+    return _span_report(out)
 
 
 @query(
@@ -1073,54 +1086,7 @@ def span_dedup_rewrite(spark: SparkSession, sf_dir: str):
     nover AS (SELECT win FROM nwins GROUP BY win HAVING count(*) > 1),
     dup AS (SELECT win FROM bwins UNION SELECT win FROM nover),
     starts AS (SELECT n.doc_id, n.start FROM nwins n JOIN dup USING (win)),
-    flagged AS (
-      SELECT doc_id, start,
-             max(start + {_SPAN_W}) OVER (PARTITION BY doc_id ORDER BY start
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
-      FROM starts
-    ),
-    isl AS (
-      SELECT doc_id, start,
-             sum(CASE WHEN prev_end IS NULL OR start > prev_end
-                      THEN 1 ELSE 0 END)
-               OVER (PARTITION BY doc_id ORDER BY start
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS island
-      FROM flagged
-    ),
-    spans AS (
-      SELECT doc_id, island, min(start) AS b, max(start) + {_SPAN_W} AS e
-      FROM isl GROUP BY 1, 2
-    ),
-    covered AS (
-      SELECT doc_id, b + x AS p FROM spans, unnest(range(e - b)) t(x)
-    ),
-    tokpos AS (
-      SELECT doc_id, p, toks[p+1] AS tok
-      FROM ntk, unnest(range(len(toks))) t(p)
-    ),
-    kept AS (
-      SELECT k.doc_id, k.p, k.tok FROM tokpos k
-      WHERE NOT EXISTS (SELECT 1 FROM covered c
-                        WHERE c.doc_id = k.doc_id AND c.p = k.p)
-    ),
-    rebuilt AS (
-      SELECT doc_id, count(*) AS n_kept,
-             string_agg(tok, ' ' ORDER BY p) AS clean_text
-      FROM kept GROUP BY 1
-    ),
-    nsp AS (SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY 1),
-    tot AS (SELECT doc_id, len(toks) AS n_tokens FROM ntk)
-    SELECT t.doc_id,
-           CAST(t.n_tokens AS BIGINT) AS n_tokens,
-           CAST(t.n_tokens - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
-           CAST(coalesce(n.n_spans, 0) AS BIGINT) AS n_spans,
-           CAST(length(coalesce(r.clean_text, '')) AS BIGINT) AS clean_len,
-           md5(coalesce(r.clean_text, '')) AS clean_md5
-    FROM tot t
-    LEFT JOIN rebuilt r USING (doc_id)
-    LEFT JOIN nsp n USING (doc_id)
-    ORDER BY t.doc_id
+    {_SPAN_TAIL_SQL.format(w=_SPAN_W, src="ntk").strip()}
     """,
     tags=("dedup", "span", "incremental", "rewrite"),
 )
@@ -1140,11 +1106,4 @@ def span_dedup_incremental(spark: SparkSession, sf_dir: str):
     docs = table(spark, sf_dir, "documents", scatter=True).select("doc_id", "text")
     inc = _increment(spark, sf_dir, scatter=True)
     out = remove_duplicated_spans_incremental(docs, inc, window_words=_SPAN_W)
-    return out.select(
-        "doc_id",
-        "n_tokens",
-        "n_removed",
-        "n_spans",
-        F.length("clean_text").cast("long").alias("clean_len"),
-        F.md5("clean_text").alias("clean_md5"),
-    ).orderBy("doc_id")
+    return _span_report(out)

@@ -475,3 +475,25 @@ class TestRemoveDuplicatedSpans:
         assert inc["n_removed"] == 8 and inc["clean_text"] == "new head"
         solo = remove_duplicated_spans(new).collect()[0]
         assert solo["n_removed"] == 0  # no duplicate within new alone
+
+    def test_null_text_behaves_like_empty(self, spark):
+        from llm_data_pipeline_spark.operators.dedup import (
+            remove_duplicated_spans,
+            remove_duplicated_spans_incremental,
+        )
+
+        docs = spark.createDataFrame(
+            [(0, "alpha beta gamma"), (1, None)], "doc_id long, text string"
+        )
+        out = {
+            r["doc_id"]: r for r in remove_duplicated_spans(docs).collect()
+        }
+        assert out[1]["n_tokens"] == 0 and out[1]["n_removed"] == 0
+        assert out[1]["n_spans"] == 0 and out[1]["clean_text"] == ""
+        inc = {
+            r["doc_id"]: r
+            for r in remove_duplicated_spans_incremental(
+                docs.where("doc_id = 0"), docs.where("doc_id = 1")
+            ).collect()
+        }
+        assert inc[1]["n_tokens"] == 0 and inc[1]["n_removed"] == 0
