@@ -186,3 +186,79 @@ def test_dsir_empty_doc_is_neutral(spark):
     assert out[1]["score_micro"] == 0 and out[1]["n_feats"] == 0
     assert out[2]["score_micro"] == 0 and out[2]["n_feats"] == 0
     assert out[0]["score_micro"] > 0
+
+
+def test_dsir_scores_match_bruteforce_reference(spark):
+    """Seeded random corpora checked against an independent pure-Python
+    re-implementation of the whole DSIR weight chain: md5-hash60
+    bucketing, add-one smoothing over target/raw totals, micro-unit
+    quantization (HALF_UP like Spark's round), exact int64 sums."""
+    import hashlib
+    import math
+    import random
+
+    from llm_data_pipeline_spark.operators.dsir import (
+        DEFAULT_BUCKETS,
+        DEFAULT_SALT,
+        dsir_importance_scores,
+    )
+
+    def bucket(feat: str) -> int:
+        h = int(hashlib.md5((DEFAULT_SALT + feat).encode()).hexdigest()[:15], 16)
+        return h % DEFAULT_BUCKETS
+
+    def round_half_up(x: float) -> int:
+        return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+    def ref_scores(docs, target_ids):
+        feats = {}
+        for i, t in docs:
+            toks = t.lower().split()
+            fs = list(toks) + [
+                f"{a} {b}" for a, b in zip(toks, toks[1:])
+            ]
+            counts: dict[int, int] = {}
+            for f in fs:
+                b = bucket(f)
+                counts[b] = counts.get(b, 0) + 1
+            feats[i] = counts
+        raw: dict[int, int] = {}
+        tgt: dict[int, int] = {}
+        for i, c in feats.items():
+            for b, n in c.items():
+                raw[b] = raw.get(b, 0) + n
+                if i in target_ids:
+                    tgt[b] = tgt.get(b, 0) + n
+        tr, tt = sum(raw.values()), sum(tgt.values())
+        B = float(DEFAULT_BUCKETS)
+        lr = {
+            b: round_half_up(
+                math.log(
+                    ((tgt.get(b, 0) + 1) * (tr + B))
+                    / ((raw[b] + 1) * (tt + B))
+                )
+                * 1e6
+            )
+            for b in raw
+        }
+        return {
+            i: sum(n * lr[b] for b, n in c.items()) for i, c in feats.items()
+        }
+
+    VOCAB = ["red", "blue", "green", "iron", "gold", "salt", "wave", "moon"]
+    for seed in (0, 1):
+        rng = random.Random(seed)
+        docs = [
+            (i, " ".join(rng.choice(VOCAB) for _ in range(rng.randrange(1, 12))))
+            for i in range(20)
+        ]
+        target_ids = {0, 1, 2, 3, 4}
+        exp = ref_scores(docs, target_ids)
+        sdf = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r["score_micro"]
+            for r in dsir_importance_scores(
+                sdf, sdf.where("doc_id < 5").select("doc_id", "text")
+            ).collect()
+        }
+        assert got == exp, f"seed={seed}"

@@ -497,3 +497,89 @@ class TestRemoveDuplicatedSpans:
             ).collect()
         }
         assert inc[1]["n_tokens"] == 0 and inc[1]["n_removed"] == 0
+
+    def test_matches_bruteforce_reference_on_random_corpora(self, spark):
+        """Seeded random corpora from a tiny vocabulary (dense window
+        collisions) checked against an independent pure-Python
+        re-implementation — every output column, including the rebuilt
+        text, across full and incremental forms."""
+        import random
+
+        from llm_data_pipeline_spark.operators.dedup import (
+            remove_duplicated_spans,
+            remove_duplicated_spans_incremental,
+        )
+
+        VOCAB = ["ax", "bo", "cu", "de", "ef", "gi"]
+        W = 3
+
+        def ref_full(doc_toks, base_win_counts=None, max_occ=1):
+            wins: dict[str, int] = {}
+            for ts in doc_toks.values():
+                for s in range(max(len(ts) - W + 1, 0)):
+                    v = " ".join(ts[s : s + W])
+                    wins[v] = wins.get(v, 0) + 1
+            out = {}
+            for i, ts in doc_toks.items():
+                starts = []
+                for s in range(max(len(ts) - W + 1, 0)):
+                    v = " ".join(ts[s : s + W])
+                    dup = wins[v] > max_occ or (
+                        base_win_counts is not None and v in base_win_counts
+                    )
+                    if dup:
+                        starts.append(s)
+                spans = []
+                for s in starts:
+                    if spans and s <= spans[-1][1]:
+                        spans[-1][1] = max(spans[-1][1], s + W)
+                    else:
+                        spans.append([s, s + W])
+                covered = set()
+                for b, e in spans:
+                    covered.update(range(b, e))
+                kept = [t for p, t in enumerate(ts) if p not in covered]
+                out[i] = (
+                    len(ts),
+                    len(ts) - len(kept),
+                    len(spans),
+                    " ".join(kept),
+                )
+            return out
+
+        for seed in (0, 1, 2):
+            rng = random.Random(seed)
+            docs = [
+                (i, " ".join(rng.choice(VOCAB) for _ in range(rng.randrange(16))))
+                for i in range(30)
+            ]
+            toks = {i: t.split() for i, t in docs}
+            exp = ref_full(toks)
+            sdf = spark.createDataFrame(docs, "doc_id long, text string")
+            got = {
+                r["doc_id"]: (
+                    r["n_tokens"], r["n_removed"], r["n_spans"], r["clean_text"]
+                )
+                for r in remove_duplicated_spans(sdf, window_words=W).collect()
+            }
+            assert got == exp, f"full mismatch seed={seed}"
+
+            # incremental: docs 0..14 are the base, 15..29 the increment
+            base = {i: toks[i] for i in range(15)}
+            new = {i: toks[i] for i in range(15, 30)}
+            base_wins = set()
+            for ts in base.values():
+                for s in range(max(len(ts) - W + 1, 0)):
+                    base_wins.add(" ".join(ts[s : s + W]))
+            exp_inc = ref_full(new, base_win_counts=base_wins)
+            got_inc = {
+                r["doc_id"]: (
+                    r["n_tokens"], r["n_removed"], r["n_spans"], r["clean_text"]
+                )
+                for r in remove_duplicated_spans_incremental(
+                    sdf.where("doc_id < 15"),
+                    sdf.where("doc_id >= 15"),
+                    window_words=W,
+                ).collect()
+            }
+            assert got_inc == exp_inc, f"incremental mismatch seed={seed}"
