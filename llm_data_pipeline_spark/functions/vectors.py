@@ -94,9 +94,12 @@ def cosine_arrow(a: Column, b: Column) -> Column:
             s = np.zeros(len(ix), dtype=np.float64)
             s[ok] = dot_[ok] / (na[ok] * nb[ok])
             out[ix] = s
-        res = pd.Series(out)
-        if is_null.any():
-            res[is_null] = None
-        return res
+        # explicitly-masked Float64 result: in a plain float64 Series
+        # Arrow folds EVERY NaN to SQL NULL (and pd.array() also
+        # reinterprets NaN as NA at construction), so a genuine computed
+        # NaN — overflowing inputs -> inf/inf — would diverge from the
+        # native fold, which yields NaN. The mask alone carries intended
+        # NULLs; NaN stays a value.
+        return pd.Series(pd.arrays.FloatingArray(out, mask=is_null))
 
     return _cos(a, b)

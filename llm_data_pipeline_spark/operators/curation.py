@@ -256,8 +256,14 @@ def temperature_mixture(
     u = portable_hash60(
         F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))
     ) / F.lit(float(1 << 60))
+    # null-safe equality: groupBy puts NULL-source docs in their own
+    # probability row, but a plain equi-join would never match it back
+    # (NULL != NULL) and silently DROP untagged docs from the mixture
     return (
-        df.join(F.broadcast(probs), source_col)
+        df.join(
+            F.broadcast(probs.withColumnRenamed(source_col, "_mix_src")),
+            F.col(source_col).eqNullSafe(F.col("_mix_src")),
+        )
         .where(u < F.col("_p"))
-        .drop("_p")
+        .drop("_p", "_mix_src")
     )

@@ -139,14 +139,20 @@ def train_nb(
     )
     classes = (
         priors.crossJoin(n_total)
-        .join(totals, "label")
+        # LEFT join: a class whose training docs are all shorter than n
+        # characters has no grams but still has a prior — an inner join
+        # would silently delete it from the model (its smoothing term is
+        # ln(0 + V), the correct multinomial-NB value for T=0)
+        .join(totals, "label", "left")
         .crossJoin(vocab)
         .select(
             "label",
             F.round(F.log(F.col("n_docs") / F.col("n_all")) * MICRO)
             .cast("long")
             .alias("prior_micro"),
-            F.round(F.log(F.col("t") + F.col("v")) * MICRO)
+            F.round(
+                F.log(F.coalesce(F.col("t"), F.lit(0)) + F.col("v")) * MICRO
+            )
             .cast("long")
             .alias("lntv_micro"),
         )
@@ -160,20 +166,33 @@ def nb_predict(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    broadcast_model: bool = True,
 ) -> DataFrame:
-    """(doc_id, pred_label, score_micro) — argmax class per document."""
+    """(doc_id, pred_label, score_micro) — argmax class per document.
+
+    ``broadcast_model`` controls the join hint on the gram-weight table.
+    The hint is needed because the model rides a localCheckpoint (its
+    aggregate stats are lost, so auto-broadcast can't see it is small —
+    the measured checkpoint-stats trap); keep it True for any realistic
+    vocabulary, pass False at a vocabulary too large to broadcast so
+    Spark plans the shuffle equi-join instead (the module contract)."""
     docs = test.select(F.col(id_col).alias("doc_id"), text_col)
     grams = _doc_grams(docs, text_col, "doc_id", n)
     # Per-doc gram count is just len - (n-1), clamped — no second explode
-    # pass over the corpus for a number the row already knows.
+    # pass over the corpus for a number the row already knows. The length
+    # must be taken over the LOWERED text (grams are extracted from it,
+    # and Unicode case expansion — e.g. U+0130 lowering to two code
+    # points — changes the count).
     g_counts = docs.select(
         "doc_id",
         F.greatest(
-            F.length(F.col(text_col)) - F.lit(n - 1), F.lit(0)
+            F.length(F.lower(F.col(text_col))) - F.lit(n - 1), F.lit(0)
         ).alias("g"),
     )
+    mg = F.broadcast(model["grams"]) if broadcast_model else model["grams"]
+    mc = F.broadcast(model["classes"]) if broadcast_model else model["classes"]
     seen = (
-        grams.join(F.broadcast(model["grams"]), "gram")
+        grams.join(mg, "gram")
         .groupBy("doc_id", "label")
         .agg(F.sum("lw_micro").alias("seen_micro"))
     )
@@ -181,7 +200,7 @@ def nb_predict(
         docs.select("doc_id")
         .join(g_counts, "doc_id", "left")
         .na.fill({"g": 0})
-        .crossJoin(F.broadcast(model["classes"]))
+        .crossJoin(mc)
         .join(seen, ["doc_id", "label"], "left")
         .na.fill({"seen_micro": 0})
         .select(

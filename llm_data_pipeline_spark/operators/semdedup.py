@@ -56,26 +56,22 @@ def assign_clusters(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Nearest-centroid assignment by rounded cosine (ties: lowest
-    list_id) — same convention as similarity.py:_best_lists but keeps
-    the centroid similarity, which SemDeDup's keep-rule needs.
+    list_id) — DELEGATES to similarity.py:_best_lists (keeping the
+    centroid similarity, which SemDeDup's keep-rule needs) so the
+    tie/rounding convention has exactly one implementation.
 
     Returns (id_col, vec_col, list_id, centroid_sim).
     """
-    scored = corpus.join(F.broadcast(centroids)).select(
+    from llm_data_pipeline_spark.operators.similarity import _best_lists
+
+    return _best_lists(
+        corpus,
+        centroids,
         id_col,
         vec_col,
-        "list_id",
-        F.round(cosine_arrow(F.col(vec_col), F.col("cvec")), 6).alias(
-            "centroid_sim"
-        ),
-    )
-    w = Window.partitionBy(id_col).orderBy(
-        F.desc("centroid_sim"), F.asc("list_id")
-    )
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
+        1,
+        keep_score="centroid_sim",
+        carry=(vec_col,),
     )
 
 
@@ -185,25 +181,42 @@ def semantic_dedup_groups(
 
 
 def _cluster_gemm_pairs(pdf, thr: float):
-    """Candidate (u, v) pairs of ONE cluster's members via a single
-    normalized BLAS GEMM (the paper's own per-cluster matrix multiply)."""
+    """Candidate (u, v) pairs of ONE cluster's members via normalized
+    BLAS GEMMs (the paper's own per-cluster matrix multiply).
+
+    Rows are grouped by vector DIMENSION, and null vectors are skipped:
+    the exact fold path scores a null or dimension-mismatched pair 0.0,
+    so with the operator's (enforced) positive threshold such pairs can
+    never qualify — degrading exactly like ``cluster_pairs`` instead of
+    crashing numpy on an inhomogeneous array."""
     import numpy as np
     import pandas as pd
 
-    ids = pdf["_id"].to_numpy(dtype=np.int64)
-    m = np.array(list(pdf["_v"]), dtype=np.float64)
-    if len(ids) < 2:
-        return pd.DataFrame({"u": [], "v": []}).astype(
-            {"u": "int64", "v": "int64"}
-        )
-    norms = np.linalg.norm(m, axis=1)
-    norms[norms == 0] = 1.0
-    sims = (m / norms[:, None]) @ (m / norms[:, None]).T
-    lo = ids[:, None] < ids[None, :]
-    hits = np.argwhere((sims >= thr) & lo)
-    return pd.DataFrame(
-        {"u": ids[hits[:, 0]], "v": ids[hits[:, 1]]}
-    ).astype({"u": "int64", "v": "int64"})
+    ids_all = pdf["_id"].to_numpy(dtype=np.int64)
+    vecs = pdf["_v"]
+    by_dim: dict[int, list[int]] = {}
+    for idx in range(len(vecs)):
+        v = vecs.iloc[idx]
+        if v is None:
+            continue
+        by_dim.setdefault(len(v), []).append(idx)
+    us: list = []
+    vs: list = []
+    for idxs in by_dim.values():
+        if len(idxs) < 2:
+            continue
+        ids = ids_all[idxs]
+        m = np.array([vecs.iloc[i] for i in idxs], dtype=np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (m / norms[:, None]) @ (m / norms[:, None]).T
+        lo = ids[:, None] < ids[None, :]
+        hits = np.argwhere((sims >= thr) & lo)
+        us.extend(ids[hits[:, 0]])
+        vs.extend(ids[hits[:, 1]])
+    return pd.DataFrame({"u": us, "v": vs}).astype(
+        {"u": "int64", "v": "int64"}
+    )
 
 
 def cluster_pairs_gemm(
@@ -227,6 +240,13 @@ def cluster_pairs_gemm(
     from llm_data_pipeline_spark.functions.vectors import to_double
 
     thr = threshold - margin
+    if thr <= 0:
+        raise ValueError(
+            "cluster_pairs_gemm requires threshold - margin > 0: the GEMM "
+            "stage skips null/dimension-mismatched rows on the guarantee "
+            "that their exact fold score (0.0) cannot reach the threshold; "
+            "use cluster_pairs for non-positive thresholds"
+        )
     tagged = assigned.select(
         F.col(id_col).alias("_id"),
         to_double(F.col(vec_col)).alias("_v"),

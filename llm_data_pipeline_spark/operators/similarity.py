@@ -64,22 +64,35 @@ def brute_force_topk(
 
 
 def _best_lists(
-    df: DataFrame, cents: DataFrame, ident: str, vcol: str, n: int
+    df: DataFrame,
+    cents: DataFrame,
+    ident: str,
+    vcol: str,
+    n: int,
+    keep_score: str | None = None,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Top-n codebook lists per row by rounded cosine (ties: lowest
-    list_id) — the single assignment/probing helper shared by IVF-Flat
-    and IVF-PQ so the tie/rounding rule can never diverge between them."""
+    list_id) — the SINGLE assignment/probing helper shared by IVF-Flat,
+    IVF-PQ and SemDeDup assignment, so the tie/rounding rule can never
+    diverge between them. ``keep_score`` additionally returns the rounded
+    cosine under that name (SemDeDup's keep-rule needs it); ``carry``
+    passes columns of ``df`` through unchanged."""
     scored = df.join(F.broadcast(cents)).select(
         ident,
+        *carry,
         "list_id",
         F.round(cosine_arrow(F.col(vcol), F.col("cvec")), 6).alias("_ls"),
     )
     w = Window.partitionBy(ident).orderBy(F.desc("_ls"), F.asc("list_id"))
-    return (
+    out = (
         scored.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= n)
-        .select(ident, "list_id")
     )
+    cols = [ident, *carry, "list_id"]
+    if keep_score is not None:
+        cols.append(F.col("_ls").alias(keep_score))
+    return out.select(*cols)
 
 
 def _sample_vectors(

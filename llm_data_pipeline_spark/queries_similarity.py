@@ -15,6 +15,7 @@ from pyspark.sql.window import Window
 
 from llm_data_pipeline_spark.data.codebooks import (
     IVF_CODEBOOK,
+    ivf_codebook_df,
     PQ_CODEBOOK,
     PQ_RESIDUAL_CODEBOOK,
 )
@@ -401,10 +402,7 @@ def embedding_ivf_flat_topk(spark: SparkSession, sf_dir: str):
     queries = emb.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    cents = spark.createDataFrame(
-        [(i, [float(x) for x in v]) for i, v in enumerate(IVF_CODEBOOK)],
-        "list_id long, cvec array<double>",
-    )
+    cents = ivf_codebook_df(spark)
     return (
         ivf_flat_topk(emb, queries, k=10, n_lists=16, n_probe=4,
                       centroids=cents)
@@ -702,10 +700,7 @@ def semantic_dedup_kept(spark: SparkSession, sf_dir: str):
     from llm_data_pipeline_spark.operators.semdedup import semantic_dedup
 
     emb = table(spark, sf_dir, "embeddings", scatter=True)
-    cents = spark.createDataFrame(
-        [(i, [float(x) for x in v]) for i, v in enumerate(IVF_CODEBOOK)],
-        "list_id long, cvec array<double>",
-    )
+    cents = ivf_codebook_df(spark)
     return (
         semantic_dedup(emb, cents, threshold=0.3)
         .select("vec_id", F.col("list_id").cast("long").alias("list_id"),
@@ -769,10 +764,7 @@ def semantic_dedup_groups_q(spark: SparkSession, sf_dir: str):
     )
 
     emb = table(spark, sf_dir, "embeddings", scatter=True)
-    cents = spark.createDataFrame(
-        [(i, [float(x) for x in v]) for i, v in enumerate(IVF_CODEBOOK)],
-        "list_id long, cvec array<double>",
-    )
+    cents = ivf_codebook_df(spark)
     return (
         semantic_dedup_groups(emb, cents, threshold=0.3)
         .select("vec_id", "component", "centroid_sim", "kept")
@@ -1019,10 +1011,7 @@ def semantic_dedup_incremental_q(spark: SparkSession, sf_dir: str):
             )
         )
     )
-    cents = spark.createDataFrame(
-        [(i, [float(x) for x in v]) for i, v in enumerate(IVF_CODEBOOK)],
-        "list_id long, cvec array<double>",
-    )
+    cents = ivf_codebook_df(spark)
     return (
         semantic_dedup_incremental(emb, inc, cents, threshold=0.3)
         .select("vec_id", F.col("list_id").cast("long").alias("list_id"),

@@ -262,3 +262,21 @@ def test_dsir_scores_match_bruteforce_reference(spark):
             ).collect()
         }
         assert got == exp, f"seed={seed}"
+
+
+def test_temperature_mixture_null_source_not_dropped(spark):
+    """Docs whose provenance tag is NULL form their own stratum — a
+    plain equi-join would silently delete them from the mixture."""
+    from pyspark.sql import Row
+
+    from llm_data_pipeline_spark.operators.curation import temperature_mixture
+
+    rows = [Row(doc_id=i, source="a", n_chars=100) for i in range(40)] + [
+        Row(doc_id=100 + i, source=None, n_chars=100) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows)
+    kept = temperature_mixture(df, budget_frac=0.5, alpha=0.5).collect()
+    n_null = sum(1 for r in kept if r.source is None)
+    n_a = sum(1 for r in kept if r.source == "a")
+    # equal-mass strata -> equal keep probability; both must be sampled
+    assert n_null > 0 and n_a > 0

@@ -66,14 +66,11 @@ def test_no_kept_pair_above_threshold(spark, sf_dir):
     """Every >=threshold same-cluster pair loses exactly one member, so
     the kept set can never contain such a pair — checked brute-force on
     the real sf0.001 embeddings with the trained codebook."""
-    from llm_data_pipeline_spark.data.codebooks import IVF_CODEBOOK
+    from llm_data_pipeline_spark.data.codebooks import ivf_codebook_df
     from llm_data_pipeline_spark.queries import table
 
     emb = table(spark, sf_dir, "embeddings")
-    cents = spark.createDataFrame(
-        [(i, [float(x) for x in v]) for i, v in enumerate(IVF_CODEBOOK)],
-        "list_id long, cvec array<double>",
-    )
+    cents = ivf_codebook_df(spark)
     thr = 0.3
     kept = semantic_dedup(emb, cents, threshold=thr).collect()
     vecs = {r.vec_id: r.embedding for r in emb.collect()}
@@ -118,7 +115,7 @@ def test_group_variant_keeps_one_per_chain(spark):
 def test_gemm_pairs_bit_identical_to_fold_path(spark, sf_dir):
     """cluster_pairs_gemm must emit exactly the pairs and scores of the
     interpreted fold path (the blocked-GEMM lossless-margin contract)."""
-    from llm_data_pipeline_spark.data.codebooks import IVF_CODEBOOK
+    from llm_data_pipeline_spark.data.codebooks import ivf_codebook_df
     from llm_data_pipeline_spark.operators.semdedup import (
         assign_clusters,
         cluster_pairs,
@@ -127,10 +124,7 @@ def test_gemm_pairs_bit_identical_to_fold_path(spark, sf_dir):
     from llm_data_pipeline_spark.queries import table
 
     emb = table(spark, sf_dir, "embeddings")
-    cents = spark.createDataFrame(
-        [(i, [float(x) for x in v]) for i, v in enumerate(IVF_CODEBOOK)],
-        "list_id long, cvec array<double>",
-    )
+    cents = ivf_codebook_df(spark)
     assigned = assign_clusters(emb, cents)
     cols = ["_ua", "_ca", "_ub", "_cb", "_psim"]
     plain = sorted(tuple(r[c] for c in cols)
@@ -171,3 +165,38 @@ def test_incremental_base_wins_and_new_dominance(spark):
     assert kept == [101, 103]
     # base rows are never in the output
     assert 0 not in kept
+
+
+def test_gemm_path_survives_null_and_mixed_dim_rows(spark):
+    """One bad row (null embedding, or a vector of the wrong dimension)
+    must degrade like the fold path (pair score 0.0 -> not a duplicate),
+    not crash the numpy GEMM on an inhomogeneous array."""
+    from llm_data_pipeline_spark.operators.semdedup import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.1]),
+        (1, [1.0, 0.11]),   # near-dup of 0
+        (2, None),          # null embedding
+        (3, [0.5, 0.5, 0.5]),  # wrong dimension
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "list_id long, cvec array<double>"
+    )
+    fold = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(df, cents, threshold=0.9, use_gemm=False).collect()
+    )
+    gemm = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(df, cents, threshold=0.9, use_gemm=True).collect()
+    )
+    assert fold == gemm
+    assert 2 in gemm and 3 in gemm  # degenerate rows kept, never paired
+
+    import pytest
+
+    from llm_data_pipeline_spark.operators.semdedup import cluster_pairs_gemm
+
+    with pytest.raises(ValueError):
+        cluster_pairs_gemm(df.withColumn("list_id", df.vec_id * 0), 0.0)

@@ -269,6 +269,7 @@ def test_cosine_arrow_bit_identical_to_fold(spark, sf_dir):
             (5, [0.0, 0.0], [1.0]),
             (6, [1.0, 2.0], [3.0, 4.0]),
             (7, [1.0, 2.0, 3.0], [4.0, 5.0, 6.0]),
+            (8, [1e308, 1e308], [1e308, -1e308]),  # overflow -> NaN, not NULL
         ],
         "i long, x array<double>, y array<double>",
     )
@@ -280,5 +281,15 @@ def test_cosine_arrow_bit_identical_to_fold(spark, sf_dir):
             cosine_arrow(F.col("x"), F.col("y")).alias("u"),
         ).collect()
     }
-    assert all(n == u for n, u in got.values()), got
+    import math
+
+    def same(n, u):
+        if n is None or u is None:
+            return n is None and u is None
+        return n == u or (math.isnan(n) and math.isnan(u))
+
+    assert all(same(n, u) for n, u in got.values()), got
     assert got[4] == (None, None), got  # NULL parity on mismatch
+    # a genuine computed NaN must survive Arrow serialization as NaN
+    # (a plain float64 Series would fold it to SQL NULL)
+    assert math.isnan(got[8][0]) and math.isnan(got[8][1]), got
