@@ -220,6 +220,235 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# cross-source duplication governance matrix
+# ---------------------------------------------------------------------------
+
+_MIRROR_OFFSET = 600_000
+
+
+@query(
+    "source_overlap_matrix",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT source, trim(regexp_replace(lower(coalesce(text,'')), '\\s+', ' ', 'g'))
+               AS norm
+      FROM documents
+      UNION ALL
+      SELECT 'src' || ((doc_id + 3) % 20)::VARCHAR AS source,
+             trim(regexp_replace(lower(coalesce(text,'')), '\\s+', ' ', 'g')) AS norm
+      FROM documents WHERE doc_id % 13 = 0
+    ),
+    ds AS (SELECT DISTINCT md5(norm) AS digest, source FROM corpus)
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM ds a JOIN ds b ON a.digest = b.digest AND a.source < b.source
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("corpus", "governance", "dedup"),
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source exact-duplicate governance matrix: how many distinct
+    normalized texts each source PAIR shares (mirror/scrape overlap is the
+    first question a 100-TB corpus audit asks — it decides which sources to
+    dedup against each other and which double-count in mixing weights).
+    Mirrored copies are planted deterministically (every 13th doc re-tagged
+    to a rotated source). The plan avoids the oracle's digest self-join:
+    one groupBy collects the per-digest distinct source set (bounded by the
+    source count, NOT corpus size), pairs explode from the sorted array —
+    bounded quadratic in sources-per-digest, linear in digests."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+", " ")
+    )
+    corpus = docs.select("source", norm.alias("norm")).unionByName(
+        docs.where(F.col("doc_id") % 13 == 0).select(
+            F.concat(F.lit("src"), ((F.col("doc_id") + 3) % 20).cast("string"))
+            .alias("source"),
+            norm.alias("norm"),
+        )
+    )
+    srcs = (
+        corpus.select(F.md5("norm").alias("digest"), "source")
+        .groupBy("digest")
+        .agg(F.array_sort(F.collect_set("source")).alias("ss"))
+        .where(F.size("ss") >= 2)
+    )
+    pairs = srcs.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ss",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ss"), i + 2, F.size("ss")),
+                        lambda y: F.struct(
+                            x.alias("src_a"), y.alias("src_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select("p.src_a", "p.src_b")
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .orderBy("src_a", "src_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# trained LR quality classifier (full GD trajectory replayed in SQL)
+# ---------------------------------------------------------------------------
+
+_QCLS_BUCKETS = 512
+_QCLS_SALT = "qcls-v1:"
+_QCLS_ITERS = 3
+_QCLS_TARGETS = ("src0", "src1")
+_QCLS_HASH = DUCKDB_HASH60.format(s=f"('{_QCLS_SALT}' || feat)")
+_QCLS_Y = " OR ".join(f"source = '{s}'" for s in _QCLS_TARGETS)
+
+
+def _qcls_delta_sql(g: str) -> str:
+    """Exact integer round(g / (2*N)), half away from zero (lr = 1/2)."""
+    return (
+        f"CASE WHEN {g} >= 0 THEN ({g} + o.n) // (2 * o.n)"
+        f" ELSE -((-({g}) + o.n) // (2 * o.n)) END"
+    )
+
+
+def _qcls_err_sql(m: str, y: str) -> str:
+    return (
+        f"CAST(round((0.5 + ({m} / 1000000.0) / (2 * (1 + abs({m} / 1000000.0)))"
+        f" - {y}) * 1000000) AS BIGINT)"
+    )
+
+
+def _qcls_oracle(iters: int = _QCLS_ITERS) -> str:
+    """Unroll the full GD trajectory as CTE chains — the oracle replays
+    every weight of every iteration exactly (integer updates, algebraic
+    sigmoid), not just the final scores."""
+    ctes = [
+        """toked AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(regexp_replace(lower(coalesce(text,'')),
+                         '\\s+', ' ', 'g')), ' '), x -> x <> '') AS toks
+      FROM documents
+    )""",
+        """feats AS (
+      SELECT doc_id,
+             unnest(list_concat(
+               toks,
+               list_transform(range(greatest(len(toks) - 1, 0)),
+                              i -> toks[i+1] || ' ' || toks[i+2])
+             )) AS feat
+      FROM toked
+    )""",
+        f"""dc AS (
+      SELECT doc_id, {_QCLS_HASH} % {_QCLS_BUCKETS} AS bucket, count(*) AS c
+      FROM feats GROUP BY 1, 2
+    )""",
+        f"""lab AS (
+      SELECT doc_id, CASE WHEN {_QCLS_Y} THEN 1 ELSE 0 END AS y FROM documents
+    )""",
+        "nn AS (SELECT count(*) AS n FROM documents)",
+        # iteration 1: w0 = 0 -> margin 0 -> err = 0.5 - y exactly
+        """g1 AS (
+      SELECT f.bucket, CAST(sum(f.c * (500000 - 1000000 * l.y)) AS BIGINT) AS g
+      FROM dc f JOIN lab l USING (doc_id) GROUP BY 1
+    )""",
+        f"""w1 AS (
+      SELECT g.bucket, CAST(-({_qcls_delta_sql('g.g')}) AS BIGINT) AS w
+      FROM g1 g, nn o
+    )""",
+    ]
+    for t in range(2, iters + 1):
+        ctes += [
+            f"""m{t} AS (
+      SELECT f.doc_id, CAST(sum(f.c * w.w) AS BIGINT) AS m
+      FROM dc f JOIN w{t-1} w USING (bucket) GROUP BY 1
+    )""",
+            f"""e{t} AS (
+      SELECT m.doc_id, {_qcls_err_sql('m.m', 'l.y')} AS err
+      FROM m{t} m JOIN lab l USING (doc_id)
+    )""",
+            f"""g{t} AS (
+      SELECT f.bucket, CAST(sum(f.c * e.err) AS BIGINT) AS g
+      FROM dc f JOIN e{t} e USING (doc_id) GROUP BY 1
+    )""",
+            f"""w{t} AS (
+      SELECT g.bucket, CAST(w.w - ({_qcls_delta_sql('g.g')}) AS BIGINT) AS w
+      FROM g{t} g JOIN w{t-1} w USING (bucket), nn o
+    )""",
+        ]
+    ctes.append(
+        f"""mf AS (
+      SELECT f.doc_id, CAST(sum(f.c * w.w) AS BIGINT) AS m
+      FROM dc f JOIN w{iters} w USING (bucket) GROUP BY 1
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(coalesce(mf.m, 0)) AS BIGINT) AS sum_score_micro,
+           CAST(sum(CASE WHEN coalesce(mf.m, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pos
+    FROM documents d LEFT JOIN mf ON mf.doc_id = d.doc_id
+    GROUP BY d.source ORDER BY d.source
+    """
+    )
+
+
+@query(
+    "quality_classifier_train_score",
+    oracle=_qcls_oracle(),
+    tags=("corpus", "quality", "classifier", "training"),
+)
+def quality_classifier_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a logistic-regression quality classifier IN-ENGINE (3
+    full-batch GD steps over hashed unigram+bigram buckets, target = the
+    src0/src1 slice) and score the corpus with the trained weights
+    (operators/lr_quality.py). The oracle replays the ENTIRE training
+    trajectory — every weight of every iteration — via unrolled CTEs:
+    integer micro-unit margins, the algebraic (transcendental-free)
+    sigmoid, and pure-integer weight updates make the trajectory
+    bit-reproducible across engines. The synthetic corpus shares one
+    vocabulary across sources, so no lift is expected HERE — separation
+    on a distinguishable target is pinned in tests/test_lr_quality.py."""
+    from llm_data_pipeline_spark.operators.lr_quality import (
+        quality_classifier_scores,
+        train_quality_classifier,
+    )
+
+    docs = table(spark, sf_dir, "documents", scatter=True).select(
+        "doc_id", "text", "source"
+    )
+    labeled = docs.withColumn(
+        "y", F.col("source").isin(*_QCLS_TARGETS).cast("int")
+    )
+    w = train_quality_classifier(
+        labeled, label_col="y", n_buckets=_QCLS_BUCKETS,
+        salt=_QCLS_SALT, iters=_QCLS_ITERS,
+    )
+    scored = quality_classifier_scores(
+        docs, w, n_buckets=_QCLS_BUCKETS, salt=_QCLS_SALT
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("score_micro").cast("long").alias("sum_score_micro"),
+            F.sum((F.col("score_micro") > 0).cast("int"))
+            .cast("long")
+            .alias("n_pos"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
 # robust length filter (exact per-group percentiles + IQR fences)
 # ---------------------------------------------------------------------------
 
