@@ -1,0 +1,28 @@
+"""Exact integer arithmetic shared by the trainable operators.
+
+Rounded division in pure integers (no float touches the value) is the
+cross-engine determinism primitive for training trajectories: Python,
+Spark SQL, and DuckDB all floor-divide non-negative ints identically, so
+``round(s / n)`` half-away-from-zero is replayable bit-for-bit — unlike
+``round(double)`` whose input already depends on libm/codegen details.
+"""
+
+from __future__ import annotations
+
+
+def rounded_div(s: int, n: int) -> int:
+    """round(s / n) half away from zero, exact integer arithmetic (n > 0).
+
+    For even n the half point n//2 is exact (away-from-zero); for odd n
+    an exact half cannot occur and (|s| + n//2) // n is nearest-rounding.
+    """
+    half = n // 2
+    return (s + half) // n if s >= 0 else -((-s + half) // n)
+
+
+def rounded_div_sql(s: str, n: str) -> str:
+    """DuckDB fragment mirroring :func:`rounded_div` (BIGINT operands)."""
+    return (
+        f"CASE WHEN {s} >= 0 THEN ({s} + {n} // 2) // {n}"
+        f" ELSE -((-({s}) + {n} // 2) // {n}) END"
+    )

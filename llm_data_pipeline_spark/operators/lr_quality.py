@@ -42,6 +42,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from llm_data_pipeline_spark.functions.intmath import rounded_div
 from llm_data_pipeline_spark.operators.dsir import _doc_bucket_counts
 
 DEFAULT_BUCKETS = 512
@@ -60,10 +61,7 @@ def _err_micro(margin_micro: Column, y: Column) -> Column:
     ).cast("long")
 
 
-def _delta(g: int, denom: int) -> int:
-    """Exact integer round(g / denom), half away from zero."""
-    half = denom // 2
-    return (g + half) // denom if g >= 0 else -((-g + half) // denom)
+_delta = rounded_div  # exact integer round(g / denom), half away from zero
 
 
 def train_quality_classifier(
