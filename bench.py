@@ -237,6 +237,10 @@ def main() -> None:
             scale["dsir_scale_check"] = dsir_scale_check(spark, sf_dir)
         except Exception as e:  # noqa: BLE001
             print(f"bench: dsir scale check failed: {type(e).__name__}: {e}", file=sys.stderr)
+        try:
+            scale["hh_scale_check"] = hh_scale_check(spark, sf_dir)
+        except Exception as e:  # noqa: BLE001
+            print(f"bench: hh scale check failed: {type(e).__name__}: {e}", file=sys.stderr)
 
     # Headline value stays the sum over the curated HEADLINE set so it is
     # comparable round-over-round; the full-registry totals (93 queries)
@@ -568,6 +572,50 @@ def dsir_scale_check(spark, sf_dir: str, reps: int = 10) -> dict:
     for label, r in (("1x", 1), (f"{reps}x", reps)):
         dt, n = run_once(r)
         out[label] = {"sec": round(dt, 3), "heldout_planted_in_top50": n}
+    out["time_ratio"] = round(
+        out[f"{reps}x"]["sec"] / max(out["1x"]["sec"], 1e-9), 2
+    )
+    out["linear_ok"] = bool(out["time_ratio"] <= reps * 1.5)
+    return out
+
+
+def hh_scale_check(spark, sf_dir: str, reps: int = 10) -> dict:
+    """Measured scale behavior of exact heavy-hitter mining: replicated
+    distinct-content corpus at 1x and ``reps``x. The claim under test is
+    the candidate bound — the shuffle carries candidate rows, not the
+    n-gram universe — so alongside the time ratio we record how many
+    candidate grams the Misra-Gries pass surfaced vs the distinct-gram
+    universe the naive plan would shuffle."""
+    import time as _time
+
+    from llm_data_pipeline_spark.operators.heavyhitters import (
+        frequent_ngrams,
+        ngram_stream,
+    )
+    from llm_data_pipeline_spark.queries import table
+
+    small = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
+    base_dir = small if os.path.isdir(small) else sf_dir
+    docs = table(spark, base_dir, "documents").select("doc_id", "text")
+    nparts = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    def run_once(r: int) -> dict:
+        d = _replicated_docs(spark, docs, r, nparts).select("text")
+        t0 = _time.perf_counter()
+        n_freq = frequent_ngrams(d, n=3, min_count=5).count()
+        dt = _time.perf_counter() - t0
+        n_distinct = ngram_stream(d, 3).distinct().count()
+        spark.catalog.clearCache()
+        return {
+            "sec": round(dt, 3),
+            "frequent_grams": n_freq,
+            "distinct_gram_universe": n_distinct,
+        }
+
+    run_once(1)  # warmup
+    out: dict = {"reps": reps, "sf_dir": base_dir}
+    for label, r in (("1x", 1), (f"{reps}x", reps)):
+        out[label] = run_once(r)
     out["time_ratio"] = round(
         out[f"{reps}x"]["sec"] / max(out["1x"]["sec"], 1e-9), 2
     )

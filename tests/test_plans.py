@@ -336,3 +336,70 @@ def test_span_dedup_incremental_no_cartesian_no_python(q):
     plan = I.formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_heavy_hitters_broadcasts_candidates_no_cartesian(spark, sf_dir):
+    from llm_data_pipeline_spark.operators.heavyhitters import (
+        frequent_ngrams,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = frequent_ngrams(docs.select("text"), n=2, min_count=3, capacity=64)
+    # the confirm pass must broadcast the candidate set (map-side semi-join,
+    # no corpus-sized shuffle on the gram stream beyond its aggregation)
+    assert I.broadcast_join_count(df) >= 1
+    I.assert_no_cartesian(df)
+
+
+def test_shard_assignment_single_shuffle_family(q):
+    df = q("training_shard_assignment")
+    I.assert_no_cartesian(df)
+    schemas = I.scan_read_schemas(df)
+    # only doc_id + n_chars may be read — text must be pruned from the scan
+    assert all("text" not in s for s in schemas)
+
+
+def test_snapshot_diff_prunes_and_no_cartesian(q):
+    df = q("corpus_snapshot_diff")
+    I.assert_no_cartesian(df)
+
+
+def test_iqr_filter_prunes_text(q):
+    df = q("doc_length_iqr_filter")
+    schemas = I.scan_read_schemas(df)
+    assert schemas and all("text" not in s for s in schemas)
+    assert I.broadcast_join_count(df) >= 1  # per-lang fences broadcast back
+
+
+def test_source_overlap_no_self_join(q):
+    df = q("source_overlap_matrix")
+    I.assert_no_cartesian(df)
+    # the plan is groupBy + array pair explode — a digest self-join would
+    # show as an extra join; none may appear
+    plan = I.simple_plan(df)
+    assert "Join" not in plan
+
+
+def test_lr_classifier_scoring_broadcasts_weights(q):
+    df = q("quality_classifier_train_score")
+    # scoring joins the bounded weight table — must broadcast, and the whole
+    # query must stay cartesian-free
+    assert I.broadcast_join_count(df) >= 1
+    I.assert_no_cartesian(df)
+
+
+def test_kmeans_assignment_joinless(spark, sf_dir):
+    from llm_data_pipeline_spark.operators.kmeans import (
+        assign_clusters,
+        quantize_micro,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", quantize_micro(F.col("embedding")).alias("xq")
+    )
+    df = assign_clusters(emb, [[0] * 64, [1000] * 64])
+    plan = I.simple_plan(df)
+    # the model rides in the expression as literals — assignment must be a
+    # pure narrow map: no join, no shuffle
+    assert "Join" not in plan and I.shuffle_count(df) == 0
