@@ -447,6 +447,79 @@ def quality_classifier_train_score(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 # ---------------------------------------------------------------------------
+# Unicode NFC normalization (the legitimate-Python-UDF case)
+# ---------------------------------------------------------------------------
+
+# Decomposed plants: e+COMBINING ACUTE, e+COMBINING DIAERESIS, and the
+# fi-ligature/circled-one which NFC leaves alone (they are NFKC targets) —
+# so the oracle also pins that the op is NFC, not NFKC.
+_NFC_PLANT = " cafe\u0301 noe\u0308l \ufb01nd \u2460"
+
+
+@query(
+    "unicode_nfc_normalize",
+    oracle=f"""
+    WITH src AS (
+      SELECT doc_id, coalesce(text, '') || '{_NFC_PLANT}' AS t
+      FROM documents WHERE doc_id % 9 = 0
+      UNION ALL
+      SELECT doc_id, coalesce(text, '') AS t
+      FROM documents WHERE doc_id % 9 <> 0
+    )
+    SELECT doc_id,
+           CAST(length(t) AS BIGINT) AS len_before,
+           CAST(length(nfc_normalize(t)) AS BIGINT) AS len_after,
+           md5(nfc_normalize(t)) AS norm_md5
+    FROM src WHERE nfc_normalize(t) <> t
+    ORDER BY doc_id
+    """,
+    tags=("corpus", "text", "unicode", "udf"),
+)
+def unicode_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization — the canonical pre-clean step every web
+    corpus runs before hashing/dedup (decomposed accents hash differently
+    from composed ones, silently defeating exact dedup). Spark has no
+    built-in normalizer, so this is the repo's legitimate-Python case done
+    right: one Arrow-batched pandas UDF over the text column (unicodedata
+    is C-accelerated; no row-at-a-time Python UDF), everything around it
+    JVM-side. The oracle (DuckDB ``nfc_normalize``) pins both the changed
+    set and the normalized digests — and that the op is NFC, not NFKC
+    (ligature/circled-digit plants must survive)."""
+    import pandas as pd  # noqa: F401 (signature typing)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def nfc(s):
+        import unicodedata
+
+        return s.map(
+            lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+        )
+
+    docs = table(spark, sf_dir, "documents", scatter=True).select("doc_id", "text")
+    src = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 9 == 0,
+            F.concat(F.coalesce("text", F.lit("")), F.lit(_NFC_PLANT)),
+        )
+        .otherwise(F.coalesce("text", F.lit("")))
+        .alias("t"),
+    )
+    normed = src.select("doc_id", "t", nfc(F.col("t")).alias("nt"))
+    return (
+        normed.where(F.col("nt") != F.col("t"))
+        .select(
+            "doc_id",
+            F.length("t").cast("long").alias("len_before"),
+            F.length("nt").cast("long").alias("len_after"),
+            F.md5("nt").alias("norm_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # integer-exact distributed k-means (training trajectory replayed in SQL)
 # ---------------------------------------------------------------------------
 
