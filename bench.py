@@ -241,6 +241,10 @@ def main() -> None:
             scale["hh_scale_check"] = hh_scale_check(spark, sf_dir)
         except Exception as e:  # noqa: BLE001
             print(f"bench: hh scale check failed: {type(e).__name__}: {e}", file=sys.stderr)
+        try:
+            scale["skew_scale_check"] = skew_scale_check(spark)
+        except Exception as e:  # noqa: BLE001
+            print(f"bench: skew scale check failed: {type(e).__name__}: {e}", file=sys.stderr)
 
     # Headline value stays the sum over the curated HEADLINE set so it is
     # comparable round-over-round; the full-registry totals (93 queries)
@@ -620,6 +624,74 @@ def hh_scale_check(spark, sf_dir: str, reps: int = 10) -> dict:
         out[f"{reps}x"]["sec"] / max(out["1x"]["sec"], 1e-9), 2
     )
     out["linear_ok"] = bool(out["time_ratio"] <= reps * 1.5)
+    return out
+
+
+def skew_scale_check(spark, reps: int = 10) -> dict:
+    """Measured value of the skew toolbox: a 90%-hot-key corpus aggregated
+    with a reduce-heavy (collect-style) aggregation, plain vs salted
+    two-phase, at 1x and ``reps``x rows. Plain sends every hot-key row to
+    ONE reduce task (the straggler that dominates at 100 TB); salting
+    spreads it over n_salts tasks and rolls partials up. Outputs must
+    agree exactly — the check records both times and the hot-key row
+    count so the speedup is attributable."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    n_salts = 8
+    nparts = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    def frame(r: int):
+        n = 200_000 * r
+        base = spark.range(n).repartition(nparts)
+        return base.select(
+            F.when(F.col("id") % 10 < 9, F.lit("hot"))
+            .otherwise(F.concat(F.lit("k"), (F.col("id") % 100).cast("string")))
+            .alias("key"),
+            F.md5(F.col("id").cast("string")).alias("v"),
+        )
+
+    # the reducer must do real per-row work that can't collapse to a count:
+    # distinct-count via sort_array(collect_set) materializes and sorts the
+    # hot key's value set inside its (single, unless salted) reduce task
+    def plain(d):
+        return d.groupBy("key").agg(
+            F.size(F.sort_array(F.collect_set("v"))).alias("n")
+        )
+
+    def salted(d):
+        return (
+            d.withColumn("_salt", F.crc32(F.col("v")) % n_salts)
+            .groupBy("key", "_salt")
+            .agg(F.collect_set("v").alias("_p"))
+            .groupBy("key")
+            .agg(F.sum(F.size(F.sort_array("_p"))).cast("int").alias("n"))
+        )
+
+    def run(fn, d) -> tuple[float, int]:
+        t0 = _time.perf_counter()
+        rows = {r["key"]: r["n"] for r in fn(d).collect()}
+        return _time.perf_counter() - t0, rows
+
+    run(plain, frame(1))  # warmup
+    run(salted, frame(1))
+    out: dict = {"reps": reps, "n_salts": n_salts}
+    for label, r in (("1x", 1), (f"{reps}x", reps)):
+        d = frame(r)
+        tp, rp = run(plain, d)
+        ts, rs = run(salted, d)
+        assert rp == rs, "salted aggregation diverged from plain"
+        out[label] = {
+            "plain_sec": round(tp, 3),
+            "salted_sec": round(ts, 3),
+            "hot_rows": rp["hot"],
+        }
+        spark.catalog.clearCache()
+    big = out[f"{reps}x"]
+    out["salted_speedup_at_10x"] = round(
+        big["plain_sec"] / max(big["salted_sec"], 1e-9), 2
+    )
     return out
 
 
