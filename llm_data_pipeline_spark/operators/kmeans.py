@@ -81,8 +81,11 @@ def kmeans_fit(
     base = df.select(
         F.col(id_col).alias("vec_id"), quantize_micro(F.col(vec_col)).alias("xq")
     ).localCheckpoint(eager=False)
-    init = base.where(F.col("vec_id") < k).orderBy("vec_id").collect()
+    init = base.orderBy("vec_id").limit(k).collect()  # k smallest ids, any id space
     centroids = [list(r["xq"]) for r in init]
+    if not centroids:
+        raise ValueError("kmeans_fit: empty input")
+    k = len(centroids)  # fewer vectors than k -> fit what exists
     for _ in range(iters):
         sums = (
             assign_clusters(base, centroids)

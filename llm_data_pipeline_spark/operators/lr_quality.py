@@ -90,6 +90,8 @@ def train_quality_classifier(
         F.col(id_col).alias("doc_id"), F.col(label_col).cast("int").alias("y")
     )
     n_docs = docs.count()
+    if n_docs == 0:
+        return {}
     denom = lr_inv * n_docs
     w: dict[int, int] = {}
     for _ in range(iters):

@@ -66,3 +66,14 @@ def test_tie_breaks_to_smallest_cluster(spark):
     base = df.select("vec_id", quantize_micro(F.col("embedding")).alias("xq"))
     out = assign_clusters(base, [[1_000_000, 1_000_000], [1_000_000, 1_000_000]])
     assert {r["cluster"] for r in out.collect()} == {0}
+
+
+def test_fewer_vectors_than_k(spark):
+    df = spark.createDataFrame(
+        [(10, [0.0, 0.0]), (20, [5.0, 5.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cents, base = kmeans_fit(df, k=8, iters=2)  # non-contiguous ids, n < k
+    assert len(cents) == 2
+    stats = kmeans_cluster_stats(df, k=8, iters=2).collect()
+    assert sum(r["n_members"] for r in stats) == 2

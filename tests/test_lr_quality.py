@@ -66,3 +66,8 @@ def test_more_iterations_grow_margin(spark):
         )
 
     assert pos_margin(w3) > pos_margin(w1)  # GD keeps widening the margin
+
+
+def test_empty_corpus_returns_no_weights(spark):
+    docs = spark.createDataFrame([], "doc_id long, text string, y int")
+    assert train_quality_classifier(docs, iters=2) == {}
