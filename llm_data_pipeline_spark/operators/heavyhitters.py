@@ -126,9 +126,97 @@ def frequent_ngrams(
         grams.mapInPandas(_mg_candidates(capacity), "gram string")
         .distinct()
     )
+    return _confirm(grams, cand, min_count)
+
+
+def _confirm(grams: DataFrame, cand: DataFrame, min_count: int) -> DataFrame:
     return (
         grams.join(F.broadcast(cand), "gram")
         .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .where(F.col("cnt") >= min_count)
     )
+
+
+def _mg_candidates_tagged(cap_by_src: dict[int, int]):
+    """Per-corpus MG summaries over a (gram, src)-tagged union stream: one
+    dict per src tag, each with its own capacity — identical math to
+    running the summaries on separate streams, in a single pass."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[int, dict[str, int]] = {s: {} for s in cap_by_src}
+        for b in batches:
+            for src, grp in b.groupby("src"):
+                cd = counters[int(src)]
+                cap = cap_by_src[int(src)]
+                for gram, cnt in grp["gram"].value_counts().items():
+                    cd[gram] = cd.get(gram, 0) + int(cnt)
+                if len(cd) > cap:
+                    vals = sorted(cd.values(), reverse=True)
+                    dec = vals[cap]
+                    counters[int(src)] = {
+                        k: v - dec for k, v in cd.items() if v > dec
+                    }
+        out = sorted({g for cd in counters.values() for g in cd})
+        yield pd.DataFrame({"gram": out})
+
+    return fn
+
+
+def frequent_ngrams_incremental(
+    base: DataFrame,
+    increment: DataFrame,
+    n: int = 3,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact heavy hitters of base ∪ increment via MERGED per-corpus
+    summaries — the daily-ingest form. MG summaries are mergeable
+    (Agarwal et al. 2012), so each corpus contributes candidates computed
+    against its own stream at HALF the threshold: a gram absent from both
+    summaries has count <= (min_count-1)/2 in each corpus, hence
+    < min_count in the union — the merged candidate set is a provable
+    superset, and the confirm pass counts it exactly over the union.
+
+    At 100 TB the base's candidate summary is a precomputed per-shard
+    artifact (same contract as the banded index of
+    minhash_incremental_dedup): the daily run re-summarizes ONLY the
+    increment, unions candidate sets, and re-counts just the candidates —
+    the base is never re-summarized, only re-scanned for the bounded
+    confirm aggregate. Here, with both corpora as live frames, the two
+    summaries are fused into ONE tagged pass (per-src MG dicts — same
+    math, half the scans); swapping the base side for a stored summary
+    is a drop-in change to the `cand` input.
+    """
+    if min_count < 2:
+        raise ValueError("min_count must be >= 2 for the split-threshold bound")
+    # per-corpus threshold share: absent => count <= (min_count-1)/2 each
+    half = max((min_count - 1) // 2, 1)
+
+    def tagged_toks(df: DataFrame, src: int) -> DataFrame:
+        return _tokenized(df, text_col).select("_toks", F.lit(src).alias("src"))
+
+    toked = tagged_toks(base, 0).unionByName(tagged_toks(increment, 1))
+    # one pass for both corpus totals (two 1-row aggregate groups)
+    totals = {
+        int(r["src"]): int(r["n"] or 0)
+        for r in toked.groupBy("src")
+        .agg(F.sum(F.greatest(F.size("_toks") - (n - 1), F.lit(0))).alias("n"))
+        .collect()
+    }
+    caps = {s: totals.get(s, 0) // half + 1 for s in (0, 1)}
+    toks = F.col("_toks")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tagged_grams = toked.select(F.explode(grams).alias("gram"), "src")
+    # one pass for both per-corpus summaries (per-src MG dicts)
+    cand = tagged_grams.mapInPandas(
+        _mg_candidates_tagged(caps), "gram string"
+    ).distinct()
+    # one pass for the exact union confirm
+    return _confirm(tagged_grams.drop("src"), cand, min_count)

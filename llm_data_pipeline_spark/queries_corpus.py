@@ -63,6 +63,69 @@ def frequent_ngram_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(F.desc("cnt"), "gram").limit(_HH_TOPK)
 
 
+_HH_INC_OFFSET = 650_000
+
+
+@query(
+    "frequent_ngram_incremental",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT text FROM documents
+      UNION ALL
+      SELECT coalesce(text, '') AS text FROM documents WHERE doc_id % 4 = 0
+      UNION ALL
+      SELECT 'inc' || (doc_id % 7)::VARCHAR || ' ' || coalesce(text, '') AS text
+      FROM documents WHERE doc_id % 4 = 1
+    ),
+    toks AS (
+      SELECT list_filter(string_split(trim(regexp_replace(lower(coalesce(text,'')),
+                         '\\s+', ' ', 'g')), ' '), x -> x <> '') AS toks
+      FROM corpus
+    ),
+    grams AS (
+      SELECT unnest(CASE WHEN len(toks) >= {_HH_N} THEN
+               list_transform(range(0, len(toks) - {_HH_N} + 1),
+                 i -> array_to_string(toks[i+1:i+{_HH_N}], ' '))
+             ELSE []::VARCHAR[] END) AS gram
+      FROM toks
+    )
+    SELECT gram, CAST(count(*) AS BIGINT) AS cnt
+    FROM grams GROUP BY gram HAVING count(*) >= {_HH_MIN}
+    ORDER BY cnt DESC, gram LIMIT {_HH_TOPK}
+    """,
+    tags=("corpus", "mining", "heavyhitters", "incremental"),
+)
+def frequent_ngram_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest heavy hitters: the increment (re-ingested copies of
+    every 4th doc + prefixed fresh variants of every 4th+1) merges its
+    Misra–Gries candidate summary with the base's — each computed at half
+    the threshold, so the union of summaries provably covers every gram
+    frequent in base ∪ increment even when neither corpus alone crosses
+    the bar (operators/heavyhitters.py:frequent_ngrams_incremental). The
+    oracle is the naive full count over the union; equality is the
+    mergeability claim."""
+    from llm_data_pipeline_spark.operators.heavyhitters import (
+        frequent_ngrams_incremental,
+    )
+
+    docs = table(spark, sf_dir, "documents", scatter=True).select("doc_id", "text")
+    base = docs.select("text")
+    increment = docs.where(F.col("doc_id") % 4 == 0).select(
+        F.coalesce("text", F.lit("")).alias("text")
+    ).unionByName(
+        docs.where(F.col("doc_id") % 4 == 1).select(
+            F.concat(
+                F.lit("inc"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit(" "),
+                F.coalesce("text", F.lit("")),
+            ).alias("text")
+        )
+    )
+    out = frequent_ngrams_incremental(base, increment, n=_HH_N, min_count=_HH_MIN)
+    return out.orderBy(F.desc("cnt"), "gram").limit(_HH_TOPK)
+
+
 # ---------------------------------------------------------------------------
 # deterministic training-shard assignment
 # ---------------------------------------------------------------------------

@@ -77,3 +77,39 @@ def test_nulls_and_short_docs(spark):
     )
     assert _rows(frequent_ngrams(docs, n=2, min_count=3)) == [("two words", 3)]
     assert _rows(frequent_ngrams(docs, n=5, min_count=1)) == []
+
+
+def test_incremental_matches_union_naive(spark, sf_dir):
+    from llm_data_pipeline_spark.operators.heavyhitters import (
+        frequent_ngrams_incremental,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select("text")
+    inc = docs.limit(30).select("text")
+    union = base.unionByName(inc)
+    exp = _rows(_naive(union, 2, 3))
+    got = _rows(
+        frequent_ngrams_incremental(base.repartition(5), inc.repartition(3),
+                                    n=2, min_count=3)
+    )
+    assert got == exp and len(exp) > 0
+
+
+def test_incremental_catches_split_threshold_grams(spark):
+    # 'a b' is frequent ONLY in the union (2 base + 3 inc, min_count 5):
+    # neither corpus alone crosses the bar; the merged summaries must.
+    base = spark.createDataFrame(
+        [("a b",)] * 2 + [("u%d v%d" % (i, i),) for i in range(20)],
+        "text string",
+    ).repartition(4)
+    inc = spark.createDataFrame(
+        [("a b",)] * 3 + [("w%d x%d" % (i, i),) for i in range(20)],
+        "text string",
+    ).repartition(4)
+    from llm_data_pipeline_spark.operators.heavyhitters import (
+        frequent_ngrams_incremental,
+    )
+
+    got = _rows(frequent_ngrams_incremental(base, inc, n=2, min_count=5))
+    assert got == [("a b", 5)]
