@@ -1,0 +1,197 @@
+"""Web-corpus cleaning operators: C4 line filtering, cross-corpus
+boilerplate-line removal, and URL/domain governance.
+
+Engine-native extension set (no reference counterpart — the reference
+pipeline starts from already-extracted WET text; these are the published
+web-cleaning stages a 100-TB pretraining pipeline runs before it):
+
+- ``c4_line_stats``: the C4 heuristics (Raffel et al. 2020, §2.2) —
+  keep lines ending in terminal punctuation with >= N words and no policy
+  term; drop documents with < M surviving lines or a banned term anywhere.
+  Pure narrow map: zero shuffles, the whole cascade runs inside the scan
+  stage under whole-stage codegen. At 100 TB this is the cheapest stage in
+  the pipeline — cost is exactly one pass over the text bytes.
+
+- ``remove_boilerplate_lines``: CCNet-style (Wenzek et al. 2020) corpus-
+  level boilerplate strip — a line occurring in >= ``min_docs`` DISTINCT
+  documents is navigation/footer boilerplate and removed everywhere.
+  Shape: posexplode (narrow) -> one shuffle keyed by the line value for
+  the distinct-doc count (partial aggregation combines per-partition
+  duplicates map-side) -> the frequent-line set is tiny by definition
+  (boilerplate concentrates), so it broadcasts back -> one shuffle by
+  doc key for the positional rebuild. Two bounded shuffles total; no
+  driver collection anywhere.
+
+- ``add_registered_domain`` / ``domain_quota_filter``: URL -> registered
+  domain (authority parse + last-two-labels; the documented simplification
+  of a Public Suffix List lookup — a real deployment swaps in a broadcast
+  PSL map at this exact column boundary), then blocklist + per-domain
+  quota via a window ranked by a deterministic hash (uniform "random"
+  sample that every engine replays bit-identically). The window shuffles
+  once on the domain key; quota output is bounded by cap x n_domains.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from llm_data_pipeline_spark.functions.hashing import portable_hash60
+
+#: C4 keeps lines ending in ``.``, ``!``, ``?`` or a closing quote.
+TERMINAL_PUNCT_RE = r'[.!?"]$'
+
+
+def c4_line_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    min_lines: int = 3,
+    policy_line_re: str = r"(?i)\bjavascript\b|\bcookies\b",
+    banned_doc_re: str = r"(?i)lorem ipsum|\{",
+) -> DataFrame:
+    """Append C4 line-filter columns; never drops rows (callers filter).
+
+    Added columns: ``c4_n_lines``, ``c4_kept_lines``, ``c4_clean_text``
+    (surviving lines re-joined with newlines), ``c4_keep`` (int 0/1).
+    A document is kept iff >= ``min_lines`` lines survive the line rules
+    AND the raw text has no ``banned_doc_re`` match (C4's page-level
+    "lorem ipsum"/curly-brace rule).
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    # Stage the line array behind a real column boundary so the lambda
+    # below doesn't re-inline the split per element (measured trap:
+    # higher-order lambdas re-evaluate free expressions per element).
+    df = df.withColumn("_c4_lines", F.split(text, "\n"))
+    kept = F.filter(
+        F.col("_c4_lines"),
+        lambda l: l.rlike(TERMINAL_PUNCT_RE)
+        & (F.size(F.split(l, " ")) >= min_words_per_line)
+        & ~l.rlike(policy_line_re),
+    )
+    df = df.withColumn("_c4_kept", kept)
+    return (
+        df.withColumn("c4_n_lines", F.size("_c4_lines"))
+        .withColumn("c4_kept_lines", F.size("_c4_kept"))
+        .withColumn("c4_clean_text", F.array_join("_c4_kept", "\n"))
+        .withColumn(
+            "c4_keep",
+            (
+                (F.size("_c4_kept") >= min_lines) & ~text.rlike(banned_doc_re)
+            ).cast("int"),
+        )
+        .drop("_c4_lines", "_c4_kept")
+    )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Strip every line that occurs in >= ``min_docs`` distinct documents.
+
+    Returns one row per input document: ``key_col``, ``n_lines`` (before),
+    ``removed_lines``, ``clean_text`` (survivors re-joined in original
+    order). All copies of a boilerplate line are removed, including
+    repeats inside one document (CCNet semantics).
+    """
+    lines = df.select(
+        F.col(key_col),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).alias(
+            "pos", "line"
+        ),
+    )
+    frequent = (
+        lines.groupBy("line")
+        .agg(F.count_distinct(key_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("line")
+    )
+    # Boilerplate is a tiny set by construction (it must repeat across
+    # documents to qualify) — broadcast it and rebuild with ONE shuffle
+    # keyed by the document.
+    flagged = lines.join(
+        F.broadcast(frequent.withColumn("_bp", F.lit(1))), "line", "left"
+    )
+    rebuilt = flagged.groupBy(key_col).agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.coalesce(F.col("_bp"), F.lit(0))).alias("removed_lines"),
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("_bp").isNull(), F.struct("pos", "line"))
+            )
+        ).alias("_kept"),
+    )
+    return rebuilt.select(
+        key_col,
+        "n_lines",
+        F.col("removed_lines").cast("long").alias("removed_lines"),
+        F.array_join(
+            F.transform(F.col("_kept"), lambda s: s.getField("line")), "\n"
+        ).alias("clean_text"),
+    )
+
+
+def add_registered_domain(
+    df: DataFrame, url_col: str = "url", out_col: str = "domain"
+) -> DataFrame:
+    """URL -> lowercased registered domain (last two host labels).
+
+    Host = URL authority (scheme stripped; path/query/fragment/port
+    dropped; userinfo not handled — corpus URLs carry none). Last-two-
+    labels is the documented PSL simplification; a production deployment
+    joins a broadcast public-suffix map at this column boundary instead.
+    Rows whose URL has no parseable host get an empty-string domain.
+    """
+    host = F.lower(
+        F.regexp_extract(
+            F.coalesce(F.col(url_col), F.lit("")),
+            r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)",
+            1,
+        )
+    )
+    df = df.withColumn("_host_labels", F.split(host, r"\."))
+    dom = F.when(
+        F.size("_host_labels") >= 2,
+        F.concat_ws(
+            ".",
+            F.element_at("_host_labels", -2),
+            F.element_at("_host_labels", -1),
+        ),
+    ).otherwise(F.array_join("_host_labels", "."))
+    return df.withColumn(out_col, dom).drop("_host_labels")
+
+
+def domain_quota_filter(
+    df: DataFrame,
+    domain_col: str = "domain",
+    key_col: str = "doc_id",
+    blocklist: Sequence[str] = (),
+    cap: int = 100,
+) -> DataFrame:
+    """Blocklist + per-domain quota governance.
+
+    Appends ``blocked`` (int 0/1) and ``quota_keep`` (int 0/1): a row is
+    quota-kept iff its domain is not blocked AND it ranks within ``cap``
+    inside its domain under a deterministic uniform order —
+    ``(portable_hash60(key), key)`` — i.e. a seeded per-domain sample that
+    any engine replays. One shuffle on the domain key; at 100 TB skewed
+    mega-domains are exactly the rows the cap discards, and the rank
+    window streams (no buffering beyond the frame row).
+    """
+    blocked = (
+        F.col(domain_col).isin(list(blocklist)) if blocklist else F.lit(False)
+    )
+    order_key = portable_hash60(F.col(key_col).cast("string"))
+    w = Window.partitionBy(domain_col).orderBy(
+        order_key.asc(), F.col(key_col).asc()
+    )
+    return df.withColumn("blocked", blocked.cast("int")).withColumn(
+        "quota_keep",
+        ((F.row_number().over(w) <= cap) & (F.col("blocked") == 0)).cast("int"),
+    )

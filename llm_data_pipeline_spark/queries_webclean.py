@@ -1,0 +1,317 @@
+"""Graded queries: web-corpus cleaning (C4 line rules, CCNet boilerplate
+strip, URL/domain governance) over the documents table.
+
+The corpus is single-line word soup, so the first two queries derive a
+deterministic lined corpus first: tokens chunked into pseudo-lines of
+5 + doc_id % 3 words, a terminal '.' on lines where (i + n_tokens) % 3
+!= 0, a planted 3-word header on every document and a planted 5-word
+footer on even doc_ids. Both engines replay the construction
+expression-for-expression, so the graded signal is the cleaning
+operators themselves (operators/webclean.py), not the scaffolding.
+
+Stand-in terms (documented, corpus-calibrated): the policy-line term is
+the token 'slow' (plays C4's "javascript" rule, ~19% of lines), the
+banned-document term is the rare token 'dup' (plays "lorem ipsum", 5%
+of docs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from llm_data_pipeline_spark.functions.repetition import words_of
+from llm_data_pipeline_spark.queries import query, table
+
+_HEADER = "home navigation menu."
+_FOOTER = "contact us at corp example."
+
+# DuckDB replay of the lined-corpus construction -> CTE `lined(doc_id, text)`.
+_LINED_CTE = f"""
+t AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(coalesce(text, '')),
+                     '\\s+', ' ', 'g')), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+lined AS (
+  SELECT doc_id,
+    array_to_string(
+      list_concat(
+        list_concat(
+          ['{_HEADER}'],
+          CASE WHEN len(toks) > 0 THEN
+            list_transform(
+              range(0, (len(toks) + 5 + doc_id % 3 - 1) // (5 + doc_id % 3)),
+              i -> array_to_string(
+                     toks[i * (5 + doc_id % 3) + 1 : (i + 1) * (5 + doc_id % 3)],
+                     ' ')
+                   || CASE WHEN (i + len(toks)) % 3 <> 0 THEN '.' ELSE '' END)
+          ELSE []::VARCHAR[] END),
+        CASE WHEN doc_id % 2 = 0 THEN ['{_FOOTER}'] ELSE []::VARCHAR[] END),
+      chr(10)) AS text
+  FROM t
+)
+"""
+
+
+def lined_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, text) with deterministic pseudo-lines."""
+    docs = table(spark, sf_dir, "documents", scatter=True).select("doc_id", "text")
+    docs = docs.select(
+        "doc_id", words_of(F.col("text")).alias("_toks")
+    ).select(
+        "doc_id",
+        "_toks",
+        F.size("_toks").alias("_sz"),
+        (F.lit(5) + F.col("doc_id") % 3).cast("int").alias("_w"),
+    )
+    n_lines = F.floor(
+        (F.col("_sz") + F.col("_w") - 1) / F.col("_w")
+    ).cast("int")
+    body = F.when(
+        F.col("_sz") > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.concat(
+                F.array_join(
+                    F.slice(F.col("_toks"), i * F.col("_w") + 1, F.col("_w")),
+                    " ",
+                ),
+                F.when((i + F.col("_sz")) % 3 != 0, F.lit(".")).otherwise(
+                    F.lit("")
+                ),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    lines = F.concat(
+        F.array(F.lit(_HEADER)),
+        body,
+        F.when(
+            F.col("doc_id") % 2 == 0, F.array(F.lit(_FOOTER))
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    return docs.select("doc_id", F.array_join(lines, "\n").alias("text"))
+
+
+# ---------------------------------------------------------------------------
+# C4 line-level filtering (Raffel et al. 2020 §2.2)
+# ---------------------------------------------------------------------------
+
+_C4_MIN_WORDS = 5
+_C4_MIN_LINES = 3
+_C4_POLICY_RE = r"\bslow\b"
+_C4_BANNED_RE = r"\bdup\b"
+
+
+@query(
+    "c4_line_filter_rewrite",
+    oracle=f"""
+    WITH {_LINED_CTE},
+    filt AS (
+      SELECT doc_id,
+        string_split(text, chr(10)) AS ls,
+        list_filter(string_split(text, chr(10)), l ->
+          regexp_matches(l, '[.!?"]$')
+          AND len(string_split(l, ' ')) >= {_C4_MIN_WORDS}
+          AND NOT regexp_matches(l, '{_C4_POLICY_RE}')) AS kept,
+        regexp_matches(text, '{_C4_BANNED_RE}') AS banned
+      FROM lined
+    )
+    SELECT doc_id,
+      CAST(len(ls) AS INT) AS n_lines,
+      CAST(len(kept) AS INT) AS kept_lines,
+      CAST(CASE WHEN len(kept) >= {_C4_MIN_LINES} AND NOT banned
+           THEN 1 ELSE 0 END AS INT) AS keep,
+      CAST(length(coalesce(array_to_string(kept, chr(10)), '')) AS INT)
+        AS clean_chars,
+      md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_md5
+    FROM filt ORDER BY doc_id
+    """,
+    tags=("webclean", "c4", "heuristics"),
+)
+def c4_line_filter_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning cascade: terminal-punctuation lines with >= 5 words and
+    no policy term survive; documents keep iff >= 3 lines survive and no
+    banned term appears. Zero-shuffle narrow map (operators/webclean.py:
+    c4_line_stats) — the whole cascade runs inside the scan stage; the
+    planted 3-word header exercises the min-words rule, unpunctuated
+    lines the terminal rule, 'slow' lines the policy rule, 'dup' docs
+    the page-level ban."""
+    from llm_data_pipeline_spark.operators.webclean import c4_line_stats
+
+    out = c4_line_stats(
+        lined_documents(spark, sf_dir),
+        text_col="text",
+        min_words_per_line=_C4_MIN_WORDS,
+        min_lines=_C4_MIN_LINES,
+        policy_line_re=_C4_POLICY_RE,
+        banned_doc_re=_C4_BANNED_RE,
+    )
+    return out.select(
+        "doc_id",
+        F.col("c4_n_lines").alias("n_lines"),
+        F.col("c4_kept_lines").alias("kept_lines"),
+        F.col("c4_keep").alias("keep"),
+        F.length("c4_clean_text").alias("clean_chars"),
+        F.md5("c4_clean_text").alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style cross-corpus boilerplate line removal
+# ---------------------------------------------------------------------------
+
+_BP_MIN_DOCS = 20
+
+
+@query(
+    "boilerplate_line_strip",
+    oracle=f"""
+    WITH {_LINED_CTE},
+    freq AS (
+      SELECT line FROM (
+        SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM lined)
+      GROUP BY line HAVING count(DISTINCT doc_id) >= {_BP_MIN_DOCS}
+    ),
+    bp AS (SELECT coalesce(list(line), []::VARCHAR[]) AS bad FROM freq)
+    SELECT doc_id,
+      CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+      CAST(len(list_filter(string_split(text, chr(10)),
+               l -> list_contains(bad, l))) AS BIGINT) AS removed_lines,
+      CAST(length(coalesce(array_to_string(
+        list_filter(string_split(text, chr(10)), l -> NOT list_contains(bad, l)),
+        chr(10)), '')) AS INT) AS clean_chars,
+      md5(coalesce(array_to_string(
+        list_filter(string_split(text, chr(10)), l -> NOT list_contains(bad, l)),
+        chr(10)), '')) AS clean_md5
+    FROM lined, bp ORDER BY doc_id
+    """,
+    tags=("webclean", "ccnet", "dedup"),
+)
+def boilerplate_line_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate strip: any line occurring in >= 20
+    distinct documents (the planted header/footer; plus body lines of
+    replicated near-duplicate docs if they clear the bar) is removed from
+    every document. Distributed shape (operators/webclean.py:
+    remove_boilerplate_lines): posexplode -> distinct-doc count shuffled
+    on the line value -> tiny frequent set broadcast back -> one
+    positional-rebuild shuffle on doc_id. The oracle recomputes the
+    frequent set naively and rewrites with list_filter."""
+    from llm_data_pipeline_spark.operators.webclean import remove_boilerplate_lines
+
+    out = remove_boilerplate_lines(
+        lined_documents(spark, sf_dir),
+        key_col="doc_id",
+        text_col="text",
+        min_docs=_BP_MIN_DOCS,
+    )
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "removed_lines",
+        F.length("clean_text").alias("clean_chars"),
+        F.md5("clean_text").alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# URL/domain governance: registered-domain extraction, blocklist, quota
+# ---------------------------------------------------------------------------
+
+_BLOCKLIST = ("src00.com", "src11.org", "src32.com")
+_DOMAIN_CAP = 3
+
+_URL_SQL = (
+    "'https://' || CASE WHEN doc_id % 4 = 0 THEN 'cdn.' ELSE '' END"
+    " || source || (doc_id % 3)::VARCHAR"
+    " || CASE WHEN doc_id % 2 = 0 THEN '.com' ELSE '.org' END"
+    " || '/d/' || doc_id::VARCHAR || '?utm_source=feed'"
+)
+
+
+@query(
+    "domain_quota_curation",
+    oracle=f"""
+    WITH u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
+    h AS (
+      SELECT doc_id,
+        string_split(lower(regexp_extract(url,
+          '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)', 1)), '.') AS labels
+      FROM u
+    ),
+    r AS (
+      SELECT doc_id,
+        CASE WHEN len(labels) >= 2
+             THEN labels[-2] || '.' || labels[-1]
+             ELSE array_to_string(labels, '.') END AS domain
+      FROM h
+    ),
+    q AS (
+      SELECT doc_id, domain,
+        CASE WHEN domain IN {_BLOCKLIST!r} THEN 1 ELSE 0 END AS blocked,
+        row_number() OVER (
+          PARTITION BY domain
+          ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT,
+                   doc_id) AS rn
+      FROM r
+    )
+    SELECT domain,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(blocked) AS BIGINT) AS n_blocked,
+      CAST(sum(CASE WHEN rn <= {_DOMAIN_CAP} AND blocked = 0
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      CAST(sum(CASE WHEN rn <= {_DOMAIN_CAP} AND blocked = 0
+               THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+    FROM q GROUP BY domain ORDER BY domain
+    """,
+    tags=("webclean", "curation", "governance"),
+)
+def domain_quota_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL -> registered domain -> blocklist + per-domain quota (cap 3
+    docs per domain, ranked by a deterministic md5-hash order — a seeded
+    uniform sample both engines replay). URLs are derived
+    deterministically from (source, doc_id) with cdn subdomains, mixed
+    TLDs and query strings so the authority parse does real work. One
+    shuffle on the domain key (operators/webclean.py:domain_quota_filter);
+    output is the per-domain governance report."""
+    from llm_data_pipeline_spark.operators.webclean import (
+        add_registered_domain,
+        domain_quota_filter,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    docs = docs.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("cdn.")).otherwise(F.lit("")),
+            F.col("source"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(".com")).otherwise(
+                F.lit(".org")
+            ),
+            F.lit("/d/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?utm_source=feed"),
+        ),
+    )
+    governed = domain_quota_filter(
+        add_registered_domain(docs, url_col="url", out_col="domain"),
+        domain_col="domain",
+        key_col="doc_id",
+        blocklist=_BLOCKLIST,
+        cap=_DOMAIN_CAP,
+    )
+    return (
+        governed.groupBy("domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("blocked").cast("long").alias("n_blocked"),
+            F.sum("quota_keep").cast("long").alias("n_kept"),
+            F.sum(F.col("doc_id") * F.col("quota_keep"))
+            .cast("long")
+            .alias("kept_id_sum"),
+        )
+        .orderBy("domain")
+    )
