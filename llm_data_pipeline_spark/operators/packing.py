@@ -285,3 +285,59 @@ def packing_meta(df_chunks: DataFrame, seq_len: int, eos_id: int = EOS_ID) -> di
         "total_chunks": n_chunks,
         "total_tokens_out": n_chunks * seq_len,
     }
+
+
+def pack_bins_next_fit(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    len_col: str = "n_tokens",
+    capacity: int = 96,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Whole-document next-fit bin packing into fixed-capacity bins.
+
+    The padding-trading counterpart of ``pack_chunks`` (T1): constant-
+    length packing concatenates and SPLITS documents across chunk
+    boundaries (zero padding, cross-document attention contamination);
+    next-fit keeps every document whole in exactly one bin (clean
+    attention, padding = whatever the greedy rule leaves). Production
+    sequence-packing pipelines pick per corpus; this engine offers both.
+
+    100-TB shape: a bin's contents depend on every earlier document in its
+    stream, so the fold is inherently sequential — the parallelism unit is
+    therefore the STREAM: shard by a deterministic bucket key
+    (``key % n_buckets``; at scale n_buckets = O(cluster cores), each
+    bucket packs independently with O(1) state (current fill), Arrow-
+    batched via applyInPandas. Only (key, tlen) 12-byte rows shuffle —
+    token payloads join back by key afterwards. Documents longer than
+    ``capacity`` are truncated to it (splitting is pack_chunks' job).
+
+    Returns one row per document: key_col, bucket, tlen (post-truncation),
+    bin_idx (0-based within bucket), bin_offset (token start inside bin).
+    Deterministic: buckets pack in ascending key order.
+    """
+    base = df.select(
+        F.col(key_col).cast("long").alias(key_col),
+        F.least(F.col(len_col), F.lit(capacity)).cast("int").alias("tlen"),
+    ).withColumn("bucket", (F.col(key_col) % n_buckets).cast("int"))
+
+    def pack(pdf):
+        pdf = pdf.sort_values(key_col).reset_index(drop=True)
+        bin_idx = 0
+        fill = 0
+        idxs, offs = [], []
+        for t in pdf["tlen"]:
+            if fill + int(t) > capacity:
+                bin_idx += 1
+                fill = 0
+            idxs.append(bin_idx)
+            offs.append(fill)
+            fill += int(t)
+        pdf["bin_idx"] = idxs
+        pdf["bin_offset"] = offs
+        return pdf
+
+    schema = (
+        f"{key_col} long, tlen int, bucket int, bin_idx int, bin_offset int"
+    )
+    return base.groupBy("bucket").applyInPandas(pack, schema)

@@ -687,3 +687,84 @@ def binary_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="total_tokens bigint, total_bytes bigint, byte_sum bigint, "
         "stream_checksum bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# whole-document next-fit bin packing (the padding-trading T1 counterpart)
+# ---------------------------------------------------------------------------
+
+_BIN_CAP = 96
+_BIN_BUCKETS = 16
+
+
+@query(
+    "sequence_pack_bins",
+    oracle=f"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id,
+             CAST(doc_id % {_BIN_BUCKETS} AS INT) AS bucket,
+             CAST(least(len(list_filter(string_split(trim(regexp_replace(
+                 lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' '),
+                 x -> x <> '')), {_BIN_CAP}) AS INT) AS tlen,
+             row_number() OVER (PARTITION BY doc_id % {_BIN_BUCKETS}
+                                ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    pack AS (
+      SELECT bucket, rn, doc_id, tlen,
+             0 AS bin_idx, tlen AS fill, 0 AS bin_offset
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.bucket, d.rn, d.doc_id, d.tlen,
+             CASE WHEN p.fill + d.tlen <= {_BIN_CAP}
+                  THEN p.bin_idx ELSE p.bin_idx + 1 END,
+             CASE WHEN p.fill + d.tlen <= {_BIN_CAP}
+                  THEN p.fill + d.tlen ELSE d.tlen END,
+             CASE WHEN p.fill + d.tlen <= {_BIN_CAP}
+                  THEN p.fill ELSE 0 END
+      FROM pack p JOIN d ON d.bucket = p.bucket AND d.rn = p.rn + 1
+    )
+    SELECT bucket, bin_idx,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(tlen) AS BIGINT) AS fill_tokens,
+      CAST({_BIN_CAP} - sum(tlen) AS BIGINT) AS padding,
+      CAST(sum(doc_id * (bin_offset + 1)) AS BIGINT) AS offset_checksum
+    FROM pack GROUP BY bucket, bin_idx ORDER BY bucket, bin_idx
+    """,
+    tags=("packing", "binpack", "tokenize"),
+)
+def sequence_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-document next-fit bin packing (capacity 96 whitespace tokens,
+    16 deterministic bucket streams): each doc lands WHOLE in one bin —
+    the clean-attention alternative to pack_constant_length's
+    split-across-chunks recipe. Packing is a sequential fold per stream,
+    so the bucket IS the parallelism unit (applyInPandas, O(1) state;
+    operators/packing.py:pack_bins_next_fit); only 12-byte (key, tlen)
+    rows shuffle. The oracle replays the greedy fold as a recursive CTE
+    advancing all 16 streams in lockstep — per-bin membership, fill and
+    every bin_offset are pinned via the offset checksum."""
+    from llm_data_pipeline_spark.functions.repetition import words_of
+    from llm_data_pipeline_spark.operators.packing import pack_bins_next_fit
+
+    docs = table(spark, sf_dir, "documents", scatter=True).select(
+        "doc_id", F.size(words_of(F.col("text"))).alias("n_tokens")
+    )
+    packed = pack_bins_next_fit(
+        docs,
+        key_col="doc_id",
+        len_col="n_tokens",
+        capacity=_BIN_CAP,
+        n_buckets=_BIN_BUCKETS,
+    )
+    return (
+        packed.groupBy("bucket", "bin_idx")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tlen").cast("long").alias("fill_tokens"),
+            (F.lit(_BIN_CAP) - F.sum("tlen")).cast("long").alias("padding"),
+            F.sum(F.col("doc_id") * (F.col("bin_offset") + 1))
+            .cast("long")
+            .alias("offset_checksum"),
+        )
+        .orderBy("bucket", "bin_idx")
+    )

@@ -184,3 +184,54 @@ def test_vocab_ids_deterministic_and_ranked(spark):
     assert vocab["b"][0] == N_SPECIAL + 1
     assert vocab["c"][0] == N_SPECIAL + 2
     assert vocab["d"][0] == N_SPECIAL + 3
+
+
+# --- whole-document next-fit bin packing ------------------------------------
+
+
+def _brute_next_fit(items, capacity):
+    """Reference fold: items = [(key, tlen)] sorted by key."""
+    out, bin_idx, fill = {}, 0, 0
+    for k, t in sorted(items):
+        t = min(t, capacity)
+        if fill + t > capacity:
+            bin_idx, fill = bin_idx + 1, 0
+        out[k] = (bin_idx, fill)
+        fill += t
+    return out
+
+
+def test_pack_bins_matches_brute_force_any_partitioning(spark):
+    from llm_data_pipeline_spark.operators.packing import pack_bins_next_fit
+
+    rows = [(i, 7 + (i * 13) % 90) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens int").repartition(7)
+    got = {
+        r.doc_id: (r.bucket, r.bin_idx, r.bin_offset, r.tlen)
+        for r in pack_bins_next_fit(df, capacity=64, n_buckets=4).collect()
+    }
+    assert len(got) == 200
+    for b in range(4):
+        ref = _brute_next_fit(
+            [(k, t) for k, t in rows if k % 4 == b], capacity=64
+        )
+        for k, (bin_idx, off) in ref.items():
+            assert got[k] == (b, bin_idx, off, min(dict(rows)[k], 64))
+
+
+def test_pack_bins_invariants_and_truncation(spark):
+    from llm_data_pipeline_spark.operators.packing import pack_bins_next_fit
+
+    rows = [(0, 500), (4, 30), (8, 40), (12, 40), (16, 0), (20, 64)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens int")
+    out = pack_bins_next_fit(df, capacity=64, n_buckets=4).collect()
+    by_key = {r.doc_id: r for r in out}
+    assert by_key[0].tlen == 64  # truncated to capacity
+    # every doc whole in exactly one bin; fills never exceed capacity
+    fills = {}
+    for r in out:
+        assert r.bin_offset + r.tlen <= 64
+        fills[(r.bucket, r.bin_idx)] = fills.get((r.bucket, r.bin_idx), 0) + r.tlen
+    assert all(v <= 64 for v in fills.values())
+    # zero-length doc is placed deterministically, not dropped
+    assert 16 in by_key
