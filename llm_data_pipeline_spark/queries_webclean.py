@@ -230,23 +230,55 @@ _URL_SQL = (
 )
 
 
+def domain_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, source, url, domain): deterministic URLs from
+    (source, doc_id) with cdn subdomains, mixed TLDs and query strings, so
+    the authority parse does real work; then registered-domain extraction."""
+    from llm_data_pipeline_spark.operators.webclean import add_registered_domain
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    docs = docs.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("cdn.")).otherwise(F.lit("")),
+            F.col("source"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(".com")).otherwise(
+                F.lit(".org")
+            ),
+            F.lit("/d/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?utm_source=feed"),
+        ),
+    )
+    return add_registered_domain(docs, url_col="url", out_col="domain")
+
+
+# DuckDB replay of URL construction + registered-domain extraction ->
+# CTE `dom(doc_id, domain)`; shared by the governance and PageRank queries.
+_DOMAIN_CTE = f"""
+u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
+h AS (
+  SELECT doc_id,
+    string_split(lower(regexp_extract(url,
+      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)', 1)), '.') AS labels
+  FROM u
+),
+dom AS (
+  SELECT doc_id,
+    CASE WHEN len(labels) >= 2
+         THEN labels[-2] || '.' || labels[-1]
+         ELSE array_to_string(labels, '.') END AS domain
+  FROM h
+)
+"""
+
+
 @query(
     "domain_quota_curation",
     oracle=f"""
-    WITH u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
-    h AS (
-      SELECT doc_id,
-        string_split(lower(regexp_extract(url,
-          '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)', 1)), '.') AS labels
-      FROM u
-    ),
-    r AS (
-      SELECT doc_id,
-        CASE WHEN len(labels) >= 2
-             THEN labels[-2] || '.' || labels[-1]
-             ELSE array_to_string(labels, '.') END AS domain
-      FROM h
-    ),
+    WITH {_DOMAIN_CTE},
     q AS (
       SELECT doc_id, domain,
         CASE WHEN domain IN {_BLOCKLIST!r} THEN 1 ELSE 0 END AS blocked,
@@ -254,7 +286,7 @@ _URL_SQL = (
           PARTITION BY domain
           ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT,
                    doc_id) AS rn
-      FROM r
+      FROM dom
     )
     SELECT domain,
       CAST(count(*) AS BIGINT) AS n_docs,
@@ -275,29 +307,10 @@ def domain_quota_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     TLDs and query strings so the authority parse does real work. One
     shuffle on the domain key (operators/webclean.py:domain_quota_filter);
     output is the per-domain governance report."""
-    from llm_data_pipeline_spark.operators.webclean import (
-        add_registered_domain,
-        domain_quota_filter,
-    )
+    from llm_data_pipeline_spark.operators.webclean import domain_quota_filter
 
-    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
-    docs = docs.withColumn(
-        "url",
-        F.concat(
-            F.lit("https://"),
-            F.when(F.col("doc_id") % 4 == 0, F.lit("cdn.")).otherwise(F.lit("")),
-            F.col("source"),
-            (F.col("doc_id") % 3).cast("string"),
-            F.when(F.col("doc_id") % 2 == 0, F.lit(".com")).otherwise(
-                F.lit(".org")
-            ),
-            F.lit("/d/"),
-            F.col("doc_id").cast("string"),
-            F.lit("?utm_source=feed"),
-        ),
-    )
     governed = domain_quota_filter(
-        add_registered_domain(docs, url_col="url", out_col="domain"),
+        domain_documents(spark, sf_dir),
         domain_col="domain",
         key_col="doc_id",
         blocklist=_BLOCKLIST,
@@ -315,3 +328,84 @@ def domain_quota_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("domain")
     )
+
+
+# ---------------------------------------------------------------------------
+# domain-graph PageRank (integer-exact power method, trajectory SQL-replayed)
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 10
+
+
+def _pr_oracle(iters: int = _PR_ITERS) -> str:
+    ctes = [
+        _DOMAIN_CTE.strip(),
+        "nn AS (SELECT count(*) AS n FROM documents)",
+        """pairs AS (
+      SELECT a.domain AS src, b.domain AS dst
+      FROM dom a, nn, dom b
+      WHERE b.doc_id = (a.doc_id * 17 + 3) % nn.n
+    )""",
+        """edges AS (
+      SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+      FROM pairs GROUP BY src, dst
+    )""",
+        "outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY src)",
+        """nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+    )""",
+        "r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes)",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""r{t} AS (
+      SELECT n2.node,
+             CAST(150000 + (85 * coalesce(i.inc, 0)) // 100 AS BIGINT) AS pr
+      FROM nodes n2 LEFT JOIN (
+        SELECT e.dst AS node, sum((r.pr * e.w) // o.ow) AS inc
+        FROM edges e
+        JOIN r{t-1} r ON r.node = e.src
+        JOIN outw o ON o.src = e.src
+        GROUP BY e.dst) i USING (node)
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT node AS domain, pr AS rank_micro FROM r{iters} ORDER BY domain
+    """
+    )
+
+
+@query(
+    "domain_pagerank_prior",
+    oracle=_pr_oracle(),
+    tags=("webclean", "graph", "pagerank", "iterative"),
+)
+def domain_pagerank_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-authority prior: 10 integer power-method PageRank iterations
+    over a deterministic domain link graph (doc d links to doc
+    (17d+3) mod N; edges aggregated to weighted domain pairs). Ranks are
+    BIGINT micro-units with damping 85/100 applied as integer division, so
+    the DuckDB oracle re-derives EVERY iteration from raw parquet via
+    unrolled CTEs — the same trajectory-replay convention as the in-engine
+    k-means. Per iteration: one edges-vs-ranks join + one groupBy(dst)
+    (operators/pagerank.py; lazy localCheckpoint keeps the plan flat).
+    This is the CommonCrawl-style domain ranking curation pipelines use
+    as a quality signal."""
+    from llm_data_pipeline_spark.operators.pagerank import pagerank_integer
+
+    dom = domain_documents(spark, sf_dir).select("doc_id", "domain")
+    n_docs = dom.count()  # 1-row driver aggregate (bounded)
+    a = dom.select(
+        F.col("domain").alias("src"),
+        ((F.col("doc_id") * 17 + 3) % n_docs).alias("_tid"),
+    )
+    b = dom.select(F.col("doc_id").alias("_tid"), F.col("domain").alias("dst"))
+    edges = a.join(b, "_tid").groupBy("src", "dst").agg(F.count("*").alias("w"))
+    ranks = pagerank_integer(edges, iters=_PR_ITERS)
+    return ranks.select(
+        F.col("node").alias("domain"), F.col("rank").alias("rank_micro")
+    ).orderBy("domain")
