@@ -250,3 +250,66 @@ def partitioned_sink_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# bucketed co-located fact-fact join (shuffle elimination via storage layout)
+# ---------------------------------------------------------------------------
+
+_BKT_N = 8
+
+
+@query(
+    "bucketed_colocated_join",
+    oracle="""
+    SELECT o_orderpriority,
+      CAST(count(*) AS BIGINT) AS n_items,
+      round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("sink", "bucketing", "join", "scale"),
+)
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB fact-fact join recipe: orders and lineitem are WRITTEN as
+    co-bucketed sorted tables on the join key (8 buckets, sortBy key), then
+    joined with a merge hint — with matching bucket specs Spark plans a
+    SortMergeJoin with NO Exchange on either side (neither fact shuffles;
+    neither fits a broadcast at scale). This is the layout a nightly
+    pipeline amortizes: pay the bucketed write once, join shuffle-free
+    every day after. Writes land under the pid-suffixed SINK_BASE; the
+    graded values are the join's per-priority revenue rollup, proving the
+    bucketed files carry exactly the source rows. Plan guard
+    (tests/test_webclean.py-style, in tests/test_skew.py): zero exchanges
+    feeding the join, one for the final aggregate."""
+    from llm_data_pipeline_spark.operators.skew import write_bucketed
+
+    sfx = f"{abs(hash(sf_dir)) % 10**8}_{os.getpid()}"
+    t_orders, t_items = f"bkt_orders_{sfx}", f"bkt_lineitem_{sfx}"
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key"), "o_orderpriority"
+    )
+    items = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("key"), "l_extendedprice", "l_discount"
+    )
+    write_bucketed(
+        orders, t_orders, "key", _BKT_N, path=f"{SINK_BASE}/{t_orders}"
+    )
+    write_bucketed(
+        items, t_items, "key", _BKT_N, path=f"{SINK_BASE}/{t_items}"
+    )
+    joined = (
+        spark.table(t_orders)
+        .hint("merge")
+        .join(spark.table(t_items).hint("merge"), "key")
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )

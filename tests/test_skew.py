@@ -57,3 +57,19 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_bucket_a")
         spark.sql("DROP TABLE IF EXISTS t_bucket_b")
+
+
+def test_graded_bucketed_join_plan_is_shuffle_free(spark, sf_dir):
+    """The graded query joins two co-bucketed facts: the SortMergeJoin must
+    consume the bucketed scans directly — the only exchanges allowed are
+    the final aggregate + ORDER BY (2), never the join inputs (4 if
+    bucketing were ignored)."""
+    from llm_data_pipeline_spark.plans import inspect as I
+    from llm_data_pipeline_spark.queries import REGISTRY, load_all
+
+    load_all()
+    df = REGISTRY["bucketed_colocated_join"].fn(spark, sf_dir)
+    plan = I.formatted_plan(df)
+    assert "SortMergeJoin" in plan
+    assert I.broadcast_join_count(df) == 0
+    assert I.shuffle_count(df) <= 2
