@@ -765,3 +765,176 @@ def doc_length_iqr_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus profiling report (per-column data-quality governance)
+# ---------------------------------------------------------------------------
+
+_PROFILE_STR_COLS = ("text", "lang", "source")
+_PROFILE_NUM_COLS = ("doc_id", "n_chars")
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c in sorted(_PROFILE_STR_COLS + _PROFILE_NUM_COLS):
+        if c in _PROFILE_STR_COLS:
+            avg = (
+                f"CAST((sum(length({c})) * 1000000 + count({c}) // 2)"
+                f" // count({c}) AS BIGINT)"
+            )
+        else:
+            avg = "CAST(NULL AS BIGINT)"
+        parts.append(
+            f"""SELECT '{c}' AS col_name,
+              CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+              CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+              CAST(min({c}) AS VARCHAR) AS min_val,
+              CAST(max({c}) AS VARCHAR) AS max_val,
+              {avg} AS avg_len_micro
+            FROM documents"""
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY col_name"
+
+
+@query(
+    "corpus_profile",
+    oracle=_profile_oracle(),
+    tags=("corpus", "profiling", "governance"),
+)
+def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-quality profile of the documents table: row/null/
+    EXACT-distinct counts, min/max, and mean string length in integer
+    micro-units (rounded division — no float crosses the engine boundary).
+    ONE pass over the data: a single wide aggregate computes every
+    column's metrics (Spark expands the 5 count-distincts into one
+    multi-pass Expand shuffle — the standard exact-distinct plan; swap to
+    approx_count_distinct at 100 TB when +-2% suffices, documented), then
+    a driverless stack() pivots the 1-row aggregate into the per-column
+    report. The oracle recomputes each column independently."""
+    docs = table(spark, sf_dir, "documents")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_STR_COLS + _PROFILE_NUM_COLS:
+        aggs += [
+            F.count(c).alias(f"nn_{c}"),
+            F.count_distinct(c).alias(f"nd_{c}"),
+            F.min(c).cast("string").alias(f"mn_{c}"),
+            F.max(c).cast("string").alias(f"mx_{c}"),
+        ]
+        if c in _PROFILE_STR_COLS:
+            aggs.append(F.sum(F.length(c)).alias(f"sl_{c}"))
+    one = docs.agg(*aggs)
+    stack_args = []
+    for c in sorted(_PROFILE_STR_COLS + _PROFILE_NUM_COLS):
+        if c in _PROFILE_STR_COLS:
+            avg = f"(sl_{c} * 1000000 + nn_{c} div 2) div nn_{c}"
+        else:
+            avg = "CAST(NULL AS BIGINT)"
+        stack_args.append(
+            f"'{c}', n_rows, n_rows - nn_{c}, nd_{c}, mn_{c}, mx_{c}, {avg}"
+        )
+    n = len(stack_args)
+    return one.selectExpr(
+        f"stack({n}, {', '.join(stack_args)}) AS "
+        "(col_name, n_rows, n_null, n_distinct, min_val, max_val,"
+        " avg_len_micro)"
+    ).orderBy("col_name")
+
+
+# ---------------------------------------------------------------------------
+# CDC merge/upsert (apply a daily change set over the corpus snapshot)
+# ---------------------------------------------------------------------------
+
+_MERGE_INS_OFFSET = 900_000
+_MERGE_P = 1_000_000_007
+_MERGE_TXT_HASH = DUCKDB_HASH60.format(s="coalesce(text, '')")
+
+
+@query(
+    "corpus_merge_upsert",
+    oracle=f"""
+    WITH inc AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0 THEN 'D' ELSE 'U' END AS op,
+             CASE WHEN doc_id % 11 = 0 THEN NULL
+                  ELSE 'updated ' || coalesce(text, '') END AS text
+      FROM documents WHERE doc_id % 11 = 0 OR doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + {_MERGE_INS_OFFSET}, 'I',
+             'new ' || coalesce(text, '')
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    j AS (
+      SELECT coalesce(b.doc_id, i.doc_id) AS doc_id,
+             CASE WHEN i.op = 'D' AND b.doc_id IS NOT NULL THEN 'deleted'
+                  WHEN i.op = 'D' THEN 'noop_delete'
+                  WHEN i.op IS NOT NULL AND b.doc_id IS NOT NULL THEN 'updated'
+                  WHEN i.op IS NOT NULL THEN 'inserted'
+                  ELSE 'unchanged' END AS action,
+             CASE WHEN i.op = 'D' THEN NULL
+                  WHEN i.op IS NOT NULL THEN i.text
+                  ELSE b.text END AS text
+      FROM documents b FULL OUTER JOIN inc i USING (doc_id)
+    )
+    SELECT action,
+      CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      CAST(sum(CASE WHEN action IN ('deleted', 'noop_delete') THEN NULL
+               ELSE {_MERGE_TXT_HASH} % {_MERGE_P} END) AS BIGINT)
+        AS content_hash_sum
+    FROM j GROUP BY action ORDER BY action
+    """,
+    tags=("corpus", "versioning", "merge", "cdc"),
+)
+def corpus_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-style MERGE INTO on plain parquet: a deterministic daily
+    change set (every 11th doc a takedown delete, every 5th a re-crawl
+    update, every 7th re-published under a new id) applied over the
+    documents snapshot via ONE key-partitioned full-outer join
+    (operators/versioning.py:merge_upsert — AQE broadcasts the increment
+    when small; inserted/updated labels derive from base existence, never
+    trusted from the op letter). Graded on the per-action counts, id sums
+    and surviving-content hash sums."""
+    from llm_data_pipeline_spark.operators.versioning import merge_upsert
+
+    base = table(spark, sf_dir, "documents").select("doc_id", "text")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    upd_del = base.filter(
+        (F.col("doc_id") % 11 == 0) | (F.col("doc_id") % 5 == 0)
+    ).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 11 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.when(
+            F.col("doc_id") % 11 == 0, F.lit(None).cast("string")
+        ).otherwise(F.concat(F.lit("updated "), txt)).alias("text"),
+    )
+    ins = base.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + _MERGE_INS_OFFSET).alias("doc_id"),
+        F.lit("I").alias("op"),
+        F.concat(F.lit("new "), txt).alias("text"),
+    )
+    merged = merge_upsert(
+        base, upd_del.unionByName(ins), key="doc_id", op_col="op",
+        value_cols=("text",),
+    )
+    gone = F.col("action").isin("deleted", "noop_delete")
+    return (
+        merged.groupBy("action")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+            F.sum(
+                F.when(
+                    ~gone,
+                    F.pmod(
+                        portable_hash60(F.coalesce(F.col("text"), F.lit(""))),
+                        F.lit(_MERGE_P),
+                    ),
+                )
+            )
+            .cast("long")
+            .alias("content_hash_sum"),
+        )
+        .orderBy("action")
+    )
