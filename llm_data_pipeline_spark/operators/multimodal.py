@@ -233,3 +233,65 @@ def decode_image_real(df: DataFrame, media_col: str = "media") -> DataFrame:
             yield pd.DataFrame(rows, columns=["width", "height", "mode"])
 
     return df.select(media_col).mapInPandas(_decode, schema)  # pragma: no cover
+
+
+def extract_body_text(
+    df: DataFrame, media_col: str = "media", out_col: str = "body_text"
+) -> DataFrame:
+    """Decode the payload BODY back to text (utf-8, lossy on bad bytes).
+
+    Real binary path: slices past the 12-byte header of raw payload bytes
+    in an Arrow-batched UDF. Rows without the codec magic decode to NULL.
+    This is the operator boundary where a real deployment plugs an actual
+    captioner/OCR/ASR model over the binary column.
+    """
+
+    @F.pandas_udf(StringType())
+    def _body(payloads: pd.Series) -> pd.Series:
+        out = []
+        for p in payloads:
+            b = bytes(p) if p is not None else b""
+            if b[:4] != MAGIC:
+                out.append(None)
+                continue
+            out.append(b[12:].decode("utf-8", errors="replace"))
+        return pd.Series(out, dtype="object")
+
+    return df.withColumn(out_col, _body(F.col(media_col)))
+
+
+def add_caption_alignment(
+    df: DataFrame,
+    caption_toks: str = "cap_toks",
+    body_toks: str = "body_toks",
+    out_col: str = "align_micro",
+) -> DataFrame:
+    """Positional token-match score in integer micro-units.
+
+    score = 10^6 * (#positions where the token arrays agree)
+                  / max(len_cap, len_body), pure integer division; two
+    empty sides score a perfect 10^6. Order-sensitive by design: type-set
+    overlap (Jaccard) saturates on small vocabularies, positional
+    agreement does not — and the arithmetic is exactly replayable in SQL
+    (no float division anywhere).
+    """
+    matches = F.aggregate(
+        F.zip_with(
+            F.col(caption_toks),
+            F.col(body_toks),
+            lambda x, y: F.coalesce((x == y).cast("long"), F.lit(0)),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    df = df.withColumn("_cap_match", matches).withColumn(
+        "_cap_longest",
+        F.greatest(F.size(caption_toks), F.size(body_toks)).cast("long"),
+    )
+    return df.withColumn(
+        out_col,
+        F.expr(
+            "CASE WHEN _cap_longest = 0 THEN CAST(1000000 AS BIGINT) "
+            "ELSE (_cap_match * 1000000) div _cap_longest END"
+        ),
+    ).drop("_cap_match", "_cap_longest")

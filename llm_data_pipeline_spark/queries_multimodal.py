@@ -139,3 +139,91 @@ def multimodal_resize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("media_meta.width").alias("width"),
         F.col("media_meta.n_bytes").alias("n_bytes"),
     ).orderBy("doc_id")
+
+
+_PAIR_NORM = (
+    "list_filter(string_split(trim(regexp_replace(lower(coalesce({x}, '')),"
+    " '\\s+', ' ', 'g')), ' '), t -> t <> '')"
+)
+_PAIR_KEEP = 900_000
+
+
+@query(
+    "multimodal_pair_filter",
+    oracle=f"""
+    WITH nn AS (SELECT count(*) AS n FROM documents),
+    p AS (
+      SELECT a.doc_id, a.source, a.text AS cap, b.text AS body
+      FROM documents a, nn, documents b
+      WHERE b.doc_id = CASE WHEN a.doc_id % 3 = 0
+                            THEN (a.doc_id + 1) % nn.n
+                            ELSE a.doc_id END
+    ),
+    t AS (
+      SELECT doc_id, source,
+             {_PAIR_NORM.format(x='cap')} AS ca,
+             {_PAIR_NORM.format(x='body')} AS bo
+      FROM p
+    ),
+    s AS (
+      SELECT doc_id, source,
+        CASE WHEN greatest(len(ca), len(bo)) = 0 THEN CAST(1000000 AS BIGINT)
+             ELSE (coalesce(list_sum(list_transform(
+                     range(least(len(ca), len(bo))),
+                     i -> CASE WHEN ca[i+1] = bo[i+1] THEN 1 ELSE 0 END)), 0)
+                   * 1000000) // greatest(len(ca), len(bo)) END AS align
+      FROM t
+    )
+    SELECT source,
+      CAST(count(*) AS BIGINT) AS n_pairs,
+      CAST(sum(CASE WHEN align >= {_PAIR_KEEP} THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_kept,
+      CAST(sum(align) AS BIGINT) AS align_micro_sum
+    FROM s GROUP BY source ORDER BY source
+    """,
+    tags=("multimodal", "binary", "curation", "pairs"),
+)
+def multimodal_pair_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAION-style image-text pair curation: every caption is paired with
+    a media payload (every 3rd deliberately mismatched to its neighbor's
+    payload), the payload BODY is decoded back from raw bytes
+    (extract_body_text — the boundary where a real captioner/OCR model
+    plugs in), and the pair keeps iff the positional token-alignment score
+    (integer micro-units, operators/multimodal.py:add_caption_alignment)
+    clears 0.9. Shape at 100 TB: the pair join is key-partitioned, the
+    scoring is a narrow Arrow-batched map, the rollup shuffles only
+    (source) keys. Oracle replays pairing + scoring in pure SQL."""
+    from llm_data_pipeline_spark.functions.repetition import words_of
+    from llm_data_pipeline_spark.operators.multimodal import (
+        add_caption_alignment,
+        extract_body_text,
+    )
+
+    docs = table(spark, sf_dir, "documents", scatter=True).select(
+        "doc_id", "source", "text"
+    )
+    n = docs.count()  # 1-row driver aggregate (bounded)
+    partner = F.when(
+        F.col("doc_id") % 3 == 0, (F.col("doc_id") + 1) % n
+    ).otherwise(F.col("doc_id"))
+    captions = docs.select("doc_id", "source", "text", partner.alias("_pid"))
+    media = attach_fake_media(
+        docs.select(F.col("doc_id").alias("_pid"), "text")
+    ).select("_pid", "media")
+    pairs = captions.join(media, "_pid")
+    pairs = extract_body_text(pairs)
+    pairs = pairs.withColumn("cap_toks", words_of(F.col("text"))).withColumn(
+        "body_toks", words_of(F.col("body_text"))
+    )
+    scored = add_caption_alignment(pairs)
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum((F.col("align_micro") >= _PAIR_KEEP).cast("int"))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum("align_micro").cast("long").alias("align_micro_sum"),
+        )
+        .orderBy("source")
+    )

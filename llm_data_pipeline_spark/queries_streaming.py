@@ -292,3 +292,49 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "streaming_ingest_dedup",
+    oracle="""
+    WITH base AS (
+      SELECT DISTINCT md5(coalesce(text, '')) AS digest
+      FROM documents WHERE doc_id % 2 = 0
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_new,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM base b
+                      WHERE b.digest = md5(coalesce(d.text, '')))
+    GROUP BY lang ORDER BY lang
+    """,
+    tags=("streaming", "dedup", "incremental"),
+)
+def streaming_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest exact dedup — the streaming twin of the batch
+    Bloom/incremental dedup family: the incoming document stream is
+    anti-joined PER MICRO-BATCH against the static base corpus's content-
+    digest set (stream-static left_anti, broadcast — digests are 32 bytes
+    per base doc; at 100 TB swap the broadcast for the Bloom bitmap of
+    operators/bloom.py, same join boundary), then only genuinely-new
+    documents roll up per language. No stream state for the dedup itself;
+    only the final aggregation keys shuffle. Oracle: the identical batch
+    anti-join — streaming == batch is the contract."""
+    docs_path = f"{sf_dir}/documents.parquet"
+    sdf = read_parquet_stream(spark, docs_path, ts_col=None)
+    base = (
+        spark.read.parquet(docs_path)
+        .filter(F.col("doc_id") % 2 == 0)
+        .select(F.md5(F.coalesce("text", F.lit(""))).alias("digest"))
+        .distinct()
+    )
+    new = sdf.withColumn(
+        "digest", F.md5(F.coalesce("text", F.lit("")))
+    ).join(F.broadcast(base), "digest", "left_anti")
+    agg = new.groupBy("lang").agg(
+        F.count("*").alias("n_new"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )
+    return run_to_memory(agg, mode="complete", state_partitions=4).orderBy(
+        "lang"
+    )

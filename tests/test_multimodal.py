@@ -90,3 +90,50 @@ def test_real_codec_path_is_gated(media_df):
         pass
     with pytest.raises(NotImplementedError):
         decode_image_real(media_df)
+
+
+def test_extract_body_text_roundtrip_and_bad_magic(spark):
+    from pyspark.sql import functions as F
+
+    from llm_data_pipeline_spark.operators.multimodal import (
+        attach_fake_media,
+        extract_body_text,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r.body_text
+        for r in extract_body_text(attach_fake_media(df)).collect()
+    }
+    assert out[1] == "hello world" and out[2] == ""
+    bad = spark.createDataFrame([(3,)], "doc_id long").withColumn(
+        "media", F.lit(b"NOTMAGIC-payload")
+    )
+    assert extract_body_text(bad).collect()[0].body_text is None
+
+
+def test_caption_alignment_score_cases(spark):
+    from pyspark.sql import functions as F
+
+    from llm_data_pipeline_spark.operators.multimodal import (
+        add_caption_alignment,
+    )
+
+    rows = [
+        (1, ["a", "b", "c"], ["a", "b", "c"]),  # perfect -> 1_000_000
+        (2, ["a", "b", "c", "d"], ["a", "x", "c"]),  # 2 of max(4,3)
+        (3, [], []),  # both empty -> perfect by convention
+        (4, ["a"], []),  # nothing aligns
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, cap_toks array<string>, body_toks array<string>"
+    )
+    got = {
+        r.doc_id: r.align_micro for r in add_caption_alignment(df).collect()
+    }
+    assert got[1] == 1_000_000
+    assert got[2] == 2 * 1_000_000 // 4
+    assert got[3] == 1_000_000
+    assert got[4] == 0
