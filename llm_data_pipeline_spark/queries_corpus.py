@@ -784,7 +784,7 @@ def _profile_oracle() -> str:
                 f" // count({c}) AS BIGINT)"
             )
         else:
-            avg = "CAST(NULL AS BIGINT)"
+            avg = "CAST(-1 AS BIGINT)"
         parts.append(
             f"""SELECT '{c}' AS col_name,
               CAST(count(*) AS BIGINT) AS n_rows,
@@ -830,7 +830,7 @@ def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         if c in _PROFILE_STR_COLS:
             avg = f"(sl_{c} * 1000000 + nn_{c} div 2) div nn_{c}"
         else:
-            avg = "CAST(NULL AS BIGINT)"
+            avg = "CAST(-1 AS BIGINT)"
         stack_args.append(
             f"'{c}', n_rows, n_rows - nn_{c}, nd_{c}, mn_{c}, mx_{c}, {avg}"
         )
@@ -880,8 +880,8 @@ _MERGE_TXT_HASH = DUCKDB_HASH60.format(s="coalesce(text, '')")
     SELECT action,
       CAST(count(*) AS BIGINT) AS n,
       CAST(sum(doc_id) AS BIGINT) AS id_sum,
-      CAST(sum(CASE WHEN action IN ('deleted', 'noop_delete') THEN NULL
-               ELSE {_MERGE_TXT_HASH} % {_MERGE_P} END) AS BIGINT)
+      CAST(coalesce(sum(CASE WHEN action IN ('deleted', 'noop_delete') THEN NULL
+               ELSE {_MERGE_TXT_HASH} % {_MERGE_P} END), -1) AS BIGINT)
         AS content_hash_sum
     FROM j GROUP BY action ORDER BY action
     """,
@@ -924,14 +924,19 @@ def corpus_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n"),
             F.sum("doc_id").cast("long").alias("id_sum"),
-            F.sum(
-                F.when(
-                    ~gone,
-                    F.pmod(
-                        portable_hash60(F.coalesce(F.col("text"), F.lit(""))),
-                        F.lit(_MERGE_P),
-                    ),
-                )
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        ~gone,
+                        F.pmod(
+                            portable_hash60(
+                                F.coalesce(F.col("text"), F.lit(""))
+                            ),
+                            F.lit(_MERGE_P),
+                        ),
+                    )
+                ),
+                F.lit(-1),
             )
             .cast("long")
             .alias("content_hash_sum"),
