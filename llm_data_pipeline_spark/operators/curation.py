@@ -267,3 +267,53 @@ def temperature_mixture(
         .where(u < F.col("_p"))
         .drop("_p", "_mix_src")
     )
+
+
+def k_anonymize(
+    df: DataFrame,
+    quasi_cols: tuple[str, str, str] = ("lang", "source", "len_bucket"),
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymous metadata release with a 2-step generalization ladder.
+
+    Engine-native governance extension: before publishing corpus
+    statistics keyed by quasi-identifiers (the classic re-identification
+    vector), every released group must contain >= k rows. Groups failing
+    k at the full key (a, b, c) generalize to (a, '*', c); still-failing
+    groups generalize to ('*', '*', '*'); the catch-all is released with
+    its own size (callers may withhold it if it too is < k — the flag
+    says). Deterministic: no sampling, pure aggregation.
+
+    100-TB shape: three groupBys, each strictly coarser than the last, so
+    each re-aggregates only the FAILING slice of the previous level (the
+    survivors never re-shuffle); partial aggregation bounds every shuffle
+    by the (tiny) quasi-identifier domain, not corpus rows.
+
+    Returns (a, b, c, n, level) — level 0/1/2 by how far the group had to
+    generalize; every level-0/1 row has n >= k.
+    """
+    a, b, c = quasi_cols
+    g0 = df.groupBy(a, b, c).agg(F.count("*").alias("n"))
+    ok0 = g0.filter(F.col("n") >= k).withColumn("level", F.lit(0))
+    fail0 = g0.filter(F.col("n") < k)
+    g1 = (
+        fail0.groupBy(a, c)
+        .agg(F.sum("n").alias("n"))
+        .withColumn(b, F.lit("*"))
+    )
+    ok1 = g1.filter(F.col("n") >= k).withColumn("level", F.lit(1))
+    fail1 = g1.filter(F.col("n") < k)
+    g2 = (
+        fail1.agg(F.sum("n").alias("n"))
+        .withColumn(a, F.lit("*"))
+        .withColumn(b, F.lit("*"))
+        .withColumn(c, F.lit(-1))
+        .filter(F.col("n").isNotNull())  # empty fail-set -> no catch-all row
+        .withColumn("level", F.lit(2))
+    )
+    cols = [a, b, c, "n", "level"]
+    return (
+        ok0.select(*cols)
+        .unionByName(ok1.select(*cols))
+        .unionByName(g2.select(*cols))
+    )

@@ -383,3 +383,65 @@ def temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymous metadata release (governance)
+# ---------------------------------------------------------------------------
+
+_KANON_K = 5
+
+
+@query(
+    "k_anonymity_release",
+    oracle=f"""
+    WITH g0 AS (
+      SELECT lang, source, n_chars // 100 AS len_bucket,
+             CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1, 2, 3
+    ),
+    ok0 AS (SELECT lang, source, len_bucket, n, 0 AS level
+            FROM g0 WHERE n >= {_KANON_K}),
+    fail0 AS (SELECT * FROM g0 WHERE n < {_KANON_K}),
+    g1 AS (
+      SELECT lang, '*' AS source, len_bucket, CAST(sum(n) AS BIGINT) AS n
+      FROM fail0 GROUP BY lang, len_bucket
+    ),
+    ok1 AS (SELECT lang, source, len_bucket, n, 1 AS level
+            FROM g1 WHERE n >= {_KANON_K}),
+    fail1 AS (SELECT * FROM g1 WHERE n < {_KANON_K}),
+    g2 AS (
+      SELECT '*' AS lang, '*' AS source, -1 AS len_bucket,
+             CAST(sum(n) AS BIGINT) AS n, 2 AS level
+      FROM fail1 HAVING sum(n) IS NOT NULL
+    )
+    SELECT lang, source, CAST(len_bucket AS BIGINT) AS len_bucket, n,
+           CAST(level AS INT) AS level
+    FROM (SELECT * FROM ok0 UNION ALL SELECT * FROM ok1
+          UNION ALL SELECT * FROM g2)
+    ORDER BY level, lang, source, len_bucket
+    """,
+    tags=("curation", "governance", "privacy"),
+)
+def k_anonymity_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymous corpus-metadata release (k=5) over the quasi-identifier
+    key (lang, source, 100-char length bucket) with a 2-step
+    generalization ladder: failing groups generalize source to '*', then
+    everything to the catch-all (operators/curation.py:k_anonymize).
+    Every level-0/1 row is guaranteed >= k; each ladder step re-shuffles
+    only the failing slice, bounded by the quasi-identifier domain."""
+    from llm_data_pipeline_spark.operators.curation import k_anonymize
+
+    docs = table(spark, sf_dir, "documents").select(
+        "lang", "source", F.expr("n_chars div 100").alias("len_bucket")
+    )
+    out = k_anonymize(
+        docs, quasi_cols=("lang", "source", "len_bucket"), k=_KANON_K
+    )
+    return out.select(
+        "lang",
+        "source",
+        F.col("len_bucket").cast("long").alias("len_bucket"),
+        F.col("n").cast("long").alias("n"),
+        F.col("level").cast("int").alias("level"),
+    ).orderBy("level", "lang", "source", "len_bucket")

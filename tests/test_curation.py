@@ -280,3 +280,33 @@ def test_temperature_mixture_null_source_not_dropped(spark):
     n_a = sum(1 for r in kept if r.source == "a")
     # equal-mass strata -> equal keep probability; both must be sampled
     assert n_null > 0 and n_a > 0
+
+
+def test_k_anonymize_ladder_and_guarantee(spark):
+    from llm_data_pipeline_spark.operators.curation import k_anonymize
+
+    rows = (
+        [("en", "a", 1)] * 6  # level 0
+        + [("en", "b", 2)] * 2  # fails alone...
+        + [("en", "c", 2)] * 3  # ...generalizes with this to (en,*,2)=5
+        + [("de", "d", 3)] * 1  # falls through to catch-all
+        + [("fr", "e", 4)] * 2  # catch-all too
+    )
+    df = spark.createDataFrame(rows, "lang string, source string, len_bucket int")
+    out = {(r.lang, r.source, r.len_bucket): r for r in k_anonymize(df, k=5).collect()}
+    assert out[("en", "a", 1)].n == 6 and out[("en", "a", 1)].level == 0
+    assert out[("en", "*", 2)].n == 5 and out[("en", "*", 2)].level == 1
+    assert out[("*", "*", -1)].n == 3 and out[("*", "*", -1)].level == 2
+    # guarantee: every released level-0/1 group has >= k members
+    assert all(r.n >= 5 for r in out.values() if r.level < 2)
+    assert len(out) == 3
+
+
+def test_k_anonymize_no_catchall_when_nothing_fails(spark):
+    from llm_data_pipeline_spark.operators.curation import k_anonymize
+
+    df = spark.createDataFrame(
+        [("en", "a", 1)] * 7, "lang string, source string, len_bucket int"
+    )
+    out = k_anonymize(df, k=5).collect()
+    assert len(out) == 1 and out[0].level == 0
