@@ -1,0 +1,81 @@
+"""Deterministic, cross-engine-replayable cardinality sketch (HLL-style).
+
+Engine-native extension: Spark's builtin ``approx_count_distinct`` is the
+production tool at 100 TB, but its HLL++ registers are not replayable by
+another engine, so it can only ever be rows-only-checked. This operator is
+a from-first-principles HyperLogLog (Flajolet et al. 2007) built ENTIRELY
+from the portable md5 hash family and integer arithmetic, so a DuckDB
+oracle reproduces the registers, the estimate, and the error-bound flag
+bit-for-bit:
+
+- h = portable_hash60(value); bucket = h mod m (m=64); w = next 30 bits;
+- register[j] = max over values of rho(w) = 31 - bit_length(w)
+  (rho = leading-zero count of the 30-bit word + 1; w=0 -> 31);
+- raw estimate = alpha_m * m^2 / sum(2^-reg), computed scale-free as
+  ALPHA_NUM div S where S = sum(2^(30-reg)) is an EXACT int64 (the float
+  harmonic mean is order-dependent; the scaled integer sum is not);
+- small-range correction: raw <= 2.5m and V zero registers > 0 ->
+  linear counting m*ln(m/V) (ln on one of 64 rational inputs, rounded to
+  micro-units once — cross-engine stable).
+
+The sketch is MERGEABLE (max per register), the whole build is one
+groupBy(bucket) whose shuffle is bounded by m, and duplicates need no
+pre-distinct (max over repeated values is a no-op) — the properties that
+make it the 100-TB distinct-count primitive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from llm_data_pipeline_spark.functions.hashing import portable_hash60
+
+M = 64
+W_BITS = 30
+W_MOD = 1 << W_BITS
+#: alpha_64 = 0.7213 / (1 + 1.079/64), in micro-units.
+ALPHA_MICRO = round(0.7213 / (1 + 1.079 / M) * 1_000_000)
+#: integer numerator of the raw estimate (micro-units): alpha * m^2 * 2^30.
+ALPHA_NUM = ALPHA_MICRO * M * M * W_MOD
+#: small-range threshold 2.5m, in micro-units.
+SMALL_RANGE_MICRO = int(2.5 * M) * 1_000_000
+
+
+def hll_sketch(df: DataFrame, value: Column) -> DataFrame:
+    """One row: (register_sum, zero_registers, est_micro).
+
+    ``est_micro`` is the cardinality estimate in micro-units (divide by
+    1e6); ``register_sum`` = sum(2^(30-reg)) pins every register's value
+    modulo permutation; ``zero_registers`` drives the small-range path.
+    """
+    h = portable_hash60(value)
+    hashed = df.select((h % M).alias("bucket"), h.alias("_h")).withColumn(
+        "w", F.expr(f"(_h div {M}) % {W_MOD}")
+    )
+    rho = F.when(F.col("w") == 0, F.lit(W_BITS + 1)).otherwise(
+        F.lit(W_BITS + 1) - F.length(F.bin(F.col("w")))
+    )
+    regs = hashed.select("bucket", rho.alias("rho")).groupBy("bucket").agg(
+        F.max("rho").alias("rho")
+    )
+    spine = df.sparkSession.range(M).select(F.col("id").alias("bucket"))
+    reg = spine.join(regs, "bucket", "left").select(
+        F.coalesce("rho", F.lit(0)).alias("r0")
+    )
+    agg = reg.agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {W_BITS} - r0)"))
+        .cast("long")
+        .alias("register_sum"),
+        F.sum((F.col("r0") == 0).cast("int")).cast("long").alias(
+            "zero_registers"
+        ),
+    )
+    raw = F.expr(f"CAST({ALPHA_NUM} AS BIGINT) div register_sum")
+    linear = F.round(
+        F.lit(float(M)) * F.log(F.lit(float(M)) / F.col("zero_registers")) * 1e6
+    ).cast("long")
+    est = F.when(
+        (raw <= SMALL_RANGE_MICRO) & (F.col("zero_registers") > 0), linear
+    ).otherwise(raw)
+    return agg.withColumn("est_micro", est)

@@ -943,3 +943,94 @@ def corpus_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("action")
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic HLL cardinality sketch (error bound graded cross-engine)
+# ---------------------------------------------------------------------------
+
+
+def _hll_oracle() -> str:
+    from llm_data_pipeline_spark.operators.sketches import (
+        ALPHA_NUM,
+        M,
+        SMALL_RANGE_MICRO,
+        W_BITS,
+        W_MOD,
+    )
+
+    h = DUCKDB_HASH60.format(s="coalesce(text, '')")
+    return f"""
+    WITH b AS (
+      SELECT {h} % {M} AS bucket, ({h} // {M}) % {W_MOD} AS w
+      FROM documents
+    ),
+    r AS (
+      SELECT bucket,
+             max(CASE WHEN w = 0 THEN {W_BITS + 1}
+                 ELSE {W_BITS + 1} - length(bin(w)) END) AS rho
+      FROM b GROUP BY bucket
+    ),
+    spine AS (SELECT unnest(range({M})) AS bucket),
+    reg AS (SELECT coalesce(r.rho, 0) AS r0
+            FROM spine s LEFT JOIN r ON r.bucket = s.bucket),
+    agg AS (
+      SELECT CAST(sum(1::BIGINT << ({W_BITS} - r0)) AS BIGINT) AS register_sum,
+             CAST(sum(CASE WHEN r0 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS zero_registers
+      FROM reg
+    ),
+    est AS (
+      SELECT register_sum, zero_registers,
+        CAST(CASE WHEN {ALPHA_NUM} // register_sum <= {SMALL_RANGE_MICRO}
+                       AND zero_registers > 0
+             THEN CAST(round({M} * ln({M}.0 / zero_registers) * 1000000)
+                       AS BIGINT)
+             ELSE {ALPHA_NUM} // register_sum END AS BIGINT) AS est_micro
+      FROM agg
+    ),
+    e AS (SELECT CAST(count(DISTINCT coalesce(text, '')) AS BIGINT)
+                   AS exact_distinct FROM documents)
+    SELECT exact_distinct, est_micro, register_sum, zero_registers,
+      CAST(CASE WHEN 5 * abs(est_micro - exact_distinct * 1000000)
+                     <= exact_distinct * 1000000
+           THEN 1 ELSE 0 END AS INT) AS within_20pct
+    FROM est, e ORDER BY exact_distinct
+    """
+
+
+@query(
+    "hll_distinct_sketch",
+    oracle=_hll_oracle(),
+    tags=("corpus", "sketch", "approx", "distinct"),
+)
+def hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct text count via a from-first-principles HyperLogLog built
+    on the portable md5 hash family — unlike approx_count_distinct's
+    HLL++, EVERY register, the scaled-integer harmonic mean, the
+    small-range linear-counting switch and the 20%-error flag are
+    replayed bit-for-bit by the DuckDB oracle (operators/sketches.py).
+    The sketch is mergeable (max per register) and its build is one
+    groupBy whose shuffle is bounded by m=64 — the 100-TB distinct-count
+    primitive, here with its accuracy claim GRADED instead of assumed."""
+    from llm_data_pipeline_spark.operators.sketches import hll_sketch
+
+    docs = table(spark, sf_dir, "documents", scatter=True)
+    sk = hll_sketch(docs, F.coalesce(F.col("text"), F.lit("")))
+    exact = docs.agg(
+        F.count_distinct(F.coalesce(F.col("text"), F.lit(""))).alias(
+            "exact_distinct"
+        )
+    )
+    out = exact.crossJoin(sk)
+    within = (
+        5 * F.abs(F.col("est_micro") - F.col("exact_distinct") * 1_000_000)
+        <= F.col("exact_distinct") * 1_000_000
+    )
+    return out.select(
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        "est_micro",
+        "register_sum",
+        "zero_registers",
+        within.cast("int").alias("within_20pct"),
+    ).orderBy("exact_distinct")

@@ -43,3 +43,69 @@ def test_count_min_sketch_frequencies(spark, sf_dir):
         for r in e.groupBy("event_type").count().collect()
     }
     assert sum(exact.values()) == e.count()
+
+
+# --- deterministic (oracle-replayable) HLL -----------------------------------
+
+
+def _brute_hll(values):
+    import hashlib
+
+    from llm_data_pipeline_spark.operators.sketches import (
+        ALPHA_NUM,
+        M,
+        SMALL_RANGE_MICRO,
+        W_BITS,
+        W_MOD,
+    )
+
+    regs = [0] * M
+    for v in values:
+        h = int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
+        b, w = h % M, (h // M) % W_MOD
+        rho = W_BITS + 1 if w == 0 else W_BITS + 1 - w.bit_length()
+        regs[b] = max(regs[b], rho)
+    s = sum(1 << (W_BITS - r) for r in regs)
+    v0 = sum(1 for r in regs if r == 0)
+    raw = ALPHA_NUM // s
+    if raw <= SMALL_RANGE_MICRO and v0 > 0:
+        import math
+
+        return s, v0, round(M * math.log(M / v0) * 1e6)
+    return s, v0, raw
+
+
+def test_hll_matches_brute_force_and_small_range(spark):
+    from pyspark.sql import functions as F
+
+    from llm_data_pipeline_spark.operators.sketches import hll_sketch
+
+    for n in (7, 40, 2000):  # small-range (linear counting) and raw paths
+        vals = [f"value-{i}" for i in range(n)] * 3  # duplicates are free
+        df = spark.createDataFrame([(v,) for v in vals], "v string")
+        got = hll_sketch(df.repartition(5), F.col("v")).collect()[0]
+        s, v0, est = _brute_hll(vals)
+        assert (got.register_sum, got.zero_registers, got.est_micro) == (
+            s,
+            v0,
+            est,
+        ), f"n={n}"
+        # sketch accuracy: within 25% at every tested cardinality
+        assert abs(got.est_micro / 1e6 - n) / n < 0.25
+
+
+def test_hll_is_mergeable(spark):
+    from pyspark.sql import functions as F
+
+    from llm_data_pipeline_spark.operators.sketches import hll_sketch
+
+    a = [(f"a-{i}",) for i in range(300)]
+    b = [(f"b-{i}",) for i in range(300)] + a[:100]  # overlap
+    df_a = spark.createDataFrame(a, "v string")
+    df_b = spark.createDataFrame(b, "v string")
+    whole = hll_sketch(df_a.union(df_b), F.col("v")).collect()[0]
+    # merge = max per register == sketch of the union stream: identical
+    # register state, hence identical estimate
+    again = hll_sketch(df_b.union(df_a), F.col("v")).collect()[0]
+    assert whole.register_sum == again.register_sum
+    assert whole.est_micro == again.est_micro
