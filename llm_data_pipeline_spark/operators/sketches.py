@@ -79,3 +79,75 @@ def hll_sketch(df: DataFrame, value: Column) -> DataFrame:
         (raw <= SMALL_RANGE_MICRO) & (F.col("zero_registers") > 0), linear
     ).otherwise(raw)
     return agg.withColumn("est_micro", est)
+
+
+# --- Count-Min frequency sketch ---------------------------------------------
+
+CM_D = 4
+CM_W = 1031  # prime, so Kirsch-Mitzenmacher double hashing never degenerates
+_KM_SPLIT = 1 << 30
+
+
+def _cm_buckets(value: Column) -> list[Column]:
+    """d bucket indices from ONE md5 via Kirsch-Mitzenmacher double
+    hashing: g_i(x) = (h1 + i*h2) mod w with (h1, h2) = the two 30-bit
+    halves of portable_hash60(x). One hash per value instead of d salted
+    hashes (measured 4x less md5 work — the dominant sketch cost); w prime
+    keeps the g_i family non-degenerate for any h2 (same construction as
+    operators/bloom.py). Exactly replayable in SQL.
+    """
+    h = portable_hash60(value)
+    # exact integer split (shift/mask — float division of a 60-bit value
+    # would round above 2^53 and break the cross-engine replay)
+    h1 = F.shiftright(h, 30)
+    h2 = h.bitwiseAND(F.lit(_KM_SPLIT - 1))
+    return [(h1 + F.lit(i) * h2) % CM_W for i in range(CM_D)]
+
+
+def cm_build(items: DataFrame, value_col: str = "gram") -> DataFrame:
+    """Count-Min counter table (Cormode & Muthukrishnan 2005): d=4 rows of
+    w=1031 counters. Mergeable (counters add); the build is ONE
+    aggregation whose output is bounded by d*w rows regardless of corpus
+    size — partial aggregation collapses the exploded (row, bucket) stream
+    map-side, so the shuffle carries at most d*w keys per partition.
+    Returns (row, bucket, cnt).
+    """
+    buckets = _cm_buckets(F.col(value_col))
+    # ONE scan: the d (row, bucket) probes explode from an inline array —
+    # a d-branch union would re-scan (and re-hash) the input per branch.
+    pairs = F.array(
+        *[
+            F.struct(F.lit(i).alias("row"), b.alias("bucket"))
+            for i, b in enumerate(buckets)
+        ]
+    )
+    return (
+        items.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.row").alias("row"), F.col("p.bucket").alias("bucket"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def cm_estimate(
+    counters: DataFrame, queries: DataFrame, value_col: str = "gram"
+) -> DataFrame:
+    """Point estimates: est(x) = min over rows of counter[row][g_row(x)].
+
+    The counter table is d*w rows — broadcast it; each query value costs d
+    lookups and a min. Guarantee: est >= true always; est <= true + 2N/w
+    with prob >= 1 - 2^-d (graded as a flag, not assumed).
+    """
+    buckets = _cm_buckets(F.col(value_col))
+    pairs = F.array(
+        *[
+            F.struct(F.lit(i).alias("row"), b.alias("bucket"))
+            for i, b in enumerate(buckets)
+        ]
+    )
+    probes = queries.select(
+        F.col(value_col), F.explode(pairs).alias("p")
+    ).select(value_col, F.col("p.row").alias("row"), F.col("p.bucket").alias("bucket"))
+    joined = probes.join(F.broadcast(counters), ["row", "bucket"], "left")
+    return joined.groupBy(value_col).agg(
+        F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("est")
+    )

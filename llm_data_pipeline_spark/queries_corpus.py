@@ -1034,3 +1034,134 @@ def hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "zero_registers",
         within.cast("int").alias("within_20pct"),
     ).orderBy("exact_distinct")
+
+
+# ---------------------------------------------------------------------------
+# Count-Min frequency sketch (overestimate + tightness bounds graded)
+# ---------------------------------------------------------------------------
+
+_CM_TOPK = 20
+_CM_ABSENT = 5
+
+
+def _cm_oracle() -> str:
+    from llm_data_pipeline_spark.operators.sketches import CM_D, CM_W
+
+    h = DUCKDB_HASH60.format(s="gram")
+    km = [
+        f"(({h} >> 30) + {i} * ({h} & 1073741823)) % {CM_W}"
+        for i in range(CM_D)
+    ]
+    counter_ctes = " UNION ALL ".join(
+        f"SELECT {i} AS row, {km[i]} AS bucket FROM grams"
+        for i in range(CM_D)
+    )
+    probe_ctes = " UNION ALL ".join(
+        f"SELECT gram, {i} AS row, {km[i]} AS bucket FROM q"
+        for i in range(CM_D)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT list_filter(string_split(trim(regexp_replace(lower(coalesce(text,'')),
+                         '\\s+', ' ', 'g')), ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    grams AS (
+      SELECT unnest(CASE WHEN len(toks) >= {_HH_N} THEN
+               list_transform(range(0, len(toks) - {_HH_N} + 1),
+                 i -> array_to_string(toks[i+1:i+{_HH_N}], ' '))
+             ELSE []::VARCHAR[] END) AS gram
+      FROM toks
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM grams),
+    counters AS (
+      SELECT row, bucket, CAST(count(*) AS BIGINT) AS cnt
+      FROM ({counter_ctes}) GROUP BY row, bucket
+    ),
+    exact AS (
+      SELECT gram, CAST(count(*) AS BIGINT) AS true_cnt
+      FROM grams GROUP BY gram
+    ),
+    q AS (
+      SELECT gram, true_cnt FROM (
+        SELECT gram, true_cnt,
+               row_number() OVER (ORDER BY true_cnt DESC, gram) AS rk
+        FROM exact) WHERE rk <= {_CM_TOPK}
+      UNION ALL
+      SELECT 'planted absent gram ' || i::VARCHAR AS gram,
+             CAST(0 AS BIGINT) AS true_cnt
+      FROM unnest(range({_CM_ABSENT})) t(i)
+    ),
+    probes AS ({probe_ctes}),
+    est AS (
+      SELECT p.gram, min(coalesce(c.cnt, 0)) AS est
+      FROM probes p LEFT JOIN counters c USING (row, bucket)
+      GROUP BY p.gram
+    )
+    SELECT q.gram, q.true_cnt, CAST(est AS BIGINT) AS est,
+      CAST(CASE WHEN est >= q.true_cnt THEN 1 ELSE 0 END AS INT) AS over_ok,
+      CAST(CASE WHEN est - q.true_cnt <= (2 * nn.n) // {CM_W}
+           THEN 1 ELSE 0 END AS INT) AS tight
+    FROM q JOIN est USING (gram), nn
+    ORDER BY q.true_cnt DESC, q.gram
+    """
+
+
+@query(
+    "cm_frequency_sketch",
+    oracle=_cm_oracle(),
+    tags=("corpus", "sketch", "approx", "frequency"),
+)
+def cm_frequency_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch over word 3-grams, with both CM
+    guarantees GRADED per probe: est >= true (always) and
+    est - true <= 2N/w (w.h.p.). Probes = the top-20 exact grams + 5
+    planted absent grams. The counter build is one aggregation bounded by
+    d*w = 4096 keys regardless of corpus size; lookups broadcast the
+    counter table (operators/sketches.py). The oracle rebuilds counters,
+    estimates and both flags bit-for-bit from raw parquet — completing the
+    graded sketch family: exact heavy hitters (Misra-Gries), cardinality
+    (HLL), frequency (CM)."""
+    from llm_data_pipeline_spark.functions.repetition import (
+        word_ngrams_all,
+        words_of,
+    )
+    from llm_data_pipeline_spark.operators.sketches import CM_W, cm_build, cm_estimate
+
+    docs = table(spark, sf_dir, "documents", scatter=True).select("text")
+    # stage the token array behind a real column boundary: inlining
+    # words_of() into the n-gram lambda re-tokenizes per gram (trap #1)
+    toks = docs.select(words_of(F.col("text")).alias("_toks"))
+    grams = toks.select(
+        F.explode(word_ngrams_all(F.col("_toks"), _HH_N)).alias("gram")
+    )
+    grams = grams.localCheckpoint(eager=False)  # 3 consumers: N, build, top-k
+    n_row = grams.agg(F.count("*").cast("long").alias("n"))
+    counters = cm_build(grams, "gram")
+    exact = grams.groupBy("gram").agg(F.count("*").cast("long").alias("true_cnt"))
+    top = (
+        exact.orderBy(F.desc("true_cnt"), "gram")
+        .limit(_CM_TOPK)
+        .select("gram", "true_cnt")
+    )
+    absent = spark.range(_CM_ABSENT).select(
+        F.concat(F.lit("planted absent gram "), F.col("id").cast("string")).alias(
+            "gram"
+        ),
+        F.lit(0).cast("long").alias("true_cnt"),
+    )
+    probes = top.unionByName(absent)
+    est = cm_estimate(counters, probes.select("gram"), "gram")
+    out = probes.join(est, "gram").crossJoin(F.broadcast(n_row))
+    return out.select(
+        "gram",
+        "true_cnt",
+        "est",
+        (F.col("est") >= F.col("true_cnt")).cast("int").alias("over_ok"),
+        (
+            F.col("est") - F.col("true_cnt")
+            <= F.expr(f"(2 * n) div {CM_W}")
+        )
+        .cast("int")
+        .alias("tight"),
+    ).orderBy(F.desc("true_cnt"), "gram")

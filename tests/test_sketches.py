@@ -109,3 +109,51 @@ def test_hll_is_mergeable(spark):
     again = hll_sketch(df_b.union(df_a), F.col("v")).collect()[0]
     assert whole.register_sum == again.register_sum
     assert whole.est_micro == again.est_micro
+
+
+def _brute_cm(values):
+    import hashlib
+
+    from llm_data_pipeline_spark.operators.sketches import CM_D, CM_W
+
+    counters = {}
+    for v in values:
+        h = int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
+        h1, h2 = h >> 30, h & ((1 << 30) - 1)
+        for i in range(CM_D):
+            key = (i, (h1 + i * h2) % CM_W)
+            counters[key] = counters.get(key, 0) + 1
+    return counters
+
+
+def test_cm_build_matches_brute_force(spark):
+    from pyspark.sql import functions as F
+
+    from llm_data_pipeline_spark.operators.sketches import cm_build
+
+    vals = [f"g{i % 37}" for i in range(500)]
+    df = spark.createDataFrame([(v,) for v in vals], "gram string").repartition(7)
+    got = {
+        (r.row, r.bucket): r.cnt for r in cm_build(df).collect()
+    }
+    assert got == _brute_cm(vals)
+
+
+def test_cm_estimate_never_underestimates(spark):
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from llm_data_pipeline_spark.operators.sketches import cm_build, cm_estimate
+
+    vals = [f"item-{i % 53}" for i in range(2000)]
+    true = Counter(vals)
+    df = spark.createDataFrame([(v,) for v in vals], "gram string")
+    probes = spark.createDataFrame(
+        [(v,) for v in set(vals)] + [("never-seen",)], "gram string"
+    )
+    est = {
+        r.gram: r.est for r in cm_estimate(cm_build(df), probes).collect()
+    }
+    assert all(est[v] >= c for v, c in true.items())  # CM guarantee
+    assert est["never-seen"] >= 0
