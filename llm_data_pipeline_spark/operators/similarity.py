@@ -864,3 +864,50 @@ def pq_rerank_topk(
     return rescored.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
     )
+
+
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the top-k
+    most-similar corpus vectors with a DIFFERENT label — the standard
+    batch that makes embedding training converge (easy negatives teach
+    nothing; the hardest wrong-label neighbors define the margin).
+
+    Exact scoring here (one broadcast of the query batch, vectorized
+    cosine, label-mismatch fused into the join condition so same-label
+    rows never reach the scorer). At 100 TB compose with the ANN
+    shortlists instead: PQ/IVF shortlist -> label filter -> this exact
+    re-rank over candidates only (the same two-stage recipe as
+    pq_rerank_topk). Returns (query_id, q_label, vec_id, neg_label,
+    score, rank); rounding + tie rules identical to brute_force_topk.
+    """
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        F.col(label_col).alias("q_label"),
+    )
+    joined = corpus.join(
+        F.broadcast(q),
+        (F.col(id_col) != F.col(query_id_col))
+        & (F.col(label_col) != F.col("q_label")),
+    )
+    scored = joined.select(
+        query_id_col,
+        "q_label",
+        id_col,
+        F.col(label_col).alias("neg_label"),
+        F.round(cosine_arrow(F.col("_qvec"), F.col(vec_col)), 6).alias(
+            "score"
+        ),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )

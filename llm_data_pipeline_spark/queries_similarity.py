@@ -1018,3 +1018,43 @@ def semantic_dedup_incremental_q(spark: SparkSession, sf_dir: str):
                 "centroid_sim")
         .orderBy("vec_id")
     )
+
+
+@query(
+    "embedding_hard_negatives",
+    oracle=f"""
+    WITH {_PAIR_BASE.strip()},
+    q AS (SELECT vec_id AS query_id, label AS q_label, v AS qv
+          FROM e WHERE vec_id % 100 = 0),
+    scored AS (
+      SELECT q.query_id, q.q_label, e.vec_id, e.label AS neg_label,
+             {cos_sql('qv', 'e.v')} AS score
+      FROM e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id AND e.label <> q.q_label
+    )
+    SELECT query_id, q_label, vec_id, neg_label, score, rank FROM (
+      SELECT query_id, q_label, vec_id, neg_label, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    tags=("similarity", "training", "contrastive"),
+)
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str):
+    """Contrastive-training batch construction: per query vector, the 5
+    most-similar WRONG-LABEL vectors (the hard negatives that define the
+    training margin). Label mismatch is fused into the broadcast join
+    condition so same-label rows never reach the scorer
+    (operators/similarity.py:hard_negative_topk); at 100 TB the exact scan
+    swaps for the PQ/IVF shortlist + this re-rank, unchanged API."""
+    from llm_data_pipeline_spark.operators.similarity import hard_negative_topk
+
+    emb = table(spark, sf_dir, "embeddings", scatter=True)
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    return hard_negative_topk(emb, queries, k=5).select(
+        "query_id", "q_label", "vec_id", "neg_label", "score", "rank"
+    ).orderBy("query_id", "rank")

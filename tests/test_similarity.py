@@ -293,3 +293,28 @@ def test_cosine_arrow_bit_identical_to_fold(spark, sf_dir):
     # a genuine computed NaN must survive Arrow serialization as NaN
     # (a plain float64 Series would fold it to SQL NULL)
     assert math.isnan(got[8][0]) and math.isnan(got[8][1]), got
+
+
+def test_hard_negative_topk_excludes_same_label_and_self(spark):
+    from pyspark.sql import functions as F
+
+    from llm_data_pipeline_spark.operators.similarity import hard_negative_topk
+
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11) for j in range(4)], i % 3)
+        for i in range(60)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    out = hard_negative_topk(emb, q, k=3).collect()
+    assert out, "no negatives mined"
+    for r in out:
+        assert r.vec_id != r.query_id
+        assert r.neg_label != r.q_label
+        assert 1 <= r.rank <= 3
+    # every query got negatives (wrong-label vectors always exist here)
+    assert {r.query_id for r in out} == {0, 1, 2, 3, 4}
