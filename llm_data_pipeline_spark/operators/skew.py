@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from llm_data_pipeline_spark.functions.hashing import portable_hash60
+
 
 def salted_join(
     big: DataFrame,
@@ -91,3 +93,39 @@ def read_bucketed_join(
     """Join two same-bucketed tables; with matching bucket specs Spark
     plans a shuffle-free SortMergeJoin (no Exchange on either side)."""
     return spark.table(table_a).join(spark.table(table_b), key)
+
+
+def rendezvous_assign(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    n_shards: int = 8,
+    salt: str = "hrw-v1",
+    out_col: str = "shard",
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment.
+
+    Unlike ``key % n`` (which remaps ~(n-1)/n of all keys when n changes),
+    HRW guarantees that growing n -> n+1 moves ONLY the keys won by the
+    new shard (expected 1/(n+1) of the corpus) and every move lands ON the
+    new shard — the minimal-movement property that makes resharding a
+    100-TB corpus store an incremental copy instead of a full rewrite.
+
+    score(key, s) = portable_hash60('{salt}:' || s || ':' || key);
+    assignment = argmax_s score (ties, cosmically unlikely at 60 bits,
+    break to the LARGEST shard id — pinned so both engines agree).
+    Narrow shape: n scores per row via an inline array + array_max; no
+    explode, no shuffle — assignment happens inside the scan stage.
+    """
+    key = F.col(key_col).cast("string")
+    scored = F.array(
+        *[
+            F.struct(
+                portable_hash60(
+                    F.concat(F.lit(f"{salt}:{s}:"), key)
+                ).alias("score"),
+                F.lit(s).alias("s"),
+            )
+            for s in range(n_shards)
+        ]
+    )
+    return df.withColumn(out_col, F.array_max(scored).getField("s"))

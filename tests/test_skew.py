@@ -73,3 +73,30 @@ def test_graded_bucketed_join_plan_is_shuffle_free(spark, sf_dir):
     assert "SortMergeJoin" in plan
     assert I.broadcast_join_count(df) == 0
     assert I.shuffle_count(df) <= 2
+
+
+def test_rendezvous_minimal_movement(spark):
+    """Growing n -> n+1 must move keys ONLY onto the new shard, and
+    roughly 1/(n+1) of them."""
+    from pyspark.sql import functions as F
+
+    from llm_data_pipeline_spark.operators.skew import rendezvous_assign
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    a = rendezvous_assign(df, n_shards=8, out_col="old")
+    b = rendezvous_assign(a, n_shards=9, out_col="new")
+    rows = b.collect()
+    moved = [r for r in rows if r.old != r.new]
+    assert all(r.new == 8 for r in moved)  # every move lands ON the new shard
+    frac = len(moved) / len(rows)
+    assert 0.05 < frac < 0.18  # expected 1/9 ~ 0.11
+    # deterministic across partitionings
+    again = {
+        r.doc_id: (r.old, r.new)
+        for r in rendezvous_assign(
+            rendezvous_assign(df.repartition(7), n_shards=8, out_col="old"),
+            n_shards=9,
+            out_col="new",
+        ).collect()
+    }
+    assert again == {r.doc_id: (r.old, r.new) for r in rows}
