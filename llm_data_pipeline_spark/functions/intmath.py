@@ -26,3 +26,19 @@ def rounded_div_sql(s: str, n: str) -> str:
         f"CASE WHEN {s} >= 0 THEN ({s} + {n} // 2) // {n}"
         f" ELSE -((-({s}) + {n} // 2) // {n}) END"
     )
+
+
+def rounded_div_col(s, n):
+    """Spark Column version of :func:`rounded_div` (n > 0).
+
+    Both operands must be integral Columns with |values| < 2^53: the
+    division goes through double (Spark's ``/``), which is exact for
+    integers below the mantissa limit, and ``floor`` lands back on the
+    identical integer the pure-int form produces.
+    """
+    from pyspark.sql import functions as F
+
+    half = F.floor(n / 2).cast("long")
+    pos = F.floor((s + half) / n).cast("long")
+    neg = (-F.floor((-s + half) / n)).cast("long")
+    return F.when(s >= 0, pos).otherwise(neg)

@@ -911,3 +911,104 @@ def hard_negative_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
     )
+
+
+def margin_knn_mining(
+    xs: DataFrame,
+    ys: DataFrame,
+    k: int = 4,
+    margin_ppm_min: int = 1_020_000,
+) -> DataFrame:
+    """Margin-based pair mining (CCMatrix / Artetxe-Schwenk ratio margin).
+
+    For every src row the best tgt candidate scored by
+    ``margin = cos(x, y) / ((avg_k(x) + avg_k(y)) / 2)`` where ``avg_k``
+    is the mean cosine of the row's k nearest neighbors on the other
+    side — the standard bitext-mining rule that suppresses hub vectors a
+    raw cosine threshold would over-mine. No reference counterpart
+    (engine extension, same family as embedding_hard_negatives).
+
+    Determinism contract: cosines are rounded to 6 dp then quantized to
+    integer micro-units; k-NN averages and the margin itself use exact
+    integer rounded division (functions/intmath.py), so DuckDB replays
+    the full pipeline bit-identically.
+
+    Scale shape: the all-pairs scorer here is the sf-scale candidate
+    generator; at 100 TB swap it for the PQ/IVF shortlist (top-m >= k
+    per row, both directions) and this margin post-pass runs unchanged
+    over candidate pairs only. The two aggregations group by src and tgt
+    respectively — two shuffles of the (src, tgt, cos) candidate frame,
+    each with map-side partial top-k, nothing driver-sized.
+
+    xs: (src_id, embedding); ys: (tgt_id, embedding), ids disjoint.
+    Returns one row per src: (src_id, tgt_id, cos_mu, margin_ppm,
+    mutual, mined), mutual = the pair is also tgt's best candidate,
+    mined = margin clears ``margin_ppm_min``.
+    """
+    from llm_data_pipeline_spark.functions.intmath import rounded_div_col
+
+    x = xs.select("src_id", F.col("embedding").alias("_xv"))
+    scored = (
+        ys.select("tgt_id", F.col("embedding").alias("_yv"))
+        .join(F.broadcast(x))
+        .select(
+            "src_id",
+            "tgt_id",
+            F.round(
+                F.round(cosine_arrow(F.col("_xv"), F.col("_yv")), 6)
+                * F.lit(1_000_000.0),
+                0,
+            )
+            .cast("long")
+            .alias("cos_mu"),
+        )
+        # expensive Arrow-UDF scoring feeds two differently-keyed window
+        # branches; pin it once (perf rule: checkpoint only genuinely
+        # expensive non-exchange subtrees with multiple consumers)
+        .localCheckpoint(eager=False)
+    )
+    wx = Window.partitionBy("src_id").orderBy(F.desc("cos_mu"), F.asc("tgt_id"))
+    wy = Window.partitionBy("tgt_id").orderBy(F.desc("cos_mu"), F.asc("src_id"))
+    fwd = scored.withColumn("_rx", F.row_number().over(wx)).where(
+        F.col("_rx") <= k
+    )
+    bwd = scored.withColumn("_ry", F.row_number().over(wy)).where(
+        F.col("_ry") <= k
+    )
+    ax = fwd.groupBy("src_id").agg(
+        rounded_div_col(F.sum("cos_mu"), F.count(F.lit(1))).alias("ax_mu")
+    )
+    ay = bwd.groupBy("tgt_id").agg(
+        rounded_div_col(F.sum("cos_mu"), F.count(F.lit(1))).alias("ay_mu")
+    )
+    cand = (
+        fwd.join(F.broadcast(ax), "src_id")
+        .join(F.broadcast(ay), "tgt_id")
+        .where(F.col("ax_mu") + F.col("ay_mu") > 0)
+        .withColumn(
+            "margin_ppm",
+            rounded_div_col(
+                F.col("cos_mu") * F.lit(2_000_000).cast("long"),
+                F.col("ax_mu") + F.col("ay_mu"),
+            ),
+        )
+    )
+    wbx = Window.partitionBy("src_id").orderBy(
+        F.desc("margin_ppm"), F.asc("tgt_id")
+    )
+    wby = Window.partitionBy("tgt_id").orderBy(
+        F.desc("margin_ppm"), F.asc("src_id")
+    )
+    return (
+        cand.withColumn("_bx", F.row_number().over(wbx))
+        .withColumn("_by", F.row_number().over(wby))
+        .where(F.col("_bx") == 1)
+        .select(
+            "src_id",
+            "tgt_id",
+            "cos_mu",
+            "margin_ppm",
+            (F.col("_by") == 1).cast("int").alias("mutual"),
+            (F.col("margin_ppm") >= margin_ppm_min).cast("int").alias("mined"),
+        )
+    )

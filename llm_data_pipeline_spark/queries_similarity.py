@@ -1058,3 +1058,90 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str):
     return hard_negative_topk(emb, queries, k=5).select(
         "query_id", "q_label", "vec_id", "neg_label", "score", "rank"
     ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# margin-based pair mining (CCMatrix-style bitext rule)
+# ---------------------------------------------------------------------------
+
+_MM_K = 4
+_MM_MIN_PPM = 1_020_000
+
+
+def _mm_rdiv(s: str, n: str) -> str:
+    from llm_data_pipeline_spark.functions.intmath import rounded_div_sql
+
+    return rounded_div_sql(s, n)
+
+
+@query(
+    "bitext_margin_mining",
+    oracle=f"""
+    WITH {_PAIR_BASE.strip()},
+    x AS (SELECT vec_id AS src_id, v AS xv FROM e WHERE vec_id % 4 = 0),
+    y AS (SELECT vec_id AS tgt_id, v AS yv FROM e WHERE vec_id % 4 = 1),
+    scored AS (
+      SELECT src_id, tgt_id,
+             CAST(round({cos_sql('xv', 'yv')} * 1000000) AS BIGINT) AS cos_mu
+      FROM x CROSS JOIN y
+    ),
+    fk AS (SELECT * FROM (
+      SELECT *, row_number() OVER (PARTITION BY src_id
+                                   ORDER BY cos_mu DESC, tgt_id) AS rx
+      FROM scored) WHERE rx <= {_MM_K}),
+    bk AS (SELECT * FROM (
+      SELECT *, row_number() OVER (PARTITION BY tgt_id
+                                   ORDER BY cos_mu DESC, src_id) AS ry
+      FROM scored) WHERE ry <= {_MM_K}),
+    ax AS (SELECT src_id,
+                  CAST({_mm_rdiv('sum(cos_mu)', 'count(*)')} AS BIGINT) AS ax_mu
+           FROM fk GROUP BY src_id),
+    ay AS (SELECT tgt_id,
+                  CAST({_mm_rdiv('sum(cos_mu)', 'count(*)')} AS BIGINT) AS ay_mu
+           FROM bk GROUP BY tgt_id),
+    cand AS (
+      SELECT f.src_id, f.tgt_id, f.cos_mu,
+             CAST({_mm_rdiv('(f.cos_mu * 2000000)', '(ax_mu + ay_mu)')}
+                  AS BIGINT) AS margin_ppm
+      FROM fk f JOIN ax USING (src_id) JOIN ay USING (tgt_id)
+      WHERE ax_mu + ay_mu > 0
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY src_id
+                                ORDER BY margin_ppm DESC, tgt_id) AS r_fwd,
+             row_number() OVER (PARTITION BY tgt_id
+                                ORDER BY margin_ppm DESC, src_id) AS r_bwd
+      FROM cand
+    )
+    SELECT src_id, tgt_id, cos_mu, margin_ppm,
+           CAST(CASE WHEN r_bwd = 1 THEN 1 ELSE 0 END AS INTEGER) AS mutual,
+           CAST(CASE WHEN margin_ppm >= {_MM_MIN_PPM} THEN 1 ELSE 0 END
+                AS INTEGER) AS mined
+    FROM ranked WHERE r_fwd = 1
+    ORDER BY src_id
+    """,
+    tags=("similarity", "mining", "bitext"),
+)
+def bitext_margin_mining(spark: SparkSession, sf_dir: str):
+    """Margin-based pair mining, the CCMatrix/LASER bitext rule: per src
+    vector its best tgt candidate scored by cos / mean-of-kNN-cosines on
+    BOTH sides (k={k}), with mutual-best and threshold flags. Hubness-robust
+    where a raw cosine cut over-mines hub vectors. Integer micro-unit
+    margins via exact rounded division — the full pipeline (scoring, kNN
+    averages, margin, both best-of windows) replays bit-identically in
+    DuckDB. At 100 TB the all-pairs scorer swaps for the PQ/IVF shortlist
+    (operators/similarity.py: margin_knn_mining docstring) and this margin
+    post-pass is unchanged."""
+    from llm_data_pipeline_spark.operators.similarity import margin_knn_mining
+
+    emb = table(spark, sf_dir, "embeddings", scatter=True)
+    xs = emb.where(F.col("vec_id") % 4 == 0).select(
+        F.col("vec_id").alias("src_id"), "embedding"
+    )
+    ys = emb.where(F.col("vec_id") % 4 == 1).select(
+        F.col("vec_id").alias("tgt_id"), "embedding"
+    )
+    return margin_knn_mining(
+        xs, ys, k=_MM_K, margin_ppm_min=_MM_MIN_PPM
+    ).orderBy("src_id")
