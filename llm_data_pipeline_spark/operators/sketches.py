@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from llm_data_pipeline_spark.functions.hashing import portable_hash60
 
@@ -150,4 +151,116 @@ def cm_estimate(
     joined = probes.join(F.broadcast(counters), ["row", "bucket"], "left")
     return joined.groupBy(value_col).agg(
         F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("est")
+    )
+
+
+# ---------------------------------------------------------------------------
+# bottom-k uniform sample + quantile estimation
+# ---------------------------------------------------------------------------
+
+
+def bottomk_sample(
+    df: DataFrame, key: Column, k: int, carry: tuple[str, ...]
+) -> DataFrame:
+    """Deterministic uniform sample: the k rows with the smallest portable
+    hash of ``key``. Hash order is independent of every data column, so
+    the sample is uniform; it is also MERGEABLE (bottom-k of a union is
+    the bottom-k of per-shard bottom-k's), which is what makes it the
+    100-TB sampling primitive: ``orderBy(h).limit(k)`` compiles to
+    TakeOrderedAndProject — per-partition top-k heaps + one k-row merge,
+    never a global sort. Returns (hk, *carry).
+    """
+    from llm_data_pipeline_spark.functions.hashing import portable_hash60
+
+    return (
+        df.select(portable_hash60(key).alias("hk"), *carry)
+        .orderBy("hk")
+        .limit(k)
+    )
+
+
+def bottomk_quantiles(
+    df: DataFrame,
+    key: Column,
+    value_col: str,
+    k: int,
+    ps: tuple[int, ...] = (25, 50, 75, 90, 99),
+) -> DataFrame:
+    """Quantile estimation from a bottom-k hash sample, with the true rank
+    error of each estimate measured against the FULL table.
+
+    Two passes, both scale-shaped: (1) bottom-k sample (partial top-k, no
+    shuffle of data rows); (2) one aggregation over the full table against
+    the broadcast |ps|-row estimate set to count rows <= each estimate —
+    the exact rank of the estimate, obtained WITHOUT any global sort.
+    ``within_bound`` checks the measured rank error against a 4-sigma
+    binomial bound for sample size k (precomputed Python literal, floor
+    40000 ppm — at extreme percentiles the normal approximation thins).
+
+    All arithmetic is integer (portable hash, exact counts, rounded
+    division), so a DuckDB oracle replays estimate, rank and flag
+    bit-for-bit.
+    """
+    import math
+
+    from llm_data_pipeline_spark.functions.intmath import rounded_div_col
+
+    spark = df.sparkSession
+    spec_rows = []
+    for p in ps:
+        sigma = math.sqrt(p / 100 * (1 - p / 100) / k)
+        spec_rows.append(
+            (
+                p,
+                math.ceil(p * k / 100),
+                p * 10_000,
+                max(40_000, math.ceil(4 * sigma * 1_000_000)),
+            )
+        )
+    spec = spark.createDataFrame(
+        spec_rows, "p int, need_rank long, target_ppm long, bound_ppm long"
+    )
+
+    samp = bottomk_sample(df, key, k, (value_col,))
+    ranked = samp.select(
+        value_col,
+        F.row_number()
+        .over(Window.orderBy(F.col(value_col).asc(), F.col("hk").asc()))
+        .alias("rn"),
+    )
+    m = ranked.agg(F.max("rn").alias("m_eff"))
+    est = (
+        spec.crossJoin(F.broadcast(m))
+        .withColumn("use_rank", F.least(F.col("need_rank"), F.col("m_eff")))
+        .join(
+            F.broadcast(ranked.withColumnRenamed(value_col, "est_value")),
+            F.col("rn") == F.col("use_rank"),
+        )
+        .select("p", "need_rank", "target_ppm", "bound_ppm", "est_value")
+    )
+    ex = (
+        df.select(F.col(value_col).alias("_v"))
+        .crossJoin(F.broadcast(est))
+        .groupBy("p", "need_rank", "target_ppm", "bound_ppm", "est_value")
+        .agg(
+            F.count(F.when(F.col("_v") <= F.col("est_value"), 1)).alias(
+                "exact_le"
+            ),
+            F.count(F.lit(1)).alias("total_n"),
+        )
+    )
+    rank_ppm = rounded_div_col(
+        F.col("exact_le") * F.lit(1_000_000).cast("long"), F.col("total_n")
+    )
+    return ex.select(
+        "p",
+        "need_rank",
+        "est_value",
+        "exact_le",
+        "total_n",
+        rank_ppm.alias("rank_ppm"),
+        F.abs(rank_ppm - F.col("target_ppm")).alias("err_ppm"),
+        (F.abs(rank_ppm - F.col("target_ppm")) <= F.col("bound_ppm"))
+        .cast("int")
+        .alias("within_bound"),
     )

@@ -1242,3 +1242,89 @@ def rendezvous_resharding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("old_shard", "new_shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# bottom-k hash sample + quantile estimation with measured rank error
+# ---------------------------------------------------------------------------
+
+_BKQ_K = 128
+_BKQ_PS = (25, 50, 75, 90, 99)
+
+
+def _bkq_spec_values() -> str:
+    import math
+
+    rows = []
+    for p in _BKQ_PS:
+        sigma = math.sqrt(p / 100 * (1 - p / 100) / _BKQ_K)
+        rows.append(
+            f"({p}, {math.ceil(p * _BKQ_K / 100)}, {p * 10_000}, "
+            f"{max(40_000, math.ceil(4 * sigma * 1_000_000))})"
+        )
+    return ", ".join(rows)
+
+
+@query(
+    "bottomk_sample_quantiles",
+    oracle=f"""
+    WITH h AS (
+      SELECT {DUCKDB_HASH60.format(s="'bkq|' || doc_id::VARCHAR")} AS hk,
+             n_chars
+      FROM documents
+    ),
+    samp AS (SELECT * FROM h ORDER BY hk LIMIT {_BKQ_K}),
+    ranked AS (
+      SELECT n_chars AS est_value,
+             row_number() OVER (ORDER BY n_chars, hk) AS rn
+      FROM samp
+    ),
+    meff AS (SELECT max(rn) AS m_eff FROM ranked),
+    spec(p, need_rank, target_ppm, bound_ppm) AS (VALUES {_bkq_spec_values()}),
+    est AS (
+      SELECT s.p, CAST(s.need_rank AS BIGINT) AS need_rank,
+             CAST(s.target_ppm AS BIGINT) AS target_ppm,
+             CAST(s.bound_ppm AS BIGINT) AS bound_ppm, r.est_value
+      FROM spec s CROSS JOIN meff m
+      JOIN ranked r ON r.rn = least(s.need_rank, m.m_eff)
+    ),
+    ex AS (
+      SELECT e.p, e.need_rank, e.target_ppm, e.bound_ppm, e.est_value,
+             CAST(count(*) FILTER (WHERE d.n_chars <= e.est_value) AS BIGINT)
+               AS exact_le,
+             CAST(count(*) AS BIGINT) AS total_n
+      FROM documents d CROSS JOIN est e
+      GROUP BY 1, 2, 3, 4, 5
+    ),
+    fin AS (
+      SELECT *, CAST({rounded_div_sql('(exact_le * 1000000)', 'total_n')}
+                     AS BIGINT) AS rank_ppm
+      FROM ex
+    )
+    SELECT p, need_rank, est_value, exact_le, total_n, rank_ppm,
+           CAST(abs(rank_ppm - target_ppm) AS BIGINT) AS err_ppm,
+           CAST(CASE WHEN abs(rank_ppm - target_ppm) <= bound_ppm
+                THEN 1 ELSE 0 END AS INTEGER) AS within_bound
+    FROM fin ORDER BY p
+    """,
+    tags=("corpus", "sampling", "sketch"),
+)
+def bottomk_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles of doc length from a deterministic bottom-k hash sample
+    (k={k}), each estimate's TRUE rank measured against the full corpus
+    without any global sort: pass 1 is a TakeOrderedAndProject top-k on
+    the hash (mergeable bottom-k — the 100-TB uniform-sampling
+    primitive), pass 2 one aggregation against the broadcast 5-row
+    estimate set. within_bound grades the measured rank error against a
+    4-sigma binomial bound. Fully integer -> bit-replayed by DuckDB.
+    """
+    from llm_data_pipeline_spark.operators.sketches import bottomk_quantiles
+
+    docs = table(spark, sf_dir, "documents", scatter=True)
+    return bottomk_quantiles(
+        docs,
+        F.concat(F.lit("bkq|"), F.col("doc_id").cast("string")),
+        "n_chars",
+        k=_BKQ_K,
+        ps=_BKQ_PS,
+    ).orderBy("p")
