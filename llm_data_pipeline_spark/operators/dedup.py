@@ -195,6 +195,77 @@ def word_ngrams(text: Column, n: int = 3) -> Column:
     return word_ngrams_from_toks(tokens, n)
 
 
+def _shingled_docs(
+    df: DataFrame, n: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(doc_id, sh, n_sh): sorted distinct hashed word-n-gram shingles.
+
+    Work on hashed shingles throughout: xxhash64 over the n-word tuple
+    (no per-position string building — concat_ws(slice(...)) inside a
+    transform costs O(n·len) allocations and dominated the stage), 8-byte
+    join keys, and long-array intersects. The global order for prefix
+    filtering is then numeric — any total order works. Tuple-hash equality
+    == joined-string equality (tokens contain no separator).
+    Materialize the token array in its own projection FIRST: expressions
+    passed into higher-order lambdas are inlined per call site, so
+    building shingles directly over filter(split(...)) re-tokenizes the
+    document for every element_at — O(positions × n) tokenizations/doc.
+    A column boundary forces one evaluation per row.
+    """
+    tokenized = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(F.split(norm_ws(F.col(text_col)), " "), lambda x: x != "").alias(
+            "_toks"
+        ),
+    )
+    toks = F.col("_toks")
+    hashed = F.when(
+        F.size(toks) < n, F.array(F.xxhash64(F.concat_ws(" ", toks)))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.xxhash64(
+                *[F.element_at(toks, i + k + 1) for k in range(n)]
+            ),
+        )
+    )
+    return (
+        tokenized.select(
+            "doc_id", F.array_sort(F.array_distinct(hashed)).alias("sh")
+        )
+        .withColumn("n_sh", F.size("sh"))
+        # reused three times (prefix explode + both verification sides).
+        # localCheckpoint, not persist: this function returns lazily, so a
+        # CacheManager entry could never be unpersisted and would pin
+        # executor storage for the rest of the app; checkpoint blocks are
+        # RDD-level and the ContextCleaner frees them once the result frame
+        # is garbage-collected. eager=False defers the job to first action.
+        .localCheckpoint(eager=False)
+    )
+
+
+def _verify_sides(
+    docs: DataFrame, verify_broadcast_bytes: int
+) -> tuple[DataFrame, DataFrame]:
+    """(du, dv) verification sides of the doc->shingles map, broadcast when
+    the BYTE estimate fits the budget. One eager aggregate job (it
+    materializes the checkpoint every downstream branch reuses anyway)
+    sizes the map in BYTES: 8 per hashed shingle + ~32 per row of
+    array/offset/id overhead — not a row count, which under-gates for long
+    documents. At 100 TB the estimate exceeds the budget and the join
+    reverts to the shuffle plan, keyed by doc_id."""
+    du = docs.select(F.col("doc_id").alias("u"), F.col("sh").alias("sh_u"))
+    dv = docs.select(F.col("doc_id").alias("v"), F.col("sh").alias("sh_v"))
+    stats = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.coalesce(F.sum("n_sh"), F.lit(0)).alias("total_sh"),
+    ).collect()[0]
+    est_bytes = int(stats["total_sh"]) * 8 + int(stats["n_docs"]) * 32
+    if est_bytes <= verify_broadcast_bytes:
+        du, dv = F.broadcast(du), F.broadcast(dv)
+    return du, dv
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.5,
@@ -239,47 +310,7 @@ def ngram_jaccard_pairs(
     checkpoint every downstream branch reuses; a lazy alternative would be
     a join hint deferred to AQE, which cannot see checkpoint stats).
     """
-    # Work on hashed shingles throughout: xxhash64 over the n-word tuple
-    # (no per-position string building — concat_ws(slice(...)) inside a
-    # transform costs O(n·len) allocations and dominated the stage), 8-byte
-    # join keys, and long-array intersects. The global order for prefix
-    # filtering is then numeric — any total order works. Tuple-hash equality
-    # == joined-string equality (tokens contain no separator).
-    # Materialize the token array in its own projection FIRST: expressions
-    # passed into higher-order lambdas are inlined per call site, so
-    # building shingles directly over filter(split(...)) re-tokenizes the
-    # document for every element_at — O(positions × n) tokenizations/doc.
-    # A column boundary forces one evaluation per row.
-    tokenized = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.filter(F.split(norm_ws(F.col(text_col)), " "), lambda x: x != "").alias(
-            "_toks"
-        ),
-    )
-    toks = F.col("_toks")
-    hashed = F.when(
-        F.size(toks) < n, F.array(F.xxhash64(F.concat_ws(" ", toks)))
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.xxhash64(
-                *[F.element_at(toks, i + k + 1) for k in range(n)]
-            ),
-        )
-    )
-    docs = (
-        tokenized.select(
-            "doc_id", F.array_sort(F.array_distinct(hashed)).alias("sh")
-        )
-        .withColumn("n_sh", F.size("sh"))
-        # reused three times (prefix explode + both verification sides).
-        # localCheckpoint, not persist: this function returns lazily, so a
-        # CacheManager entry could never be unpersisted and would pin
-        # executor storage for the rest of the app; checkpoint blocks are
-        # RDD-level and the ContextCleaner frees them once the result frame
-        # is garbage-collected. eager=False defers the job to first action.
-        .localCheckpoint(eager=False)
-    )
+    docs = _shingled_docs(df, n, text_col, id_col)
     prefix_len = (
         F.col("n_sh") - F.ceil(F.col("n_sh") * threshold) + 1
     ).cast("int")
@@ -314,18 +345,7 @@ def ngram_jaccard_pairs(
         )
         .select("u", "v")
     )
-    du = docs.select(F.col("doc_id").alias("u"), F.col("sh").alias("sh_u"))
-    dv = docs.select(F.col("doc_id").alias("v"), F.col("sh").alias("sh_v"))
-    # one eager aggregate job (materializes the checkpoint every downstream
-    # branch reuses anyway) sizes the map in BYTES: 8 per hashed shingle
-    # + ~32 per row of array/offset/id overhead
-    stats = docs.agg(
-        F.count("*").alias("n_docs"),
-        F.coalesce(F.sum("n_sh"), F.lit(0)).alias("total_sh"),
-    ).collect()[0]
-    est_bytes = int(stats["total_sh"]) * 8 + int(stats["n_docs"]) * 32
-    if est_bytes <= verify_broadcast_bytes:
-        du, dv = F.broadcast(du), F.broadcast(dv)
+    du, dv = _verify_sides(docs, verify_broadcast_bytes)
     return (
         cands.join(du, "u")
         .join(dv, "v")
@@ -336,6 +356,84 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
         .select("u", "v", "jaccard")
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    verify_broadcast_bytes: int = 128 << 20,
+) -> DataFrame:
+    """Exact ASYMMETRIC containment pairs: (inner, outer) with
+    ``|S(inner) ∩ S(outer)| / |S(inner)| >= threshold`` over word-n-gram
+    shingle sets — the doc-in-doc detector (quotes, excerpts,
+    header-wrapped reposts) that symmetric Jaccard structurally misses
+    when lengths differ (an excerpt at half length caps Jaccard at ~0.5
+    but has containment 1.0).
+
+    Prefix filtering adapts to the asymmetric bound (lossless): only the
+    INNER side needs t·|S(inner)| common shingles, so under the global
+    shingle order the minimum common shingle must sit in inner's
+    (|S| - ceil(t·|S|) + 1)-prefix — the inner side explodes short
+    prefixes, while the outer side explodes fully (no bound exists on the
+    outer set's size). The ppjoin positional filter still applies: at the
+    minimum common shingle's sorted positions (i, j),
+    overlap <= 1 + min(|A|-1-i, |B|-1-j), and that bound must reach
+    t·|S(inner)|. Survivors verify exactly once on the full sets via the
+    same byte-gated broadcast as ngram_jaccard_pairs.
+
+    Returns (inner_id, outer_id, n_common, n_inner, containment); both
+    directions of a pair are evaluated independently.
+    """
+    docs = _shingled_docs(df, n, text_col, id_col)
+    prefix_len = (
+        F.col("n_sh") - F.ceil(F.col("n_sh") * threshold) + 1
+    ).cast("int")
+    pre_inner = docs.select(
+        "doc_id",
+        "n_sh",
+        F.posexplode(F.slice("sh", 1, prefix_len)).alias("pos", "shingle"),
+    )
+    full_outer = docs.select(
+        "doc_id",
+        "n_sh",
+        F.posexplode("sh").alias("pos", "shingle"),
+    )
+    ub = F.lit(1) + F.least(
+        F.col("a.n_sh") - 1 - F.col("a.pos"),
+        F.col("b.n_sh") - 1 - F.col("b.pos"),
+    )
+    cands = (
+        pre_inner.alias("a")
+        .join(full_outer.alias("b"), "shingle")
+        .where(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("u"),
+            F.col("b.doc_id").alias("v"),
+            F.col("a.n_sh").alias("na"),
+            ub.alias("ub"),
+        )
+        .groupBy("u", "v")
+        .agg(F.max("ub").alias("ub"), F.max("na").alias("na"))
+        # overlap is an integer <= ub; ub < t*|S(inner)| => containment < t
+        .where(F.col("ub") >= F.lit(threshold) * F.col("na"))
+        .select("u", "v")
+    )
+    du, dv = _verify_sides(docs, verify_broadcast_bytes)
+    return (
+        cands.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.col("u").alias("inner_id"),
+            F.col("v").alias("outer_id"),
+            F.size(F.array_intersect("sh_u", "sh_v")).alias("n_common"),
+            F.size("sh_u").alias("n_inner"),
+        )
+        .withColumn("containment", F.col("n_common") / F.col("n_inner"))
+        .where(F.col("containment") >= threshold)
     )
 
 

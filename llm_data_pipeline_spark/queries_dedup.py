@@ -1107,3 +1107,114 @@ def span_dedup_incremental(spark: SparkSession, sf_dir: str):
     inc = _increment(spark, sf_dir, scatter=True)
     out = remove_duplicated_spans_incremental(docs, inc, window_words=_SPAN_W)
     return _span_report(out)
+
+
+# ---------------------------------------------------------------------------
+# asymmetric containment (doc-in-doc) near-superset detection
+# ---------------------------------------------------------------------------
+
+_EXC_OFFSET = 200_000
+_CONT_T = 0.8
+
+
+def _excerpted(spark: SparkSession, sf_dir: str, scatter: bool = False) -> DataFrame:
+    """Corpus + planted excerpts: for every 10th doc, a new doc holding the
+    first half of its words — containment 1.0 inside the original but
+    Jaccard ~0.5 against it (the pair class Jaccard dedup misses)."""
+    docs = table(spark, sf_dir, "documents", scatter=scatter).select(
+        "doc_id", "text"
+    )
+    toks = F.filter(
+        F.split(
+            F.trim(
+                F.regexp_replace(
+                    F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+", " "
+                )
+            ),
+            " ",
+        ),
+        lambda x: x != "",
+    )
+    excerpts = (
+        docs.where(F.col("doc_id") % 10 == 0)
+        .select(F.col("doc_id"), toks.alias("_toks"))
+        .select(
+            (F.col("doc_id") + _EXC_OFFSET).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.slice(
+                    "_toks", 1, F.ceil(F.size("_toks") / 2).cast("int")
+                ),
+            ).alias("text"),
+        )
+    )
+    return docs.unionByName(excerpts)
+
+
+_EXC_SQL = f"""
+exc AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_EXC_OFFSET} AS doc_id,
+         array_to_string(list_slice(toks, 1, CAST(ceil(len(toks) / 2.0) AS INT)),
+                         ' ') AS text
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split(trim(regexp_replace(lower(coalesce(text,'')),
+                       '\\s+', ' ', 'g')), ' '), x -> x <> '') AS toks
+    FROM documents WHERE doc_id % 10 = 0
+  )
+)
+"""
+
+
+@query(
+    "containment_near_supersets",
+    oracle=f"""
+    WITH {_EXC_SQL.strip()},
+    sh AS (
+      SELECT doc_id, unnest(shingles) AS shingle
+      FROM (
+        SELECT doc_id,
+               CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                    ELSE list_distinct(list_transform(range(len(toks)-2),
+                             i -> array_to_string(list_slice(toks, i+1, i+3), ' ')))
+               END AS shingles
+        FROM (
+          SELECT doc_id,
+                 list_filter(string_split(trim(regexp_replace(lower(coalesce(text,'')),
+                             '\\s+', ' ', 'g')), ' '), x -> x <> '') AS toks
+          FROM exc
+        )
+      )
+    ),
+    sizes AS (SELECT doc_id, CAST(count(*) AS INT) AS n_sh FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS inner_id, b.doc_id AS outer_id,
+             CAST(count(*) AS INT) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT p.inner_id, p.outer_id, p.n_common, s.n_sh AS n_inner,
+           p.n_common / s.n_sh AS containment
+    FROM pairs p JOIN sizes s ON s.doc_id = p.inner_id
+    WHERE p.n_common / s.n_sh >= {_CONT_T}
+    ORDER BY inner_id, outer_id
+    """,
+    tags=("dedup", "containment"),
+)
+def containment_near_supersets(spark: SparkSession, sf_dir: str):
+    """Doc-in-doc detection: asymmetric shingle containment
+    |S(inner) ∩ S(outer)| / |S(inner)| >= {t} over word 3-gram sets —
+    catches excerpts/quotes whose Jaccard is capped by the length gap.
+    Inner-side-only prefix filtering + ppjoin positional bound, both
+    lossless (operators/dedup.py:containment_pairs), so the oracle is the
+    naive all-directional-pairs join. Verification reuses the byte-gated
+    broadcast of the Jaccard path; at 100 TB it reverts to the doc-keyed
+    shuffle plan."""
+    from llm_data_pipeline_spark.operators.dedup import containment_pairs
+
+    exc = _excerpted(spark, sf_dir, scatter=True)
+    return containment_pairs(exc, threshold=_CONT_T, n=3).orderBy(
+        "inner_id", "outer_id"
+    )
