@@ -1145,3 +1145,129 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str):
     return margin_knn_mining(
         xs, ys, k=_MM_K, margin_ppm_min=_MM_MIN_PPM
     ).orderBy("src_id")
+
+
+# ---------------------------------------------------------------------------
+# common-direction removal (ABTT): integer power iteration, full replay
+# ---------------------------------------------------------------------------
+
+_ABTT_ITERS = 6
+_ABTT_DIM = 64
+
+
+def _abtt_oracle(iters: int = _ABTT_ITERS, dim: int = _ABTT_DIM) -> str:
+    from llm_data_pipeline_spark.functions.intmath import rounded_div_sql as rd
+
+    ctes = [
+        f"""emb AS MATERIALIZED (
+      SELECT vec_id, label, i AS pos,
+             CAST(round(embedding[i+1]::DOUBLE * 1000000) AS BIGINT) AS v
+      FROM embeddings, unnest(range({dim})) t(i)
+    )""",
+        f"""mean AS MATERIALIZED (
+      SELECT pos, CAST({rd('CAST(sum(v) AS BIGINT)', 'count(*)')} AS BIGINT) AS m,
+             CAST(count(*) AS BIGINT) AS n
+      FROM emb GROUP BY pos
+    )""",
+        """cent AS MATERIALIZED (
+      SELECT e.vec_id, e.pos, e.v - m.m AS d
+      FROM emb e JOIN mean m USING (pos)
+    )""",
+        """gram AS MATERIALIZED (
+      SELECT a.pos AS p, b.pos AS q, CAST(sum(a.d * b.d) AS BIGINT) AS g
+      FROM cent a JOIN cent b ON a.vec_id = b.vec_id
+      GROUP BY 1, 2
+    )""",
+        f"""cr AS MATERIALIZED (
+      SELECT p, q,
+             CAST({rd(f"CAST({rd('g', '(SELECT max(n) FROM mean)')} AS BIGINT)",
+                      '1000000')} AS BIGINT) AS c
+      FROM gram
+    )""",
+        f"v0 AS (SELECT i AS pos, CAST(1000000 AS BIGINT) AS v FROM range({dim}) t(i))",
+    ]
+    for t in range(1, iters + 1):
+        ctes += [
+            f"""w{t} AS MATERIALIZED (
+      SELECT c.p AS pos, CAST(sum(c.c * v.v) AS BIGINT) AS w
+      FROM cr c JOIN v{t-1} v ON v.pos = c.q GROUP BY c.p
+    )""",
+            f"m{t} AS (SELECT max(abs(w)) AS m FROM w{t})",
+            f"""s{t} AS (
+      SELECT CASE WHEN (SELECT w FROM w{t} WHERE w <> 0 ORDER BY pos LIMIT 1) >= 0
+                  THEN 1 ELSE -1 END AS s
+    )""",
+            f"""v{t} AS MATERIALIZED (
+      SELECT w.pos,
+             CASE WHEN m.m = 0 THEN p.v
+                  ELSE CAST({rd('(w.w * s.s * 1000000)', 'm.m')} AS BIGINT)
+             END AS v
+      FROM w{t} w CROSS JOIN m{t} m CROSS JOIN s{t} s
+      JOIN v{t-1} p ON p.pos = w.pos
+    )""",
+        ]
+    rd_uu = rd("(SELECT CAST(sum(v*v) AS BIGINT) FROM v" + str(iters) + ")",
+               "1000000")
+    ctes += [
+        f"den AS (SELECT greatest(CAST({rd_uu} AS BIGINT), 1) AS den)",
+        f"""coef AS (
+      SELECT e.vec_id,
+             CAST({rd('CAST(sum(e.v * u.v) AS BIGINT)', 'max(d.den)')}
+                  AS BIGINT) AS c
+      FROM emb e JOIN v{iters} u USING (pos) CROSS JOIN den d
+      GROUP BY e.vec_id
+    )""",
+        f"""rs AS (
+      SELECT e.vec_id, e.label,
+             CAST(sum((e.v - CAST({rd('(c.c * u.v)', '1000000')} AS BIGINT))
+                      * (e.v - CAST({rd('(c.c * u.v)', '1000000')} AS BIGINT)))
+                  AS BIGINT) AS sq
+      FROM emb e JOIN v{iters} u USING (pos) JOIN coef c ON c.vec_id = e.vec_id
+      GROUP BY 1, 2
+    )""",
+        f"""resid AS (
+      SELECT label AS key, CAST({rd('CAST(sum(sq) AS BIGINT)', 'count(*)')}
+                                AS BIGINT) AS val
+      FROM rs GROUP BY label
+    )""",
+        "gains AS ("
+        + " UNION ALL ".join(
+            f"SELECT {t-1} AS key, m AS val FROM m{t}" for t in range(1, iters + 1)
+        )
+        + ")",
+    ]
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT kind, CAST(key AS INTEGER) AS key, CAST(val AS BIGINT) AS val FROM (
+      SELECT 'dir' AS kind, pos AS key, v AS val FROM v{iters}
+      UNION ALL
+      SELECT 'gain' AS kind, key, val FROM gains
+      UNION ALL
+      SELECT 'resid' AS kind, key, val FROM resid
+    ) ORDER BY kind, key
+    """
+    )
+
+
+@query(
+    "embedding_common_direction_removal",
+    oracle=_abtt_oracle(),
+    tags=("similarity", "pca", "training"),
+)
+def embedding_common_direction_removal(spark: SparkSession, sf_dir: str):
+    """All-but-the-top common-component removal (Mu & Viswanath 2018):
+    two-pass exact integer covariance (partition-local int64 GEMM over
+    Arrow batches, merged by a d^2-key shuffle — the only data-scale
+    work), driver power iteration on the 64x64 core in exact rounded
+    integer arithmetic, broadcast-back projection with per-label residual
+    norms. Emits the direction, the per-iteration convergence gains, and
+    the residual energies — the WHOLE trajectory replays bit-for-bit in
+    DuckDB (operators/pca.py)."""
+    from llm_data_pipeline_spark.operators.pca import common_direction_removal
+
+    emb = table(spark, sf_dir, "embeddings", scatter=True)
+    return common_direction_removal(emb, iters=_ABTT_ITERS).orderBy(
+        "kind", "key"
+    )
