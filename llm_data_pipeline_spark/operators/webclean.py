@@ -195,3 +195,53 @@ def domain_quota_filter(
         "quota_keep",
         ((F.row_number().over(w) <= cap) & (F.col("blocked") == 0)).cast("int"),
     )
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonicalize a URL for URL-level dedup (the first dedup key a web
+    pipeline applies, before any content hashing): lowercase scheme+host,
+    strip a leading ``www.``, drop default ports (http:80 / https:443),
+    drop the fragment, strip tracking params (utm_*, fbclid, gclid), sort
+    the surviving query params, and trim trailing slashes from the path
+    (empty path -> '/'). Pure native string expressions (no UDF), with a
+    DuckDB twin in queries_webclean.py — at 100 TB this is a narrow map
+    feeding a groupBy(canonical) whose shuffle carries only the key.
+
+    Parsing is regex-lite by design (scheme://host[:port][path][?q][#f]);
+    it is a dedup NORMALIZER, not a general URL validator.
+    """
+    scheme = F.lower(
+        F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    )
+    rest = F.regexp_replace(url, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    hostport = F.regexp_extract(rest, r"^([^/?#]*)", 1)
+    tail = rest.substr(F.length(hostport) + F.lit(1), F.length(rest))
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1)), r"^www\.", ""
+    )
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    keep_port = (port != "") & ~(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    path_stripped = F.regexp_replace(
+        F.regexp_extract(tail, r"^([^?#]*)", 1), r"/+$", ""
+    )
+    path = F.when(path_stripped == "", F.lit("/")).otherwise(path_stripped)
+    qstr = F.regexp_extract(tail, r"\?([^#]*)", 1)
+    params = F.filter(
+        F.split(qstr, "&"),
+        lambda p: (p != "")
+        & ~p.startswith("utm_")
+        & ~p.startswith("fbclid=")
+        & ~p.startswith("gclid="),
+    )
+    qs = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )

@@ -528,3 +528,130 @@ def pipeline_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization dedup
+# ---------------------------------------------------------------------------
+
+_URL_CANON_SQL = r"""
+raws AS (
+  SELECT doc_id,
+    CASE (doc_id // 100) % 5
+      WHEN 0 THEN 'https://' || source || '.example.com/a/' || (doc_id % 100)::VARCHAR
+      WHEN 1 THEN 'HTTPS://WWW.' || source || '.example.com/a/' || (doc_id % 100)::VARCHAR || '/'
+      WHEN 2 THEN 'https://' || source || '.example.com:443/a/' || (doc_id % 100)::VARCHAR || '?b=2&a=1&utm_source=feed'
+      WHEN 3 THEN 'https://' || source || '.example.com/a/' || (doc_id % 100)::VARCHAR || '/?a=1&utm_campaign=x&b=2#frag'
+      ELSE 'http://' || source || '.example.com:80/a/' || (doc_id % 100)::VARCHAR || '?gclid=g&fbclid=f'
+    END AS raw
+  FROM documents
+),
+parts AS (
+  SELECT doc_id, raw,
+         lower(regexp_extract(raw, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         regexp_replace(raw, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+  FROM raws
+),
+p2 AS (
+  SELECT *, regexp_extract(rest, '^([^/?#]*)', 1) AS hostport,
+         substr(rest, length(regexp_extract(rest, '^([^/?#]*)', 1)) + 1) AS tail
+  FROM parts
+),
+p3 AS (
+  SELECT *,
+         regexp_replace(lower(regexp_extract(hostport, '^([^:]*)', 1)), '^www\.', '') AS host,
+         regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+         regexp_extract(tail, '^([^?#]*)', 1) AS path_raw,
+         regexp_extract(tail, '\?([^#]*)', 1) AS qstr
+  FROM p2
+),
+p4 AS (
+  SELECT *,
+         CASE WHEN regexp_replace(path_raw, '/+$', '') = '' THEN '/'
+              ELSE regexp_replace(path_raw, '/+$', '') END AS path,
+         coalesce(array_to_string(list_sort(list_filter(string_split(qstr, '&'),
+             x -> x <> '' AND NOT starts_with(x, 'utm_')
+                  AND NOT starts_with(x, 'fbclid=')
+                  AND NOT starts_with(x, 'gclid='))), '&'), '') AS qs
+  FROM p3
+),
+canon AS (
+  SELECT doc_id, raw,
+         scheme || '://' || host ||
+         CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+                                   OR (scheme = 'https' AND port = '443'))
+              THEN ':' || port ELSE '' END ||
+         path ||
+         CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS canonical_url
+  FROM p4
+)
+"""
+
+
+@query(
+    "url_canonical_dedup",
+    oracle=f"""
+    WITH {_URL_CANON_SQL.strip()}
+    SELECT canonical_url,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT raw) AS BIGINT) AS n_raw,
+           min(doc_id) AS keep_doc_id
+    FROM canon
+    GROUP BY canonical_url
+    ORDER BY canonical_url
+    """,
+    tags=("webclean", "dedup", "url"),
+)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup over a planted messy-URL corpus (case/www/default
+    ports/trailing slash/fragments/tracking params/param order — every
+    rule of operators/webclean.py:canonical_url exercised by a variant
+    class): canonicalize natively, then one groupBy(canonical) keeping
+    the smallest doc_id. The first, cheapest dedup stage of a web
+    pipeline — at 100 TB the shuffle carries only the canonical key."""
+    from llm_data_pipeline_spark.operators.webclean import canonical_url
+
+    docs = table(spark, sf_dir, "documents", scatter=True).select(
+        "doc_id", "source"
+    )
+    gid = (F.col("doc_id") % 100).cast("string")
+    k = F.floor(F.col("doc_id") / 100).cast("long") % 5
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    raw = (
+        F.when(k == 0, F.concat(F.lit("https://"), host, F.lit("/a/"), gid))
+        .when(
+            k == 1,
+            F.concat(F.lit("HTTPS://WWW."), host, F.lit("/a/"), gid, F.lit("/")),
+        )
+        .when(
+            k == 2,
+            F.concat(
+                F.lit("https://"), host, F.lit(":443/a/"), gid,
+                F.lit("?b=2&a=1&utm_source=feed"),
+            ),
+        )
+        .when(
+            k == 3,
+            F.concat(
+                F.lit("https://"), host, F.lit("/a/"), gid,
+                F.lit("/?a=1&utm_campaign=x&b=2#frag"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("http://"), host, F.lit(":80/a/"), gid,
+                F.lit("?gclid=g&fbclid=f"),
+            )
+        )
+    )
+    return (
+        docs.select("doc_id", raw.alias("raw"))
+        .select("doc_id", "raw", canonical_url(F.col("raw")).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("raw").alias("n_raw"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .orderBy("canonical_url")
+    )
