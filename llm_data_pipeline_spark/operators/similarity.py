@@ -1012,3 +1012,79 @@ def margin_knn_mining(
             (F.col("margin_ppm") >= margin_ppm_min).cast("int").alias("mined"),
         )
     )
+
+
+def kcenter_selection(
+    emb: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center (farthest-point) diversity selection — the classic
+    coreset constructor (2-approximation of the optimal k-center cover):
+    seed with the smallest id, then k-1 times add the point with the
+    MAXIMUM min-cosine-distance to the current selection (ties: lowest
+    id). Selecting maximally-diverse exemplars is the dual of SemDeDup —
+    one picks spread, the other removes redundancy.
+
+    Scale shape: the driver holds only the k selected vectors; each round
+    is one narrow map over the corpus (update running min-distance
+    against ONE new centroid, integer micro-units) plus a
+    TakeOrderedAndProject argmax — O(k) scans total, the canonical
+    distributed k-center cost. The frame is lazily re-checkpointed each
+    round so round r does not replay rounds 1..r-1.
+
+    Returns (sel_rank, vec_id, radius_mu): radius_mu is the selected
+    point's min-distance at selection time (the decreasing coverage
+    radius; -1 sentinel for the seed). Deterministic and fully replayed
+    by the DuckDB oracle (same rounded-cosine micro-unit convention as
+    margin_knn_mining).
+    """
+    spark = emb.sparkSession
+
+    def dist_to(vec) -> "F.Column":
+        # native sequential-fold cosine, not the Arrow UDF: per round the
+        # query side is ONE literal vector, so the JVM fold wins (no Python
+        # worker round-trip) and is bit-identical to cosine_arrow
+        arr = F.array(*[F.lit(float(x)) for x in vec])
+        return (
+            F.lit(1_000_000).cast("long")
+            - F.round(
+                F.round(cosine(F.col("v"), arr), 6) * F.lit(1_000_000.0),
+                0,
+            ).cast("long")
+        )
+
+    base = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    seed = base.orderBy("vec_id").limit(1).collect()
+    if not seed:
+        return spark.createDataFrame(
+            [], "sel_rank int, vec_id long, radius_mu long"
+        )
+    seed_id, seed_v = seed[0]["vec_id"], seed[0]["v"]
+    picked = [(0, int(seed_id), -1)]
+    mind = (
+        base.where(F.col("vec_id") != seed_id)
+        .select("vec_id", "v", dist_to(seed_v).alias("mind"))
+        .localCheckpoint(eager=False)
+    )
+    for r in range(1, k):
+        top = mind.orderBy(F.desc("mind"), F.asc("vec_id")).limit(1).collect()
+        if not top:
+            break
+        sel_id, sel_v, sel_d = top[0]["vec_id"], top[0]["v"], top[0]["mind"]
+        picked.append((r, int(sel_id), int(sel_d)))
+        if r == k - 1:
+            break
+        mind = (
+            mind.where(F.col("vec_id") != sel_id)
+            .select(
+                "vec_id",
+                "v",
+                F.least(F.col("mind"), dist_to(sel_v)).alias("mind"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return spark.createDataFrame(
+        picked, "sel_rank int, vec_id long, radius_mu long"
+    )

@@ -332,3 +332,57 @@ def events_sessionization(spark: SparkSession, sf_dir: str):
         )
         .orderBy("user_id", "session_id")
     )
+
+
+@query(
+    "event_sequence_training_pairs",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, event_type,
+             list(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+               AS ctx
+      FROM events
+    )
+    SELECT user_id, event_id,
+           coalesce(array_to_string(ctx, ' '), '') AS context,
+           event_type AS target,
+           CAST(coalesce(len(ctx), 0) AS INT) AS n_context
+    FROM seq WHERE coalesce(len(ctx), 0) >= 1
+    ORDER BY user_id, event_id
+    """,
+    tags=("relational", "events", "training"),
+)
+def event_sequence_training_pairs(spark: SparkSession, sf_dir: str):
+    """Next-event-prediction training pairs from the event log: per user,
+    (last <=3 event types as context, current type as target) — the
+    sequence-model example constructor. One window over (user, ts) with a
+    bounded ROWS frame: state per row is O(context), the shuffle is the
+    same user-keyed exchange sessionization already pays, and context
+    order is deterministic because the ordering key (ts, event_id) is
+    unique."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, -1)
+    )
+    staged = e.select(
+        "user_id",
+        "event_id",
+        F.col("event_type").alias("target"),
+        F.collect_list("event_type").over(w).alias("_ctx"),
+    )
+    return (
+        staged.where(F.size("_ctx") >= 1)
+        .select(
+            "user_id",
+            "event_id",
+            F.array_join("_ctx", " ").alias("context"),
+            "target",
+            F.size("_ctx").alias("n_context"),
+        )
+        .orderBy("user_id", "event_id")
+    )

@@ -1271,3 +1271,71 @@ def embedding_common_direction_removal(spark: SparkSession, sf_dir: str):
     return common_direction_removal(emb, iters=_ABTT_ITERS).orderBy(
         "kind", "key"
     )
+
+
+# ---------------------------------------------------------------------------
+# greedy k-center diversity selection (coreset), full trajectory replay
+# ---------------------------------------------------------------------------
+
+_KC_K = 8
+
+
+def _kcenter_oracle(k: int = _KC_K) -> str:
+    def dist(a: str, s: str) -> str:
+        return f"(1000000 - CAST(round({cos_sql(a, s)} * 1000000) AS BIGINT))"
+
+    ctes = [
+        "e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings)",
+        "s0 AS MATERIALIZED (SELECT vec_id, v FROM e"
+        " WHERE vec_id = (SELECT min(vec_id) FROM e))",
+        f"""m0 AS MATERIALIZED (
+      SELECT a.vec_id, a.v, {dist('a.v', 's.v')} AS mind
+      FROM e a CROSS JOIN s0 s WHERE a.vec_id <> s.vec_id
+    )""",
+    ]
+    for t in range(1, k):
+        ctes.append(
+            f"p{t} AS MATERIALIZED (SELECT vec_id, v, mind FROM m{t-1}"
+            f" ORDER BY mind DESC, vec_id LIMIT 1)"
+        )
+        if t < k - 1:
+            ctes.append(
+                f"""m{t} AS MATERIALIZED (
+      SELECT m.vec_id, m.v, least(m.mind, {dist('m.v', 'p.v')}) AS mind
+      FROM m{t-1} m CROSS JOIN p{t} p WHERE m.vec_id <> p.vec_id
+    )"""
+            )
+    sel = [
+        "SELECT 0 AS sel_rank, vec_id, CAST(-1 AS BIGINT) AS radius_mu FROM s0"
+    ] + [
+        f"SELECT {t} AS sel_rank, vec_id, CAST(mind AS BIGINT) AS radius_mu"
+        f" FROM p{t}"
+        for t in range(1, k)
+    ]
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + "\n    SELECT CAST(sel_rank AS INTEGER) AS sel_rank, vec_id,"
+        " radius_mu FROM ("
+        + " UNION ALL ".join(sel)
+        + ") ORDER BY sel_rank"
+    )
+
+
+@query(
+    "embedding_kcenter_selection",
+    oracle=_kcenter_oracle(),
+    tags=("similarity", "diversity", "coreset"),
+)
+def embedding_kcenter_selection(spark: SparkSession, sf_dir: str):
+    """Greedy k-center diversity selection (k={k}): farthest-point coreset
+    with the decreasing coverage-radius trajectory — the exemplar-picking
+    dual of SemDeDup. O(k) narrow scans + TakeOrdered argmaxes, driver
+    state = the k selected vectors only (operators/similarity.py:
+    kcenter_selection); integer micro-unit distances replay bit-for-bit
+    in DuckDB."""
+    from llm_data_pipeline_spark.operators.similarity import kcenter_selection
+
+    emb = table(spark, sf_dir, "embeddings", scatter=True)
+    return kcenter_selection(emb, k=_KC_K).orderBy("sel_rank")

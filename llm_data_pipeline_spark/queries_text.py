@@ -9,6 +9,8 @@ from pyspark.sql import functions as F
 
 from llm_data_pipeline_spark.functions import analysis as A
 from llm_data_pipeline_spark.functions import text as T
+from llm_data_pipeline_spark.functions.intmath import rounded_div_sql
+from pyspark.sql.window import Window
 from llm_data_pipeline_spark.operators.quality import run_quality
 from llm_data_pipeline_spark.queries import query, table
 
@@ -637,3 +639,89 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str):
                 F.col("rank").cast("long").alias("rank"))
         .orderBy("doc_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# quality threshold sweep (histogram + cumulative window, single pass)
+# ---------------------------------------------------------------------------
+
+_QTS_BUCKET_MU = 200_000  # 0.2-wide quality buckets in micro-units
+
+
+@query(
+    "quality_threshold_sweep",
+    oracle=f"""
+    WITH {TEXT_BASE_SQL.strip()},
+    scored AS (
+      SELECT f.doc_id, d.n_chars, {_QUALITY_SCORE} AS q
+      FROM feat f JOIN documents d USING (doc_id)
+    ),
+    b AS (
+      SELECT CAST(round(q * 1000000) AS BIGINT) // {_QTS_BUCKET_MU} AS bucket,
+             CAST(count(*) AS BIGINT) AS c,
+             CAST(sum(n_chars) AS BIGINT) AS ch
+      FROM scored GROUP BY 1
+    ),
+    cum AS (
+      SELECT bucket,
+             CAST(sum(c) OVER w AS BIGINT) AS n_kept,
+             CAST(sum(ch) OVER w AS BIGINT) AS chars_kept,
+             CAST(sum(c) OVER () AS BIGINT) AS total
+      FROM b
+      WINDOW w AS (ORDER BY bucket DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT bucket * {_QTS_BUCKET_MU} AS threshold_mu, n_kept, chars_kept,
+           CAST({rounded_div_sql('(n_kept * 1000000)', 'total')} AS BIGINT)
+             AS kept_ppm
+    FROM cum ORDER BY threshold_mu
+    """,
+    tags=("text-analysis", "quality", "governance"),
+)
+def quality_threshold_sweep(spark: SparkSession, sf_dir: str):
+    """Quality-vs-quantity pareto sweep: docs/chars surviving every
+    quality threshold, in ONE pass — per-doc scores bucket to 0.2-wide
+    integer bins, a 6-key histogram aggregates counts+chars, and a
+    descending cumulative window turns bins into >=threshold retention.
+    The scale shape for 'how much data does each cut keep' questions:
+    no per-threshold rescan, no data x thresholds expansion; the window
+    runs over <=6 rows."""
+    from llm_data_pipeline_spark.functions import analysis as A
+    from llm_data_pipeline_spark.functions.intmath import rounded_div_col
+
+    docs = table(spark, sf_dir, "documents", scatter=True)
+    scored = A.with_quality_score(docs).select(
+        "doc_id",
+        "n_chars",
+        F.round(F.col("quality_score") * 1_000_000, 0).cast("long").alias("_q_mu"),
+    )
+    b = (
+        scored.groupBy(
+            F.floor(F.col("_q_mu") / _QTS_BUCKET_MU).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum("n_chars").alias("ch"),
+        )
+    )
+    w = (
+        Window.orderBy(F.desc("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = b.select(
+        "bucket",
+        F.sum("c").over(w).alias("n_kept"),
+        F.sum("ch").over(w).alias("chars_kept"),
+        F.sum("c").over(wall).alias("total"),
+    )
+    return cum.select(
+        (F.col("bucket") * _QTS_BUCKET_MU).alias("threshold_mu"),
+        "n_kept",
+        "chars_kept",
+        rounded_div_col(
+            F.col("n_kept") * F.lit(1_000_000).cast("long"), F.col("total")
+        ).alias("kept_ppm"),
+    ).orderBy("threshold_mu")
