@@ -43,35 +43,29 @@ ALPHA_NUM = ALPHA_MICRO * M * M * W_MOD
 SMALL_RANGE_MICRO = int(2.5 * M) * 1_000_000
 
 
-def hll_sketch(df: DataFrame, value: Column) -> DataFrame:
-    """One row: (register_sum, zero_registers, est_micro).
-
-    ``est_micro`` is the cardinality estimate in micro-units (divide by
-    1e6); ``register_sum`` = sum(2^(30-reg)) pins every register's value
-    modulo permutation; ``zero_registers`` drives the small-range path.
-    """
+def hll_bucket_rho(
+    df: DataFrame, value: Column, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """(*carry, bucket, rho) — the map side of ANY HLL build (batch or
+    streaming): portable hash -> bucket + 30-bit word -> leading-zero
+    rank. The matching reduce is max(rho) per (*carry, bucket) — an
+    associative, mergeable aggregation, which is exactly why the same
+    projection drives the streaming rollup."""
     h = portable_hash60(value)
-    hashed = df.select((h % M).alias("bucket"), h.alias("_h")).withColumn(
-        "w", F.expr(f"(_h div {M}) % {W_MOD}")
-    )
+    hashed = df.select(
+        *carry, (h % M).alias("bucket"), h.alias("_h")
+    ).withColumn("w", F.expr(f"(_h div {M}) % {W_MOD}"))
     rho = F.when(F.col("w") == 0, F.lit(W_BITS + 1)).otherwise(
         F.lit(W_BITS + 1) - F.length(F.bin(F.col("w")))
     )
-    regs = hashed.select("bucket", rho.alias("rho")).groupBy("bucket").agg(
-        F.max("rho").alias("rho")
-    )
-    spine = df.sparkSession.range(M).select(F.col("id").alias("bucket"))
-    reg = spine.join(regs, "bucket", "left").select(
-        F.coalesce("rho", F.lit(0)).alias("r0")
-    )
-    agg = reg.agg(
-        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {W_BITS} - r0)"))
-        .cast("long")
-        .alias("register_sum"),
-        F.sum((F.col("r0") == 0).cast("int")).cast("long").alias(
-            "zero_registers"
-        ),
-    )
+    return hashed.select(*carry, "bucket", rho.alias("rho"))
+
+
+def with_hll_estimate(agg: DataFrame) -> DataFrame:
+    """Append est_micro to a frame holding (register_sum, zero_registers)
+    — raw scaled-integer harmonic mean with the linear-counting
+    small-range switch (ln over one of m rational inputs, rounded to
+    micro-units once — cross-engine stable)."""
     raw = F.expr(f"CAST({ALPHA_NUM} AS BIGINT) div register_sum")
     linear = F.round(
         F.lit(float(M)) * F.log(F.lit(float(M)) / F.col("zero_registers")) * 1e6
@@ -80,6 +74,46 @@ def hll_sketch(df: DataFrame, value: Column) -> DataFrame:
         (raw <= SMALL_RANGE_MICRO) & (F.col("zero_registers") > 0), linear
     ).otherwise(raw)
     return agg.withColumn("est_micro", est)
+
+
+def hll_registers_to_estimate(
+    regs: DataFrame, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Turn (*group_cols, bucket, rho) max-register rows into per-group
+    (register_sum, zero_registers, est_micro). No bucket spine is needed:
+    every PRESENT register has rho >= 1 (the 30-bit word contributes at
+    least one rank), so absent buckets ARE the zero registers — their
+    count is m - n_present and each contributes exactly 2^W_BITS to the
+    harmonic sum. One groupBy, no self-join (a spine join against a
+    streaming memory sink also trips conflicting-reference resolution)."""
+    gb = regs.groupBy(*group_cols) if group_cols else regs.groupBy()
+    agg = gb.agg(
+        (
+            F.coalesce(
+                F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {W_BITS} - rho)")),
+                F.lit(0),
+            )
+            + (F.lit(M) - F.count(F.lit(1)))
+            * F.lit(1 << W_BITS).cast("long")
+        )
+        .cast("long")
+        .alias("register_sum"),
+        (F.lit(M) - F.count(F.lit(1))).cast("long").alias("zero_registers"),
+    )
+    return with_hll_estimate(agg)
+
+
+def hll_sketch(df: DataFrame, value: Column) -> DataFrame:
+    """One row: (register_sum, zero_registers, est_micro).
+
+    ``est_micro`` is the cardinality estimate in micro-units (divide by
+    1e6); ``register_sum`` = sum(2^(30-reg)) pins every register's value
+    modulo permutation; ``zero_registers`` drives the small-range path.
+    """
+    regs = hll_bucket_rho(df, value).groupBy("bucket").agg(
+        F.max("rho").alias("rho")
+    )
+    return hll_registers_to_estimate(regs)
 
 
 # --- Count-Min frequency sketch ---------------------------------------------

@@ -338,3 +338,115 @@ def streaming_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg, mode="complete", state_partitions=4).orderBy(
         "lang"
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming HLL distinct (the agg streaming forbids exactly)
+# ---------------------------------------------------------------------------
+
+
+def _streaming_hll_oracle() -> str:
+    from llm_data_pipeline_spark.functions.hashing import DUCKDB_HASH60
+    from llm_data_pipeline_spark.operators.sketches import (
+        ALPHA_NUM,
+        M,
+        SMALL_RANGE_MICRO,
+        W_BITS,
+        W_MOD,
+    )
+
+    h = DUCKDB_HASH60.format(s="user_id::VARCHAR")
+    return f"""
+    WITH b AS (
+      SELECT date_trunc('hour', ts) AS hour,
+             {h} % {M} AS bucket, ({h} // {M}) % {W_MOD} AS w
+      FROM events
+    ),
+    r AS (
+      SELECT hour, bucket,
+             max(CASE WHEN w = 0 THEN {W_BITS + 1}
+                 ELSE {W_BITS + 1} - length(bin(w)) END) AS rho
+      FROM b GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT hour, unnest(range({M})) AS bucket
+      FROM (SELECT DISTINCT hour FROM b)
+    ),
+    reg AS (
+      SELECT s.hour, coalesce(r.rho, 0) AS r0
+      FROM spine s LEFT JOIN r ON r.hour = s.hour AND r.bucket = s.bucket
+    ),
+    agg AS (
+      SELECT hour,
+             CAST(sum(1::BIGINT << ({W_BITS} - r0)) AS BIGINT) AS register_sum,
+             CAST(sum(CASE WHEN r0 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS zero_registers
+      FROM reg GROUP BY hour
+    ),
+    est AS (
+      SELECT hour, register_sum, zero_registers,
+        CAST(CASE WHEN {ALPHA_NUM} // register_sum <= {SMALL_RANGE_MICRO}
+                       AND zero_registers > 0
+             THEN CAST(round({M} * ln({M}.0 / zero_registers) * 1000000)
+                       AS BIGINT)
+             ELSE {ALPHA_NUM} // register_sum END AS BIGINT) AS est_micro
+      FROM agg
+    ),
+    e AS (
+      SELECT date_trunc('hour', ts) AS hour,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      FROM events GROUP BY 1
+    )
+    SELECT est.hour, exact_distinct, est_micro, register_sum, zero_registers,
+      CAST(CASE WHEN 5 * abs(est_micro - exact_distinct * 1000000)
+                     <= exact_distinct * 1000000
+           THEN 1 ELSE 0 END AS INT) AS within_20pct
+    FROM est JOIN e USING (hour) ORDER BY est.hour
+    """
+
+
+@query(
+    "streaming_hll_distinct",
+    oracle=_streaming_hll_oracle(),
+    tags=("streaming", "sketch", "distinct", "watermark"),
+)
+def streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per hour ON A STREAM — the aggregation Structured
+    Streaming forbids exactly (no DISTINCT inside a streaming agg): HLL
+    registers build as a windowed max (associative + mergeable; state per
+    window = m=64 registers regardless of stream length), then a bounded
+    batch post-pass converts registers to estimates and grades each hour
+    against the exact batch count with the 20% flag. The sketch math is
+    the same portable-hash HLL as hll_distinct_sketch — every register
+    replayed by the oracle."""
+    from llm_data_pipeline_spark.operators.sketches import (
+        hll_registers_to_estimate,
+    )
+    from llm_data_pipeline_spark.queries import table
+    from llm_data_pipeline_spark.streaming.stream import (
+        hll_hourly_distinct_stream,
+    )
+
+    sdf = read_parquet_stream(spark, f"{sf_dir}/events.parquet")
+    regs = run_to_memory(
+        hll_hourly_distinct_stream(sdf), mode="complete", state_partitions=4
+    )
+    est = hll_registers_to_estimate(regs, group_cols=("hour",))
+    exact = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count_distinct("user_id").cast("long").alias("exact_distinct"))
+    )
+    out = est.join(exact, "hour")
+    within = (
+        5 * F.abs(F.col("est_micro") - F.col("exact_distinct") * 1_000_000)
+        <= F.col("exact_distinct") * 1_000_000
+    )
+    return out.select(
+        "hour",
+        "exact_distinct",
+        "est_micro",
+        "register_sum",
+        "zero_registers",
+        within.cast("int").alias("within_20pct"),
+    ).orderBy("hour")

@@ -177,3 +177,33 @@ def session_stream(
             "session_value",
         )
     )
+
+
+def hll_hourly_distinct_stream(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming approximate count-distinct — the aggregation streaming
+    FORBIDS exactly (no DISTINCT inside a streaming agg; see
+    hourly_rollup_stream's note): HLL registers as a windowed max. The
+    max per (window, bucket) is associative and mergeable, so state per
+    window is m=64 registers regardless of stream length — the canonical
+    sketch answer to distinct users per hour on an unbounded stream.
+    Emits (hour, bucket, rho); the estimate conversion is a bounded batch
+    post-pass over the sink (operators/sketches.py:
+    hll_registers_to_estimate).
+    """
+    from llm_data_pipeline_spark.functions.time import instant_to_ntz
+    from llm_data_pipeline_spark.operators.sketches import hll_bucket_rho
+
+    proj = hll_bucket_rho(
+        events.withWatermark("ts", watermark).select(
+            "ts", F.col("user_id").cast("string").alias("_u")
+        ),
+        F.col("_u"),
+        carry=("ts",),
+    )
+    return (
+        proj.groupBy(F.window("ts", "1 hour").alias("w"), F.col("bucket"))
+        .agg(F.max("rho").alias("rho"))
+        .select(instant_to_ntz("w.start").alias("hour"), "bucket", "rho")
+    )
