@@ -583,3 +583,49 @@ class TestRemoveDuplicatedSpans:
                 ).collect()
             }
             assert got_inc == exp_inc, f"incremental mismatch seed={seed}"
+
+
+def test_containment_pairs_lossless_vs_bruteforce(spark):
+    """Inner-side-only prefix pruning + positional bound must drop no true
+    containment pair, in EITHER direction, on a corpus with excerpts,
+    supersets and shared-vocabulary soup."""
+    import random
+
+    from llm_data_pipeline_spark.operators.dedup import containment_pairs
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(10)]
+    rows = []
+    for i in range(30):
+        words = [rng.choice(vocab) for _ in range(rng.randint(4, 20))]
+        rows.append((i, " ".join(words)))
+        if i % 4 == 0:  # planted excerpt (contained) and padded superset
+            half = words[: max(3, len(words) // 2)]
+            rows.append((100 + i, " ".join(half)))
+            rows.append((200 + i, " ".join(words + ["w0", "w1", "w2"])))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def shingles(t):
+        toks = [w for w in t.lower().split() if w]
+        if len(toks) < 3:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    sets = {d: shingles(t) for d, t in rows}
+    for threshold in (0.6, 0.8, 1.0):
+        got = {
+            (r["inner_id"], r["outer_id"]): (r["n_common"], r["n_inner"])
+            for r in containment_pairs(df, threshold=threshold, n=3).collect()
+        }
+        want = {}
+        for a, sa in sets.items():
+            for b, sb in sets.items():
+                if a == b:
+                    continue
+                c = len(sa & sb) / len(sa)
+                if c >= threshold:
+                    want[(a, b)] = (len(sa & sb), len(sa))
+        assert got == want, (
+            f"t={threshold}: missing={set(want)-set(got)} "
+            f"extra={set(got)-set(want)}"
+        )

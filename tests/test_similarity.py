@@ -318,3 +318,121 @@ def test_hard_negative_topk_excludes_same_label_and_self(spark):
         assert 1 <= r.rank <= 3
     # every query got negatives (wrong-label vectors always exist here)
     assert {r.query_id for r in out} == {0, 1, 2, 3, 4}
+
+
+class TestKCenterSelection:
+    def test_matches_bruteforce_greedy(self, spark):
+        """The distributed loop must equal the textbook greedy on the same
+        quantized distances (seed = min id, ties to lowest id)."""
+        import numpy as np
+
+        from llm_data_pipeline_spark.operators.similarity import (
+            kcenter_selection,
+        )
+
+        rng = np.random.default_rng(5)
+        x = rng.normal(size=(60, 8))
+        rows = [(i, [float(v) for v in x[i]]) for i in range(60)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = [
+            (r["sel_rank"], r["vec_id"], r["radius_mu"])
+            for r in kcenter_selection(df, k=6).orderBy("sel_rank").collect()
+        ]
+
+        xf = np.asarray(x, dtype=np.float32).astype(np.float64)
+
+        def dist_mu(a, b):
+            na, nb = np.linalg.norm(a), np.linalg.norm(b)
+            c = float(a @ b / (na * nb)) if na > 0 and nb > 0 else 0.0
+            return 1_000_000 - round(round(c, 6) * 1_000_000)
+
+        selected = [0]
+        mind = {i: dist_mu(xf[i], xf[0]) for i in range(1, 60)}
+        want = [(0, 0, -1)]
+        for r in range(1, 6):
+            nxt = max(mind, key=lambda i: (mind[i], -i))
+            want.append((r, nxt, mind[nxt]))
+            selected.append(nxt)
+            d = {i: dist_mu(xf[i], xf[nxt]) for i in mind if i != nxt}
+            mind = {i: min(mind[i], d[i]) for i in d}
+        assert got == want
+
+    def test_radius_trajectory_decreases(self, spark, sf_dir):
+        from llm_data_pipeline_spark.operators.similarity import (
+            kcenter_selection,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        rows = kcenter_selection(emb, k=6).orderBy("sel_rank").collect()
+        radii = [r["radius_mu"] for r in rows if r["sel_rank"] >= 1]
+        assert all(a >= b for a, b in zip(radii, radii[1:]))
+
+
+class TestMarginMining:
+    def test_matches_bruteforce_margin(self, spark):
+        """Margins, best-of choices and mutual flags against a pure-python
+        reference on random vectors."""
+        import numpy as np
+
+        from llm_data_pipeline_spark.functions.intmath import rounded_div
+        from llm_data_pipeline_spark.operators.similarity import (
+            margin_knn_mining,
+        )
+
+        rng = np.random.default_rng(9)
+        x = rng.normal(size=(12, 6))
+        y = rng.normal(size=(15, 6))
+        xs = spark.createDataFrame(
+            [(i, [float(v) for v in x[i]]) for i in range(12)],
+            "src_id long, embedding array<float>",
+        )
+        ys = spark.createDataFrame(
+            [(100 + j, [float(v) for v in y[j]]) for j in range(15)],
+            "tgt_id long, embedding array<float>",
+        )
+        k, tmin = 3, 1_000_000
+        got = {
+            r["src_id"]: (r["tgt_id"], r["cos_mu"], r["margin_ppm"],
+                          r["mutual"], r["mined"])
+            for r in margin_knn_mining(xs, ys, k=k, margin_ppm_min=tmin).collect()
+        }
+
+        xf = np.asarray(x, dtype=np.float32).astype(np.float64)
+        yf = np.asarray(y, dtype=np.float32).astype(np.float64)
+
+        def cmu(a, b):
+            c = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+            return round(round(c, 6) * 1_000_000)
+
+        cos = {(i, 100 + j): cmu(xf[i], yf[j]) for i in range(12) for j in range(15)}
+        ax = {}
+        for i in range(12):
+            top = sorted(((-(cos[(i, t)]), t) for t in range(100, 115)))[:k]
+            ax[i] = rounded_div(sum(-c for c, _ in top), len(top))
+        ay = {}
+        for t in range(100, 115):
+            top = sorted(((-(cos[(i, t)]), i) for i in range(12)))[:k]
+            ay[t] = rounded_div(sum(-c for c, _ in top), len(top))
+        cands = {}
+        for i in range(12):
+            top = sorted(((-(cos[(i, t)]), t) for t in range(100, 115)))[:k]
+            for negc, t in top:
+                if ax[i] + ay[t] > 0:
+                    cands[(i, t)] = rounded_div(
+                        (-negc) * 2_000_000, ax[i] + ay[t]
+                    )
+        best_fwd = {}
+        for (i, t), m in cands.items():
+            cur = best_fwd.get(i)
+            if cur is None or (m, -t) > (cur[1], -cur[0]):
+                best_fwd[i] = (t, m)
+        best_bwd = {}
+        for (i, t), m in cands.items():
+            cur = best_bwd.get(t)
+            if cur is None or (m, -i) > (cur[1], -cur[0]):
+                best_bwd[t] = (i, m)
+        want = {}
+        for i, (t, m) in best_fwd.items():
+            mutual = int(best_bwd[t][0] == i)
+            want[i] = (t, cos[(i, t)], m, mutual, int(m >= tmin))
+        assert got == want

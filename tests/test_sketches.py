@@ -157,3 +157,37 @@ def test_cm_estimate_never_underestimates(spark):
     }
     assert all(est[v] >= c for v, c in true.items())  # CM guarantee
     assert est["never-seen"] >= 0
+
+
+def test_bottomk_sample_is_k_smallest_hashes(spark, sf_dir):
+    from llm_data_pipeline_spark.operators.sketches import bottomk_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    key = F.concat(F.lit("bkq|"), F.col("doc_id").cast("string"))
+    got = sorted(
+        r["hk"] for r in bottomk_sample(docs, key, 32, ("n_chars",)).collect()
+    )
+    from llm_data_pipeline_spark.functions.hashing import portable_hash60
+
+    all_h = sorted(
+        r["hk"] for r in docs.select(portable_hash60(key).alias("hk")).collect()
+    )
+    assert got == all_h[:32]
+
+
+def test_bottomk_quantiles_rank_error_shrinks_with_k(spark, sf_dir):
+    """Larger samples must not have larger worst-case measured rank error
+    (on this fixed corpus), and every estimate's exact_le must be a true
+    rank (monotone in p)."""
+    from llm_data_pipeline_spark.operators.sketches import bottomk_quantiles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    key = F.concat(F.lit("bkq|"), F.col("doc_id").cast("string"))
+
+    def errs(k):
+        rows = bottomk_quantiles(docs, key, "n_chars", k=k).orderBy("p").collect()
+        les = [r["exact_le"] for r in rows]
+        assert les == sorted(les)
+        return max(r["err_ppm"] for r in rows)
+
+    assert errs(256) <= errs(16)

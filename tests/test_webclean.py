@@ -144,3 +144,34 @@ def test_plan_domain_quota_single_domain_shuffle(spark, sf_dir):
     I.assert_no_cartesian(df)
     schemas = I.scan_read_schemas(df)
     assert all("text" not in s for s in schemas)  # only doc_id + source read
+
+
+def test_canonical_url_rules(spark):
+    from llm_data_pipeline_spark.operators.webclean import canonical_url
+
+    cases = [
+        # (raw, expected canonical)
+        ("https://Example.COM/a/b", "https://example.com/a/b"),
+        ("HTTPS://WWW.example.com/a/b/", "https://example.com/a/b"),
+        ("https://example.com:443/a", "https://example.com/a"),
+        ("http://example.com:80/a", "http://example.com/a"),
+        ("http://example.com:8080/a", "http://example.com:8080/a"),
+        ("https://example.com", "https://example.com/"),
+        ("https://example.com/?b=2&a=1#frag", "https://example.com/?a=1&b=2"),
+        (
+            "https://example.com/p?utm_source=x&id=7&utm_campaign=y",
+            "https://example.com/p?id=7",
+        ),
+        ("https://example.com/p?fbclid=z&gclid=q", "https://example.com/p"),
+        ("https://example.com//a//", "https://example.com//a"),
+        ("https://www.example.com/#x", "https://example.com/"),
+    ]
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _) in enumerate(cases)], "i int, raw string"
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", canonical_url(F.col("raw")).alias("c")).collect()
+    }
+    for i, (raw, want) in enumerate(cases):
+        assert got[i] == want, f"{raw}: {got[i]} != {want}"
