@@ -129,3 +129,88 @@ def rendezvous_assign(
         ]
     )
     return df.withColumn(out_col, F.array_max(scored).getField("s"))
+
+
+def range_shard_report(
+    df: DataFrame,
+    bkey: "F.Column",
+    sample_key: "F.Column",
+    n_shards: int = 8,
+    sample_k: int = 128,
+) -> DataFrame:
+    """Balanced RANGE sharding with sample-derived boundaries — the
+    deterministic twin of ``repartitionByRange`` (whose internal sampling
+    is not replayable): boundaries come from a bottom-k hash sample
+    (mergeable top-k, no global sort), every row maps to
+    ``#(boundaries <= bkey)`` via a broadcast literal array (narrow map),
+    and the report grades the TWO properties range sharding exists for:
+    orderedness (max of shard i strictly below min of shard i+1 — ``bkey``
+    must be a total order) and balance (each shard within [n/2S, 2n/S]).
+
+    Length-ordered shard export is the padding-reduction layout for
+    training batches; at 100 TB the same boundaries feed an actual
+    ``df.write.partitionBy``/repartitionByRange, and the sample pass is
+    the only extra scan. Returns one row per non-empty shard:
+    (shard_id, n_rows, min_bkey, max_bkey, ordered_ok, balanced_ok).
+    """
+    from pyspark.sql.window import Window
+
+    from llm_data_pipeline_spark.operators.sketches import bottomk_sample
+
+    keyed = df.select(bkey.alias("bk"), sample_key.alias("_sk"))
+    samp = bottomk_sample(keyed, F.col("_sk"), sample_k, ("bk",))
+    ranked = samp.select(
+        "bk",
+        F.row_number().over(Window.orderBy("bk", "hk")).alias("rn"),
+    )
+    m_eff = ranked.agg(F.max("rn").alias("m")).collect()[0]["m"] or 0
+    # boundary ranks j*k/S, clamped to the sample size; duplicates are
+    # kept when the sample is shorter than the last rank — the DuckDB
+    # twin replays the identical boundary multiset
+    want_ranks = (
+        [min(j * sample_k // n_shards, m_eff) for j in range(1, n_shards)]
+        if m_eff
+        else []
+    )
+    rank_to_bk = {
+        r["rn"]: int(r["bk"])
+        for r in ranked.where(F.col("rn").isin(sorted(set(want_ranks)))).collect()
+    }
+    arr = (
+        F.array(*[F.lit(rank_to_bk[rk]).cast("long") for rk in want_ranks])
+        if want_ranks
+        else F.array().cast("array<long>")
+    )
+    assigned = keyed.select(
+        "bk",
+        F.size(F.filter(arr, lambda x: x <= F.col("bk"))).alias("shard_id"),
+    )
+    agg = assigned.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("bk").alias("min_bkey"),
+        F.max("bk").alias("max_bkey"),
+    )
+    w = Window.orderBy("shard_id")
+    total = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return agg.select(
+        "shard_id",
+        "n_rows",
+        "min_bkey",
+        "max_bkey",
+        (
+            F.col("max_bkey")
+            < F.coalesce(
+                F.lead("min_bkey").over(w), F.col("max_bkey") + F.lit(1)
+            )
+        )
+        .cast("int")
+        .alias("ordered_ok"),
+        (
+            (F.col("n_rows") * F.lit(2 * n_shards) >= F.sum("n_rows").over(total))
+            & (F.col("n_rows") * F.lit(n_shards) <= F.sum("n_rows").over(total) * 2)
+        )
+        .cast("int")
+        .alias("balanced_ok"),
+    )

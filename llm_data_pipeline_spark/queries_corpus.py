@@ -1328,3 +1328,75 @@ def bottomk_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_BKQ_K,
         ps=_BKQ_PS,
     ).orderBy("p")
+
+
+# ---------------------------------------------------------------------------
+# range-partitioned balanced sharding (sample-derived boundaries)
+# ---------------------------------------------------------------------------
+
+_RPS_S = 8
+_RPS_K = 128
+
+
+@query(
+    "range_partitioned_shards",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, n_chars * 1000000000 + doc_id AS bk FROM documents
+    ),
+    h AS (
+      SELECT bk, {DUCKDB_HASH60.format(s="'rps|' || doc_id::VARCHAR")} AS hk
+      FROM d
+    ),
+    samp AS (SELECT * FROM h ORDER BY hk LIMIT {_RPS_K}),
+    ranked AS (
+      SELECT bk, row_number() OVER (ORDER BY bk, hk) AS rn FROM samp
+    ),
+    meff AS (SELECT max(rn) AS m FROM ranked),
+    js AS (SELECT unnest(range(1, {_RPS_S})) AS j),
+    bounds AS (
+      SELECT j, r.bk FROM js CROSS JOIN meff m
+      JOIN ranked r ON r.rn = least(j * {_RPS_K} // {_RPS_S}, m.m)
+    ),
+    assign AS (
+      SELECT d.bk,
+             CAST((SELECT count(*) FROM bounds b WHERE b.bk <= d.bk) AS INT)
+               AS shard_id
+      FROM d
+    ),
+    agg AS (
+      SELECT shard_id, CAST(count(*) AS BIGINT) AS n_rows,
+             min(bk) AS min_bkey, max(bk) AS max_bkey
+      FROM assign GROUP BY 1
+    )
+    SELECT shard_id, n_rows, min_bkey, max_bkey,
+           CAST(CASE WHEN max_bkey < coalesce(lead(min_bkey)
+                          OVER (ORDER BY shard_id), max_bkey + 1)
+                THEN 1 ELSE 0 END AS INT) AS ordered_ok,
+           CAST(CASE WHEN n_rows * {2 * _RPS_S} >= sum(n_rows) OVER ()
+                      AND n_rows * {_RPS_S} <= sum(n_rows) OVER () * 2
+                THEN 1 ELSE 0 END AS INT) AS balanced_ok
+    FROM agg ORDER BY shard_id
+    """,
+    tags=("corpus", "sharding", "range"),
+)
+def range_partitioned_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced RANGE sharding on the length-composite key
+    (n_chars, doc_id) — the padding-reduction layout for training export,
+    built the deterministic way: boundaries from the bottom-{k} hash
+    sample (never a global sort), rows assigned by a broadcast literal
+    array, and both properties range sharding exists for GRADED
+    (orderedness across shards, balance within [n/2S, 2n/S]).
+    operators/skew.py:range_shard_report; the sampling primitive is the
+    same bottomk_sample as bottomk_sample_quantiles."""
+    from llm_data_pipeline_spark.operators.skew import range_shard_report
+
+    docs = table(spark, sf_dir, "documents", scatter=True)
+    return range_shard_report(
+        docs,
+        bkey=F.col("n_chars") * F.lit(1_000_000_000).cast("long")
+        + F.col("doc_id"),
+        sample_key=F.concat(F.lit("rps|"), F.col("doc_id").cast("string")),
+        n_shards=_RPS_S,
+        sample_k=_RPS_K,
+    ).orderBy("shard_id")
