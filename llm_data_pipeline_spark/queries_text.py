@@ -725,3 +725,139 @@ def quality_threshold_sweep(spark: SparkSession, sf_dir: str):
             F.col("n_kept") * F.lit(1_000_000).cast("long"), F.col("total")
         ).alias("kept_ppm"),
     ).orderBy("threshold_mu")
+
+
+# ---------------------------------------------------------------------------
+# term-frequency power-law fit (integer-exact least squares on log-log)
+# ---------------------------------------------------------------------------
+
+_PLF_N = 64
+
+
+@query(
+    "term_powerlaw_fit",
+    oracle=f"""
+    WITH terms AS (
+      SELECT unnest({TOKS}) AS term FROM documents
+    ),
+    counts AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM terms GROUP BY term
+    ),
+    top AS (
+      SELECT term, cnt,
+             row_number() OVER (ORDER BY cnt DESC, term) AS rank
+      FROM counts
+      ORDER BY cnt DESC, term LIMIT {_PLF_N}
+    ),
+    pts AS (
+      SELECT rank, term, cnt,
+             CAST(round(ln(rank) * 1000000) AS BIGINT) AS x_mu,
+             CAST(round(ln(cnt) * 1000000) AS BIGINT) AS y_mu
+      FROM top
+    ),
+    sums AS (
+      SELECT *,
+             CAST(count(*) OVER () AS BIGINT) AS n,
+             CAST(sum(x_mu) OVER () AS BIGINT) AS sx,
+             CAST(sum(y_mu) OVER () AS BIGINT) AS sy,
+             CAST(sum(x_mu * y_mu) OVER () AS BIGINT) AS sxy,
+             CAST(sum(x_mu * x_mu) OVER () AS BIGINT) AS sxx
+      FROM pts
+    ),
+    fit AS (
+      SELECT *,
+             CAST({rounded_div_sql(
+                 '(n * sxy - sx * sy)',
+                 f"({rounded_div_sql('(n * sxx - sx * sx)', '1000000')})"
+             )} AS BIGINT) AS slope_mu
+      FROM sums
+    ),
+    fin AS (
+      SELECT *,
+             CAST({rounded_div_sql('(sy * 1000000 - slope_mu * sx)',
+                                   '(n * 1000000)')} AS BIGINT) AS intercept_mu
+      FROM fit
+    )
+    SELECT rank, term, cnt, x_mu, y_mu, slope_mu, intercept_mu,
+           y_mu - (intercept_mu +
+                   CAST({rounded_div_sql('(slope_mu * x_mu)', '1000000')}
+                        AS BIGINT)) AS resid_mu
+    FROM fin ORDER BY rank
+    """,
+    tags=("text-analysis", "mining", "regression"),
+)
+def term_powerlaw_fit(spark: SparkSession, sf_dir: str):
+    """Zipf/power-law fit of the term-frequency distribution: top-{n}
+    terms -> (ln rank, ln count) -> least-squares slope+intercept in
+    EXACT integer micro-unit arithmetic (the same rounded-division
+    contract as the k-means/LR trainers), per-term residuals included —
+    a distributed regression whose whole trajectory the oracle replays.
+    Shape: one term-count groupBy + a TakeOrdered top-{n}; the regression
+    runs as window sums over {n} rows."""
+    from llm_data_pipeline_spark.functions.intmath import rounded_div_col
+
+    docs = table(spark, sf_dir, "documents", scatter=True)
+    terms = docs.select(F.explode(A.tokens(F.col("text"))).alias("term"))
+    counts = terms.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    top = (
+        counts.orderBy(F.desc("cnt"), "term")
+        .limit(_PLF_N)
+        .select(
+            "term",
+            "cnt",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cnt"), "term"))
+            .alias("rank"),
+        )
+    )
+    pts = top.select(
+        "rank",
+        "term",
+        "cnt",
+        F.round(F.log("rank") * 1e6, 0).cast("long").alias("x_mu"),
+        F.round(F.log("cnt") * 1e6, 0).cast("long").alias("y_mu"),
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    sums = pts.select(
+        "*",
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("x_mu").over(wall).alias("sx"),
+        F.sum("y_mu").over(wall).alias("sy"),
+        F.sum(F.col("x_mu") * F.col("y_mu")).over(wall).alias("sxy"),
+        F.sum(F.col("x_mu") * F.col("x_mu")).over(wall).alias("sxx"),
+    )
+    slope = rounded_div_col(
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"),
+        rounded_div_col(
+            F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"),
+            F.lit(1_000_000).cast("long"),
+        ),
+    )
+    fit = sums.withColumn("slope_mu", slope)
+    intercept = rounded_div_col(
+        F.col("sy") * F.lit(1_000_000).cast("long")
+        - F.col("slope_mu") * F.col("sx"),
+        F.col("n") * F.lit(1_000_000).cast("long"),
+    )
+    fin = fit.withColumn("intercept_mu", intercept)
+    return fin.select(
+        "rank",
+        "term",
+        "cnt",
+        "x_mu",
+        "y_mu",
+        "slope_mu",
+        "intercept_mu",
+        (
+            F.col("y_mu")
+            - (
+                F.col("intercept_mu")
+                + rounded_div_col(
+                    F.col("slope_mu") * F.col("x_mu"),
+                    F.lit(1_000_000).cast("long"),
+                )
+            )
+        ).alias("resid_mu"),
+    ).orderBy("rank")
