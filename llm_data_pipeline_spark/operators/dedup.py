@@ -437,6 +437,87 @@ def containment_pairs(
     )
 
 
+def containment_pairs_incremental(
+    base: DataFrame,
+    increment: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    verify_broadcast_bytes: int = 128 << 20,
+) -> DataFrame:
+    """Incremental containment screening (base x daily increment): is any
+    NEW document an excerpt/quote of the existing corpus (or of another
+    new document)? Only increment rows act as the INNER (contained) side —
+    they alone explode containment prefixes; the outer side is
+    base + increment exploded fully, keyed by shingle. The base is never
+    self-joined and never prefix-exploded: at 100 TB yesterday's corpus
+    contributes only its shingle inverted index to the band join, the
+    same asymmetry as minhash_incremental_dedup. Returns the same
+    (inner_id, outer_id, n_common, n_inner, containment) contract as
+    containment_pairs restricted to inner ∈ increment.
+    """
+    inc_docs = _shingled_docs(increment, n, text_col, id_col)
+    # shingle the union independently instead of unioning the two
+    # checkpointed frames: a lazily-checkpointed child referenced both
+    # inside a union and standalone trips Catalyst attribute resolution
+    # (key-not-found on the checkpoint's exprIds)
+    all_docs = _shingled_docs(
+        base.select(id_col, text_col).unionByName(
+            increment.select(id_col, text_col)
+        ),
+        n,
+        text_col,
+        id_col,
+    )
+    prefix_len = (
+        F.col("n_sh") - F.ceil(F.col("n_sh") * threshold) + 1
+    ).cast("int")
+    pre_inner = inc_docs.select(
+        "doc_id",
+        "n_sh",
+        F.posexplode(F.slice("sh", 1, prefix_len)).alias("pos", "shingle"),
+    )
+    full_outer = all_docs.select(
+        "doc_id",
+        "n_sh",
+        F.posexplode("sh").alias("pos", "shingle"),
+    )
+    ub = F.lit(1) + F.least(
+        F.col("a.n_sh") - 1 - F.col("a.pos"),
+        F.col("b.n_sh") - 1 - F.col("b.pos"),
+    )
+    cands = (
+        pre_inner.alias("a")
+        .join(full_outer.alias("b"), "shingle")
+        .where(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("u"),
+            F.col("b.doc_id").alias("v"),
+            F.col("a.n_sh").alias("na"),
+            ub.alias("ub"),
+        )
+        .groupBy("u", "v")
+        .agg(F.max("ub").alias("ub"), F.max("na").alias("na"))
+        .where(F.col("ub") >= F.lit(threshold) * F.col("na"))
+        .select("u", "v")
+    )
+    du, _ = _verify_sides(inc_docs, verify_broadcast_bytes)
+    _, dv = _verify_sides(all_docs, verify_broadcast_bytes)
+    return (
+        cands.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.col("u").alias("inner_id"),
+            F.col("v").alias("outer_id"),
+            F.size(F.array_intersect("sh_u", "sh_v")).alias("n_common"),
+            F.size("sh_u").alias("n_inner"),
+        )
+        .withColumn("containment", F.col("n_common") / F.col("n_inner"))
+        .where(F.col("containment") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # cross-document chunk dedup (RefinedWeb-style substring dedup, word chunks)
 # ---------------------------------------------------------------------------

@@ -1218,3 +1218,112 @@ def containment_near_supersets(spark: SparkSession, sf_dir: str):
     return containment_pairs(exc, threshold=_CONT_T, n=3).orderBy(
         "inner_id", "outer_id"
     )
+
+
+_INC_FRESH_OFFSET = 300_000
+
+
+@query(
+    "containment_incremental",
+    oracle=f"""
+    WITH toked AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(regexp_replace(lower(coalesce(text,'')),
+                         '\\s+', ' ', 'g')), ' '), x -> x <> '') AS toks,
+             text
+      FROM documents
+    ),
+    alld AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {_EXC_OFFSET} AS doc_id,
+             array_to_string(list_slice(toks, 1, CAST(ceil(len(toks) / 2.0) AS INT)),
+                             ' ') AS text
+      FROM toked WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + {_INC_FRESH_OFFSET} AS doc_id,
+             'inc' || (doc_id % 7)::VARCHAR || ' ' || coalesce(text, '') AS text
+      FROM documents WHERE doc_id % 10 = 5
+    ),
+    sh AS (
+      SELECT doc_id, unnest(shingles) AS shingle
+      FROM (
+        SELECT doc_id,
+               CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                    ELSE list_distinct(list_transform(range(len(toks)-2),
+                             i -> array_to_string(list_slice(toks, i+1, i+3), ' ')))
+               END AS shingles
+        FROM (
+          SELECT doc_id,
+                 list_filter(string_split(trim(regexp_replace(lower(coalesce(text,'')),
+                             '\\s+', ' ', 'g')), ' '), x -> x <> '') AS toks
+          FROM alld
+        )
+      )
+    ),
+    sizes AS (SELECT doc_id, CAST(count(*) AS INT) AS n_sh FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS inner_id, b.doc_id AS outer_id,
+             CAST(count(*) AS INT) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      WHERE a.doc_id >= {_EXC_OFFSET}
+      GROUP BY 1, 2
+    )
+    SELECT p.inner_id, p.outer_id, p.n_common, s.n_sh AS n_inner,
+           p.n_common / s.n_sh AS containment
+    FROM pairs p JOIN sizes s ON s.doc_id = p.inner_id
+    WHERE p.n_common / s.n_sh >= {_CONT_T}
+    ORDER BY inner_id, outer_id
+    """,
+    tags=("dedup", "containment", "incremental"),
+)
+def containment_incremental(spark: SparkSession, sf_dir: str):
+    """Daily-increment containment screening: are any NEW docs excerpts of
+    the existing corpus (or of each other)? Inner side = increment only
+    (excerpt plants at +{exc}, fresh prefixed docs at +{fresh}); the base
+    contributes only its shingle index — never prefix-exploded, never
+    self-joined (operators/dedup.py:containment_pairs_incremental, the
+    asymmetry minhash_incremental_dedup uses). Pruning lossless, so the
+    oracle is the naive increment x all join."""
+    from llm_data_pipeline_spark.operators.dedup import (
+        containment_pairs_incremental,
+    )
+
+    docs = table(spark, sf_dir, "documents", scatter=True).select(
+        "doc_id", "text"
+    )
+    toks = F.filter(
+        F.split(
+            F.trim(
+                F.regexp_replace(
+                    F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+", " "
+                )
+            ),
+            " ",
+        ),
+        lambda x: x != "",
+    )
+    excerpts = (
+        docs.where(F.col("doc_id") % 10 == 0)
+        .select(F.col("doc_id"), toks.alias("_toks"))
+        .select(
+            (F.col("doc_id") + _EXC_OFFSET).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.slice("_toks", 1, F.ceil(F.size("_toks") / 2).cast("int")),
+            ).alias("text"),
+        )
+    )
+    fresh = docs.where(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + _INC_FRESH_OFFSET).alias("doc_id"),
+        F.concat(
+            F.lit("inc"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(" "),
+            F.coalesce(F.col("text"), F.lit("")),
+        ).alias("text"),
+    )
+    inc = excerpts.unionByName(fresh)
+    return containment_pairs_incremental(
+        docs, inc, threshold=_CONT_T, n=3
+    ).orderBy("inner_id", "outer_id")
