@@ -313,3 +313,84 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# JSONL sink/source roundtrip (the LLM-data interchange format)
+# ---------------------------------------------------------------------------
+
+_JL_KEY = "'jl:' || doc_id::VARCHAR || ':' || coalesce(text, '')"
+
+
+@query(
+    "jsonl_sink_roundtrip",
+    oracle=f"""
+    SELECT metric, value FROM (
+      SELECT 'jl_rows' AS metric, CAST(count(*) AS BIGINT) AS value
+      FROM documents
+      UNION ALL
+      SELECT 'jl_text_hashsum',
+             CAST(sum(({DUCKDB_HASH60.format(s=_JL_KEY)}) % {_MOD}) AS BIGINT)
+      FROM documents
+      UNION ALL
+      SELECT 'jl_chars', CAST(sum(length(coalesce(text, ''))) AS BIGINT)
+      FROM documents
+      UNION ALL
+      SELECT 'jl_langs', CAST(count(DISTINCT lang) AS BIGINT) FROM documents
+      UNION ALL
+      SELECT 'jl_id_sum', CAST(sum(doc_id) AS BIGINT) FROM documents
+    ) ORDER BY metric
+    """,
+    tags=("sources", "sinks", "roundtrip", "jsonl"),
+)
+def jsonl_sink_roundtrip(spark: SparkSession, sf_dir: str):
+    """JSONL roundtrip — the interchange format LLM corpora actually move
+    in: write documents as newline-delimited JSON shards with the real
+    writer, read them back with an EXPLICIT schema (schema inference on
+    100 TB of JSONL is a second full scan), reduce to scalar fidelity
+    metrics (row count, keyed text hash-sum, char total, lang
+    cardinality, id checksum). The oracle computes the same metrics from
+    the source parquet, so equality pins lossless text/NULL/unicode
+    transit through the JSON encoder and decoder."""
+    os.makedirs(SINK_BASE, exist_ok=True)
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    pj = os.path.join(SINK_BASE, "docs_jsonl")
+    docs.write.mode("overwrite").json(pj)
+    back = spark.read.schema(
+        "doc_id long, text string, lang string, n_chars long"
+    ).json(pj)
+    key = F.concat(
+        F.lit("jl:"),
+        F.col("doc_id").cast("string"),
+        F.lit(":"),
+        F.coalesce(F.col("text"), F.lit("")),
+    )
+    agg = back.agg(
+        F.count(F.lit(1)).cast("long").alias("jl_rows"),
+        _hsum(key).alias("jl_text_hashsum"),
+        F.sum(F.length(F.coalesce(F.col("text"), F.lit("")))).cast("long").alias(
+            "jl_chars"
+        ),
+        F.count_distinct("lang").cast("long").alias("jl_langs"),
+        F.sum("doc_id").cast("long").alias("jl_id_sum"),
+    )
+    melted = agg.select(
+        F.explode(
+            F.create_map(
+                *[
+                    x
+                    for m in (
+                        "jl_rows",
+                        "jl_text_hashsum",
+                        "jl_chars",
+                        "jl_langs",
+                        "jl_id_sum",
+                    )
+                    for x in (F.lit(m), F.col(m))
+                ]
+            )
+        ).alias("metric", "value")
+    )
+    return melted.orderBy("metric")
