@@ -30,6 +30,7 @@ from llm_data_pipeline_spark.operators.lsh import (
     minhash_incremental_dedup,
 )
 from llm_data_pipeline_spark.operators.minhash import add_minhash, add_minhash_md5
+from llm_data_pipeline_spark.functions.intmath import rounded_div_sql
 from llm_data_pipeline_spark.queries import query, table
 
 VARIANT_OFFSET = 100_000
@@ -1327,3 +1328,186 @@ def containment_incremental(spark: SparkSession, sf_dir: str):
     return containment_pairs_incremental(
         docs, inc, threshold=_CONT_T, n=3
     ).orderBy("inner_id", "outer_id")
+
+
+# ---------------------------------------------------------------------------
+# LSH quality evaluation: measured recall/precision vs exact Jaccard
+# ---------------------------------------------------------------------------
+
+_EVAL_T = 0.7  # exact-Jaccard truth threshold ~ the 8-rows/band LSH design point
+
+
+@query(
+    "minhash_lsh_recall_eval",
+    oracle=f"""
+    WITH {AUG_SQL.strip()},
+    {_minhash_sig_sql("aug").strip()},
+    bandkey AS (
+      SELECT doc_id, (pos // 8)::INT AS band_id,
+             string_agg(sig_val::VARCHAR, ',' ORDER BY pos) AS bkey
+      FROM sig GROUP BY doc_id, (pos // 8)
+    ),
+    sized AS (
+      SELECT band_id, bkey, doc_id,
+             count(*) OVER (PARTITION BY band_id, bkey) AS n
+      FROM bandkey
+    ),
+    edges AS (
+      SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+      FROM sized a JOIN sized b
+        ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+      WHERE a.n <= 500
+    ),
+    planted AS (
+      SELECT doc_id AS u, doc_id + {VARIANT_OFFSET} AS v
+      FROM documents WHERE doc_id < 50
+    ),
+    pairs_all AS (SELECT u, v FROM edges UNION SELECT u, v FROM planted),
+    szs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh5 GROUP BY doc_id),
+    common AS (
+      SELECT p.u, p.v, CAST(count(*) AS BIGINT) AS c
+      FROM pairs_all p
+      JOIN sh5 a ON a.doc_id = p.u
+      JOIN sh5 b ON b.doc_id = p.v AND b.s = a.s
+      GROUP BY p.u, p.v
+    ),
+    scored AS (
+      SELECT p.u, p.v,
+             coalesce(cm.c, 0) / (su.n + sv.n - coalesce(cm.c, 0)) AS j
+      FROM pairs_all p
+      JOIN szs su ON su.doc_id = p.u
+      JOIN szs sv ON sv.doc_id = p.v
+      LEFT JOIN common cm ON cm.u = p.u AND cm.v = p.v
+    ),
+    marks AS (
+      SELECT s.u, s.v, s.j,
+             CASE WHEN e.u IS NOT NULL THEN 1 ELSE 0 END AS is_cand,
+             CASE WHEN s.v - s.u = {VARIANT_OFFSET} AND s.u < 50
+                  THEN 1 ELSE 0 END AS is_planted
+      FROM scored s LEFT JOIN edges e ON e.u = s.u AND e.v = s.v
+    ),
+    agg AS (
+      SELECT CAST(sum(is_cand) AS BIGINT) AS n_candidates,
+             CAST(sum(CASE WHEN is_cand = 1 AND j >= {_EVAL_T} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_cand_true,
+             CAST(sum(is_planted) AS BIGINT) AS n_planted_scored,
+             CAST(sum(CASE WHEN is_planted = 1 AND j >= {_EVAL_T} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_eligible,
+             CAST(sum(CASE WHEN is_planted = 1 AND is_cand = 1
+                            AND j >= {_EVAL_T} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS found_eligible
+      FROM marks
+    )
+    SELECT n_candidates, n_cand_true, n_planted_scored, n_eligible,
+           found_eligible,
+           CAST({rounded_div_sql('(found_eligible * 1000000)',
+                                 'greatest(n_eligible, 1)')} AS BIGINT)
+             AS recall_ppm,
+           CAST({rounded_div_sql('(n_cand_true * 1000000)',
+                                 'greatest(n_candidates, 1)')} AS BIGINT)
+             AS precision_ppm
+    FROM agg ORDER BY n_candidates
+    """,
+    tags=("dedup", "minhash", "evaluation"),
+)
+def minhash_lsh_recall_eval(spark: SparkSession, sf_dir: str):
+    """The engine measuring its own approximation: MinHash-LSH candidate
+    pairs (8 rows/band, design threshold ~0.71) graded against EXACT
+    char-5-gram Jaccard — recall over the planted near-dup pairs that
+    truly clear t={t}, precision over the emitted candidates. Exact
+    Jaccard is computed ONLY pair-restricted (planted ∪ candidates), so
+    the evaluation costs O(pairs), not O(n^2). Both the LSH chain and the
+    truth replay in SQL, so the recall/precision numbers themselves are
+    oracle-checked, not self-reported."""
+    from llm_data_pipeline_spark.functions.intmath import rounded_div_col
+    from llm_data_pipeline_spark.operators.lsh import band_rows, candidate_pairs
+    from llm_data_pipeline_spark.operators.minhash import (
+        add_minhash_md5,
+        shingle_array,
+    )
+
+    aug = _augmented(spark, sf_dir, scatter=True)
+    sigs = add_minhash_md5(aug)
+    cands = candidate_pairs(band_rows(sigs, rows_per_band=8))
+    planted = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 50)
+        .select(
+            F.col("doc_id").alias("u"),
+            (F.col("doc_id") + VARIANT_OFFSET).alias("v"),
+        )
+    )
+    pairs_all = cands.select("u", "v").unionByName(planted).distinct()
+    text = F.coalesce(F.col("text"), F.lit(""))
+    sets = aug.where(F.length(F.trim(text)) > 0).select(
+        "doc_id", shingle_array(text).alias("sh")
+    )
+    su = sets.select(F.col("doc_id").alias("u"), F.col("sh").alias("sh_u"))
+    sv = sets.select(F.col("doc_id").alias("v"), F.col("sh").alias("sh_v"))
+    c = F.size(F.array_intersect("sh_u", "sh_v")).cast("long")
+    scored = (
+        pairs_all.join(su, "u")
+        .join(sv, "v")
+        .select(
+            "u",
+            "v",
+            (
+                c
+                / (
+                    F.size("sh_u").cast("long")
+                    + F.size("sh_v").cast("long")
+                    - c
+                )
+            ).alias("j"),
+        )
+    )
+    marks = scored.join(
+        cands.select("u", "v").withColumn("_ic", F.lit(1)), ["u", "v"], "left"
+    ).select(
+        "j",
+        F.coalesce(F.col("_ic"), F.lit(0)).alias("is_cand"),
+        (
+            ((F.col("v") - F.col("u")) == VARIANT_OFFSET) & (F.col("u") < 50)
+        )
+        .cast("int")
+        .alias("is_planted"),
+    )
+    agg = marks.agg(
+        F.sum("is_cand").cast("long").alias("n_candidates"),
+        F.sum(
+            F.when((F.col("is_cand") == 1) & (F.col("j") >= _EVAL_T), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_cand_true"),
+        F.sum("is_planted").cast("long").alias("n_planted_scored"),
+        F.sum(
+            F.when((F.col("is_planted") == 1) & (F.col("j") >= _EVAL_T), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_eligible"),
+        F.sum(
+            F.when(
+                (F.col("is_planted") == 1)
+                & (F.col("is_cand") == 1)
+                & (F.col("j") >= _EVAL_T),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("found_eligible"),
+    )
+    return agg.select(
+        "n_candidates",
+        "n_cand_true",
+        "n_planted_scored",
+        "n_eligible",
+        "found_eligible",
+        rounded_div_col(
+            F.col("found_eligible") * F.lit(1_000_000).cast("long"),
+            F.greatest(F.col("n_eligible"), F.lit(1).cast("long")),
+        ).alias("recall_ppm"),
+        rounded_div_col(
+            F.col("n_cand_true") * F.lit(1_000_000).cast("long"),
+            F.greatest(F.col("n_candidates"), F.lit(1).cast("long")),
+        ).alias("precision_ppm"),
+    ).orderBy("n_candidates")
