@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+from llm_data_pipeline_spark.functions.intmath import rounded_div_sql
 from llm_data_pipeline_spark.functions.repetition import add_repetition_signals
 from llm_data_pipeline_spark.queries import query, table
 
@@ -183,3 +184,184 @@ def repetition_filter_by_source(spark: SparkSession, sf_dir: str):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher document-quality rules (Rae et al. 2021, Table A1 — the
+# non-repetition subset; repetition_signals carries the n-gram side)
+# ---------------------------------------------------------------------------
+
+_G_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_G_MIN_WORDS = 50          # Gopher: 50
+_G_MAX_WORDS = 100_000     # Gopher: 100k
+_G_MEANLEN_LO = 3_000_000  # Gopher: mean word length in [3, 10] chars
+_G_MEANLEN_HI = 10_000_000
+_G_ALPHA_MIN = 800_000     # Gopher: >=80% words with an alphabetic char
+_G_SYMBOL_MAX = 100_000    # Gopher: symbol-to-word ratio (#/ellipsis) <=0.1
+_G_STOP_MIN = 1            # Gopher uses 2-of-8; this vocabulary only
+                           # carries 'the', so the graded cut is 1 (the
+                           # cascade shape is the point — see file header)
+_G_BULLET_MAX = 900_000    # Gopher: <=90% bullet lines
+_G_ELLIPSIS_MAX = 300_000  # Gopher: <=30% ellipsis-ending lines
+
+_G_ALPHA_RE = "[A-Za-z一-鿿]"
+
+
+def _gopher_oracle() -> str:
+    bullet_num = (
+        "(len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*\u2022]')))"
+        " * 1000000)"
+    )
+    ell_num = (
+        "(len(list_filter(lines, l -> regexp_matches(l,"
+        " '(\\.\\.\\.|\u2026)\\s*$'))) * 1000000)"
+    )
+    rd_mean = rounded_div_sql("(sum_chars * 1000000)", "greatest(n_words, 1)")
+    rd_alpha = rounded_div_sql("(alpha_words * 1000000)", "greatest(n_words, 1)")
+    rd_sym = rounded_div_sql("(symbols * 1000000)", "greatest(n_words, 1)")
+    rd_bullet = rounded_div_sql(bullet_num, "greatest(len(lines), 1)")
+    rd_ell = rounded_div_sql(ell_num, "greatest(len(lines), 1)")
+    return f"""
+    WITH t AS (
+      SELECT doc_id, coalesce(text, '') AS raw, {_NORM_TOKS} AS toks
+      FROM documents
+    ),
+    sig AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(coalesce(list_sum(list_transform(toks, w -> length(w))), 0)
+                  AS BIGINT) AS sum_chars,
+             CAST(len(list_filter(toks,
+                  w -> regexp_matches(w, '{_G_ALPHA_RE}'))) AS BIGINT)
+               AS alpha_words,
+             CAST(len(regexp_extract_all(raw, '[#\u2026]'))
+                  + (length(raw) - length(replace(raw, '...', ''))) // 3
+                  AS BIGINT) AS symbols,
+             CAST(len(list_filter({list(_G_STOPS)},
+                  s -> list_contains(toks, s))) AS BIGINT) AS stop_hits,
+             list_filter(string_split(raw, chr(10)), l -> trim(l) <> '')
+               AS lines
+      FROM t
+    ),
+    feat AS (
+      SELECT doc_id, n_words,
+             CAST({rd_mean} AS BIGINT) AS mean_word_chars_mu,
+             CAST({rd_alpha} AS BIGINT) AS alpha_word_ppm,
+             CAST({rd_sym} AS BIGINT) AS symbol_word_ppm,
+             stop_hits,
+             CAST({rd_bullet} AS BIGINT) AS bullet_line_ppm,
+             CAST({rd_ell} AS BIGINT) AS ellipsis_line_ppm
+      FROM sig
+    )
+    SELECT doc_id, n_words, mean_word_chars_mu, alpha_word_ppm,
+           symbol_word_ppm, stop_hits, bullet_line_ppm, ellipsis_line_ppm,
+           CAST(CASE WHEN n_words BETWEEN {_G_MIN_WORDS} AND {_G_MAX_WORDS}
+                      AND mean_word_chars_mu BETWEEN {_G_MEANLEN_LO} AND {_G_MEANLEN_HI}
+                      AND alpha_word_ppm >= {_G_ALPHA_MIN}
+                      AND symbol_word_ppm <= {_G_SYMBOL_MAX}
+                      AND stop_hits >= {_G_STOP_MIN}
+                      AND bullet_line_ppm <= {_G_BULLET_MAX}
+                      AND ellipsis_line_ppm <= {_G_ELLIPSIS_MAX}
+                THEN 1 ELSE 0 END AS INT) AS keep
+    FROM feat ORDER BY doc_id
+    """
+
+
+@query(
+    "gopher_doc_quality_filter",
+    oracle=_gopher_oracle(),
+    tags=("heuristics", "quality", "gopher"),
+)
+def gopher_doc_quality_filter(spark: SparkSession, sf_dir: str):
+    """The Gopher document-level quality rules (word-count bounds, mean
+    word length, alpha-word ratio with CJK counted as alphabetic,
+    symbol-to-word ratio, stopword presence, bullet/ellipsis line ratios)
+    as ONE zero-shuffle narrow map — every signal in exact integer ppm
+    via rounded division, the whole cascade inside the scan stage.
+    Constants are Gopher's except the stopword cut (corpus-calibrated,
+    documented above)."""
+    from llm_data_pipeline_spark.functions.intmath import rounded_div_col
+
+    docs = table(spark, sf_dir, "documents", scatter=True)
+    raw = F.coalesce(F.col("text"), F.lit(""))
+    staged = docs.select(
+        "doc_id",
+        raw.alias("_raw"),
+        F.filter(
+            F.split(
+                F.trim(F.regexp_replace(F.lower(raw), r"\s+", " ")), " "
+            ),
+            lambda x: x != "",
+        ).alias("_toks"),
+    ).select(
+        "doc_id",
+        "_raw",
+        "_toks",
+        F.filter(
+            F.split(F.col("_raw"), "\n"), lambda l: F.trim(l) != ""
+        ).alias("_lines"),
+    )
+    n_words = F.size("_toks").cast("long")
+    one = F.greatest(n_words, F.lit(1).cast("long"))
+    sum_chars = F.aggregate(
+        F.transform(F.col("_toks"), F.length),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    alpha_words = F.size(
+        F.filter(F.col("_toks"), lambda w: w.rlike(_G_ALPHA_RE))
+    ).cast("long")
+    symbols = (
+        F.size(F.split(F.col("_raw"), "[#…]")).cast("long")
+        - 1
+        + F.floor(
+            (
+                F.length("_raw")
+                - F.length(F.replace(F.col("_raw"), F.lit("...")))
+            )
+            / 3
+        ).cast("long")
+    )
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in _G_STOPS]),
+            lambda s: F.array_contains(F.col("_toks"), s),
+        )
+    ).cast("long")
+    n_lines = F.greatest(F.size("_lines").cast("long"), F.lit(1).cast("long"))
+    bullets = F.size(
+        F.filter(F.col("_lines"), lambda l: l.rlike(r"^\s*[-*•]"))
+    ).cast("long")
+    ellipses = F.size(
+        F.filter(F.col("_lines"), lambda l: l.rlike(r"(\.\.\.|…)\s*$"))
+    ).cast("long")
+    feat = staged.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        rounded_div_col(sum_chars * F.lit(1_000_000).cast("long"), one).alias(
+            "mean_word_chars_mu"
+        ),
+        rounded_div_col(
+            alpha_words * F.lit(1_000_000).cast("long"), one
+        ).alias("alpha_word_ppm"),
+        rounded_div_col(symbols * F.lit(1_000_000).cast("long"), one).alias(
+            "symbol_word_ppm"
+        ),
+        stop_hits.alias("stop_hits"),
+        rounded_div_col(
+            bullets * F.lit(1_000_000).cast("long"), n_lines
+        ).alias("bullet_line_ppm"),
+        rounded_div_col(
+            ellipses * F.lit(1_000_000).cast("long"), n_lines
+        ).alias("ellipsis_line_ppm"),
+    )
+    keep = (
+        F.col("n_words").between(_G_MIN_WORDS, _G_MAX_WORDS)
+        & F.col("mean_word_chars_mu").between(_G_MEANLEN_LO, _G_MEANLEN_HI)
+        & (F.col("alpha_word_ppm") >= _G_ALPHA_MIN)
+        & (F.col("symbol_word_ppm") <= _G_SYMBOL_MAX)
+        & (F.col("stop_hits") >= _G_STOP_MIN)
+        & (F.col("bullet_line_ppm") <= _G_BULLET_MAX)
+        & (F.col("ellipsis_line_ppm") <= _G_ELLIPSIS_MAX)
+    )
+    return feat.withColumn("keep", keep.cast("int")).orderBy("doc_id")
