@@ -1511,3 +1511,179 @@ def minhash_lsh_recall_eval(spark: SparkSession, sf_dir: str):
             F.greatest(F.col("n_candidates"), F.lit(1).cast("long")),
         ).alias("precision_ppm"),
     ).orderBy("n_candidates")
+
+
+# ---------------------------------------------------------------------------
+# b-bit MinHash (Li & Koenig 2010): 16x signature compression, graded error
+# ---------------------------------------------------------------------------
+
+_BBIT_B = 4
+_BBIT_MASK = (1 << _BBIT_B) - 1
+_BBIT_C_PPM = 1_000_000 // (1 << _BBIT_B)  # collision floor 1/2^b
+
+
+@query(
+    "bbit_minhash_similarity",
+    oracle=f"""
+    WITH {AUG_SQL.strip()},
+    {_minhash_sig_sql("aug").strip()},
+    planted AS (
+      SELECT doc_id AS u, doc_id + {VARIANT_OFFSET} AS v
+      FROM documents WHERE doc_id < 50
+    ),
+    agree AS (
+      SELECT p.u, p.v,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(CASE WHEN a.sig_val = b.sig_val THEN 1 ELSE 0 END)
+                  AS BIGINT) AS agree_full,
+             CAST(sum(CASE WHEN (a.sig_val & {_BBIT_MASK})
+                              = (b.sig_val & {_BBIT_MASK})
+                      THEN 1 ELSE 0 END) AS BIGINT) AS agree_bbit
+      FROM planted p
+      JOIN sig a ON a.doc_id = p.u
+      JOIN sig b ON b.doc_id = p.v AND b.pos = a.pos
+      GROUP BY p.u, p.v
+    ),
+    szs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh5 GROUP BY doc_id),
+    common AS (
+      SELECT p.u, p.v, CAST(count(*) AS BIGINT) AS c
+      FROM planted p
+      JOIN sh5 a ON a.doc_id = p.u
+      JOIN sh5 b ON b.doc_id = p.v AND b.s = a.s
+      GROUP BY p.u, p.v
+    ),
+    est AS (
+      SELECT g.u, g.v, g.agree_full, g.agree_bbit,
+             CAST(round(coalesce(cm.c, 0) * 1000000.0
+                        / (su.n + sv.n - coalesce(cm.c, 0))) AS BIGINT)
+               AS j_exact_ppm,
+             CAST({rounded_div_sql('(agree_full * 1000000)', 'k')} AS BIGINT)
+               AS j_full_ppm,
+             greatest(CAST({rounded_div_sql(
+                 f"(({rounded_div_sql('(agree_bbit * 1000000)', 'k')}"
+                 f" - {_BBIT_C_PPM}) * 1000000)",
+                 f"{1_000_000 - _BBIT_C_PPM}")} AS BIGINT), 0) AS j_bbit_ppm
+      FROM agree g
+      JOIN szs su ON su.doc_id = g.u
+      JOIN szs sv ON sv.doc_id = g.v
+      LEFT JOIN common cm ON cm.u = g.u AND cm.v = g.v
+    )
+    SELECT u, v, agree_full, agree_bbit, j_exact_ppm, j_full_ppm, j_bbit_ppm,
+           abs(j_full_ppm - j_exact_ppm) AS err_full_ppm,
+           abs(j_bbit_ppm - j_exact_ppm) AS err_bbit_ppm
+    FROM est ORDER BY u
+    """,
+    tags=("dedup", "minhash", "sketch", "compression"),
+)
+def bbit_minhash_similarity(spark: SparkSession, sf_dir: str):
+    """b-bit MinHash (b={b}): keep only the low {b} bits of each of the
+    128 minhash values — a 16x signature-storage cut, THE lever when the
+    signature store itself dominates at 100 TB — and grade what it costs:
+    per planted near-dup pair, the debiased b-bit estimate
+    (A - 1/2^b)/(1 - 1/2^b) and the full-width estimate side by side with
+    exact char-5-gram Jaccard, errors in ppm. The whole chain (signature,
+    masking, estimators, truth) replays in DuckDB; two's-complement low
+    bits agree across engines."""
+    from llm_data_pipeline_spark.functions.intmath import rounded_div_col
+    from llm_data_pipeline_spark.operators.minhash import (
+        add_minhash_md5,
+        shingle_array,
+    )
+
+    aug = _augmented(spark, sf_dir, scatter=True)
+    sigs = add_minhash_md5(aug).select("doc_id", "signature")
+    planted = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 50)
+        .select(
+            F.col("doc_id").alias("u"),
+            (F.col("doc_id") + VARIANT_OFFSET).alias("v"),
+        )
+    )
+    su = sigs.select(F.col("doc_id").alias("u"), F.col("signature").alias("sig_u"))
+    sv = sigs.select(F.col("doc_id").alias("v"), F.col("signature").alias("sig_v"))
+    paired = planted.join(su, "u").join(sv, "v")
+    k = F.size("sig_u").cast("long")
+    agree_full = F.size(
+        F.filter(
+            F.zip_with("sig_u", "sig_v", lambda a, b: (a == b).cast("int")),
+            lambda x: x == 1,
+        )
+    ).cast("long")
+    agree_bbit = F.size(
+        F.filter(
+            F.zip_with(
+                "sig_u",
+                "sig_v",
+                lambda a, b: (
+                    a.bitwiseAND(F.lit(_BBIT_MASK))
+                    == b.bitwiseAND(F.lit(_BBIT_MASK))
+                ).cast("int"),
+            ),
+            lambda x: x == 1,
+        )
+    ).cast("long")
+    text = F.coalesce(F.col("text"), F.lit(""))
+    sets = aug.where(F.length(F.trim(text)) > 0).select(
+        "doc_id", shingle_array(text).alias("sh")
+    )
+    shu = sets.select(F.col("doc_id").alias("u"), F.col("sh").alias("sh_u"))
+    shv = sets.select(F.col("doc_id").alias("v"), F.col("sh").alias("sh_v"))
+    c = F.size(F.array_intersect("sh_u", "sh_v")).cast("long")
+    j_exact = F.round(
+        c
+        * F.lit(1_000_000.0)
+        / (
+            F.size("sh_u").cast("long")
+            + F.size("sh_v").cast("long")
+            - c
+        ),
+        0,
+    ).cast("long")
+    staged = (
+        paired.select(
+            "u",
+            "v",
+            agree_full.alias("agree_full"),
+            agree_bbit.alias("agree_bbit"),
+            k.alias("_k"),
+        )
+        .join(shu, "u")
+        .join(shv, "v")
+        .select(
+            "u",
+            "v",
+            "agree_full",
+            "agree_bbit",
+            "_k",
+            j_exact.alias("j_exact_ppm"),
+        )
+    )
+    j_full = rounded_div_col(
+        F.col("agree_full") * F.lit(1_000_000).cast("long"), F.col("_k")
+    )
+    a_ppm = rounded_div_col(
+        F.col("agree_bbit") * F.lit(1_000_000).cast("long"), F.col("_k")
+    )
+    j_bbit = F.greatest(
+        rounded_div_col(
+            (a_ppm - F.lit(_BBIT_C_PPM).cast("long"))
+            * F.lit(1_000_000).cast("long"),
+            F.lit(1_000_000 - _BBIT_C_PPM).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+    )
+    out = staged.select(
+        "u",
+        "v",
+        "agree_full",
+        "agree_bbit",
+        "j_exact_ppm",
+        j_full.alias("j_full_ppm"),
+        j_bbit.alias("j_bbit_ppm"),
+    )
+    return out.select(
+        "*",
+        F.abs(F.col("j_full_ppm") - F.col("j_exact_ppm")).alias("err_full_ppm"),
+        F.abs(F.col("j_bbit_ppm") - F.col("j_exact_ppm")).alias("err_bbit_ppm"),
+    ).orderBy("u")
