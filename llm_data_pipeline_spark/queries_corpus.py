@@ -1400,3 +1400,95 @@ def range_partitioned_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_shards=_RPS_S,
         sample_k=_RPS_K,
     ).orderBy("shard_id")
+
+
+# ---------------------------------------------------------------------------
+# per-language (stratified) bottom-k quantiles
+# ---------------------------------------------------------------------------
+
+_GBQ_K = 64
+_GBQ_PS = (50, 90)
+
+
+def _gbq_spec_values() -> str:
+    import math
+
+    rows = []
+    for p in _GBQ_PS:
+        sigma = math.sqrt(p / 100 * (1 - p / 100) / _GBQ_K)
+        rows.append(
+            f"({p}, {math.ceil(p * _GBQ_K / 100)}, {p * 10_000}, "
+            f"{max(40_000, math.ceil(4 * sigma * 1_000_000))})"
+        )
+    return ", ".join(rows)
+
+
+@query(
+    "grouped_bottomk_quantiles",
+    oracle=f"""
+    WITH h AS (
+      SELECT lang AS grp, n_chars AS val,
+             {DUCKDB_HASH60.format(s="'gbq|' || doc_id::VARCHAR")} AS hk
+      FROM documents
+    ),
+    samp AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY grp ORDER BY hk) AS sr
+        FROM h
+      ) WHERE sr <= {_GBQ_K}
+    ),
+    ranked AS (
+      SELECT grp, val AS est_value,
+             row_number() OVER (PARTITION BY grp ORDER BY val, hk) AS rn
+      FROM samp
+    ),
+    meff AS (SELECT grp, max(rn) AS m_eff FROM ranked GROUP BY grp),
+    spec(p, need_rank, target_ppm, bound_ppm) AS (VALUES {_gbq_spec_values()}),
+    est AS (
+      SELECT m.grp, s.p, CAST(s.need_rank AS BIGINT) AS need_rank,
+             CAST(s.target_ppm AS BIGINT) AS target_ppm,
+             CAST(s.bound_ppm AS BIGINT) AS bound_ppm, r.est_value
+      FROM meff m CROSS JOIN spec s
+      JOIN ranked r ON r.grp = m.grp
+                   AND r.rn = least(s.need_rank, m.m_eff)
+    ),
+    ex AS (
+      SELECT e.grp, e.p, e.need_rank, e.target_ppm, e.bound_ppm, e.est_value,
+             CAST(count(*) FILTER (WHERE d.n_chars <= e.est_value) AS BIGINT)
+               AS exact_le,
+             CAST(count(*) AS BIGINT) AS total_n
+      FROM documents d JOIN est e ON e.grp = d.lang
+      GROUP BY 1, 2, 3, 4, 5, 6
+    ),
+    fin AS (
+      SELECT *, CAST({rounded_div_sql('(exact_le * 1000000)', 'total_n')}
+                     AS BIGINT) AS rank_ppm
+      FROM ex
+    )
+    SELECT grp, p, need_rank, est_value, exact_le, total_n, rank_ppm,
+           CAST(abs(rank_ppm - target_ppm) AS BIGINT) AS err_ppm,
+           CAST(CASE WHEN abs(rank_ppm - target_ppm) <= bound_ppm
+                THEN 1 ELSE 0 END AS INTEGER) AS within_bound
+    FROM fin ORDER BY grp, p
+    """,
+    tags=("corpus", "sampling", "sketch", "stratified"),
+)
+def grouped_bottomk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language doc-length quantiles from stratified bottom-k hash
+    samples (k={k} per group), every estimate's true rank measured inside
+    its own group by ONE aggregation against the broadcast (group x p)
+    estimate set — per-group length profiles without any per-group sort
+    (operators/sketches.py:grouped_bottomk_quantiles)."""
+    from llm_data_pipeline_spark.operators.sketches import (
+        grouped_bottomk_quantiles as gbq,
+    )
+
+    docs = table(spark, sf_dir, "documents", scatter=True)
+    return gbq(
+        docs,
+        "lang",
+        F.concat(F.lit("gbq|"), F.col("doc_id").cast("string")),
+        "n_chars",
+        k=_GBQ_K,
+        ps=_GBQ_PS,
+    ).orderBy("grp", "p")
