@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from llm_data_pipeline_spark.functions.repetition import words_of
 from llm_data_pipeline_spark.queries import query, table
@@ -614,10 +615,27 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents", scatter=True).select(
         "doc_id", "source"
     )
+    raw = _planted_raw_url()
+    return (
+        docs.select("doc_id", raw.alias("raw"))
+        .select("doc_id", "raw", canonical_url(F.col("raw")).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("raw").alias("n_raw"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .orderBy("canonical_url")
+    )
+
+
+def _planted_raw_url() -> "F.Column":
+    """The messy planted URL used by url_canonical_dedup AND the v2
+    pipeline funnel — one definition, two graded consumers."""
     gid = (F.col("doc_id") % 100).cast("string")
     k = F.floor(F.col("doc_id") / 100).cast("long") % 5
     host = F.concat(F.col("source"), F.lit(".example.com"))
-    raw = (
+    return (
         F.when(k == 0, F.concat(F.lit("https://"), host, F.lit("/a/"), gid))
         .when(
             k == 1,
@@ -644,14 +662,129 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    return (
-        docs.select("doc_id", raw.alias("raw"))
-        .select("doc_id", "raw", canonical_url(F.col("raw")).alias("canonical_url"))
-        .groupBy("canonical_url")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.countDistinct("raw").alias("n_raw"),
-            F.min("doc_id").alias("keep_doc_id"),
-        )
-        .orderBy("canonical_url")
+
+
+# ---------------------------------------------------------------------------
+# pipeline v2: the modern funnel (URL dedup -> Gopher -> exact dedup)
+# ---------------------------------------------------------------------------
+
+_V2_NORM = "trim(regexp_replace(lower(coalesce(text,'')), '\\s+', ' ', 'g'))"
+
+
+def _v2_oracle() -> str:
+    from llm_data_pipeline_spark.functions.intmath import rounded_div_sql
+    from llm_data_pipeline_spark.queries_heuristics import _gopher_oracle
+
+    rd = rounded_div_sql("(docs * 1000000)", "coalesce(prev, docs)")
+    return f"""
+    WITH {_URL_CANON_SQL.strip()},
+    uk AS (
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY canonical_url ORDER BY doc_id)
+               AS urn
+      FROM canon
+    ),
+    gk AS (SELECT doc_id, keep FROM ({_gopher_oracle()})),
+    s1 AS (
+      SELECT d.doc_id, d.text FROM documents d
+      JOIN uk ON uk.doc_id = d.doc_id AND uk.urn = 1
+    ),
+    s2 AS (
+      SELECT s1.doc_id, s1.text FROM s1
+      JOIN gk ON gk.doc_id = s1.doc_id AND gk.keep = 1
+    ),
+    s3 AS (
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY md5({_V2_NORM})
+                                ORDER BY doc_id) AS drn
+      FROM s2
+    ),
+    counts AS (
+      SELECT 'stage0_input' AS stage, CAST(count(*) AS BIGINT) AS docs
+      FROM documents
+      UNION ALL
+      SELECT 'stage1_url_dedup', CAST(count(*) AS BIGINT) FROM s1
+      UNION ALL
+      SELECT 'stage2_gopher', CAST(count(*) AS BIGINT) FROM s2
+      UNION ALL
+      SELECT 'stage3_exact_dedup', CAST(count(*) AS BIGINT)
+      FROM s3 WHERE drn = 1
+    ),
+    w AS (
+      SELECT stage, docs, lag(docs) OVER (ORDER BY stage) AS prev FROM counts
     )
+    SELECT stage, docs, CAST({rd} AS BIGINT) AS retained_ppm
+    FROM w ORDER BY stage
+    """
+
+
+@query(
+    "pipeline_web_curation_v2",
+    oracle=_v2_oracle(),
+    tags=("e2e", "webclean", "pipeline"),
+)
+def pipeline_web_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The modern curation funnel composed end to end, graded on per-stage
+    retention: URL canonical dedup (cheapest key first — no text touched)
+    -> Gopher document rules (narrow map) -> exact content dedup (digest
+    window). Stage ORDER is the content of this query: each stage only
+    sees the previous stage's survivors, and the funnel row for a stage
+    changes if any upstream stage changes. Reuses the graded single-stage
+    operators verbatim (url_canonical_dedup's planted URLs + canonical
+    rule, gopher_doc_quality_filter's keep flag)."""
+    from llm_data_pipeline_spark.operators.webclean import canonical_url
+    from llm_data_pipeline_spark.functions.intmath import rounded_div_col
+    from llm_data_pipeline_spark.queries_heuristics import (
+        gopher_doc_quality_filter,
+    )
+
+    docs = table(spark, sf_dir, "documents", scatter=True).select(
+        "doc_id", "source", "text"
+    )
+    canon = docs.select(
+        "doc_id", canonical_url(_planted_raw_url()).alias("canonical_url")
+    )
+    wu = Window.partitionBy("canonical_url").orderBy("doc_id")
+    url_kept = (
+        canon.withColumn("urn", F.row_number().over(wu))
+        .where(F.col("urn") == 1)
+        .select("doc_id")
+    )
+    s1 = docs.join(url_kept, "doc_id", "left_semi").select("doc_id", "text")
+    gk = gopher_doc_quality_filter(spark, sf_dir).select("doc_id", "keep")
+    s2 = s1.join(gk.where(F.col("keep") == 1), "doc_id", "left_semi")
+    norm = F.trim(
+        F.regexp_replace(
+            F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+", " "
+        )
+    )
+    wd = Window.partitionBy(F.md5(norm)).orderBy("doc_id")
+    s3 = s2.withColumn("drn", F.row_number().over(wd)).where(F.col("drn") == 1)
+    counts = (
+        docs.agg(F.count(F.lit(1)).cast("long").alias("docs"))
+        .select(F.lit("stage0_input").alias("stage"), "docs")
+        .unionByName(
+            s1.agg(F.count(F.lit(1)).cast("long").alias("docs")).select(
+                F.lit("stage1_url_dedup").alias("stage"), "docs"
+            )
+        )
+        .unionByName(
+            s2.agg(F.count(F.lit(1)).cast("long").alias("docs")).select(
+                F.lit("stage2_gopher").alias("stage"), "docs"
+            )
+        )
+        .unionByName(
+            s3.agg(F.count(F.lit(1)).cast("long").alias("docs")).select(
+                F.lit("stage3_exact_dedup").alias("stage"), "docs"
+            )
+        )
+    )
+    wlag = Window.orderBy("stage")
+    return counts.select(
+        "stage",
+        "docs",
+        rounded_div_col(
+            F.col("docs") * F.lit(1_000_000).cast("long"),
+            F.coalesce(F.lag("docs").over(wlag), F.col("docs")),
+        ).alias("retained_ppm"),
+    ).orderBy("stage")
