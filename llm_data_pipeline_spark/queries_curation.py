@@ -18,6 +18,9 @@ from llm_data_pipeline_spark.operators.curation import (
 )
 from llm_data_pipeline_spark.queries import query, table
 from llm_data_pipeline_spark.queries_dedup import AUG_SQL, _augmented
+from llm_data_pipeline_spark.queries_text import TEXT_BASE_SQL as _TEXT_BASE_SQL
+from llm_data_pipeline_spark.queries_text import _QUALITY_SCORE as _QSCORE
+from pyspark.sql.window import Window
 
 # n-gram shingles of length N over norm_ws-normalized text, as SQL.
 _DECON_N = 5
@@ -445,3 +448,198 @@ def k_anonymity_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.col("level").cast("int").alias("level"),
     ).orderBy("level", "lang", "source", "len_bucket")
+
+
+# ---------------------------------------------------------------------------
+# preference-pair construction (DPO/RM training data)
+# ---------------------------------------------------------------------------
+
+_PP_P = 5  # pairs per source group
+
+
+@query(
+    "preference_pair_construction",
+    oracle=f"""
+    WITH {_TEXT_BASE_SQL.strip()},
+    scored AS (
+      SELECT f.doc_id, d.source,
+             CAST(round(({_QSCORE}) * 1000000) AS BIGINT) AS q_mu
+      FROM feat f JOIN documents d USING (doc_id)
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY q_mu DESC, doc_id) AS r_top,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY q_mu ASC, doc_id) AS r_bot
+      FROM scored
+    )
+    SELECT t.source, CAST(t.r_top AS INT) AS pair_rank,
+           t.doc_id AS chosen_doc_id, b.doc_id AS rejected_doc_id,
+           t.q_mu AS chosen_q_mu, b.q_mu AS rejected_q_mu,
+           t.q_mu - b.q_mu AS margin_mu
+    FROM ranked t JOIN ranked b
+      ON b.source = t.source AND b.r_bot = t.r_top
+    WHERE t.r_top <= {_PP_P} AND t.doc_id <> b.doc_id
+      AND t.q_mu > b.q_mu
+    ORDER BY t.source, pair_rank
+    """,
+    tags=("curation", "preference", "training"),
+)
+def preference_pair_construction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO/reward-model pair construction: within each source group, pair
+    the i-th BEST document (by quality score) with the i-th WORST
+    (i <= {p}), guarding degenerate pairs (same doc, zero margin). Two
+    rank windows over the same group-keyed exchange; the pair join carries
+    only ids and scores. Margins in integer micro-units."""
+    from llm_data_pipeline_spark.functions import analysis as A
+
+    docs = table(spark, sf_dir, "documents", scatter=True)
+    scored = A.with_quality_score(docs).select(
+        "doc_id",
+        "source",
+        F.round(F.col("quality_score") * 1_000_000, 0)
+        .cast("long")
+        .alias("q_mu"),
+    )
+    wt = Window.partitionBy("source").orderBy(F.desc("q_mu"), F.asc("doc_id"))
+    wb = Window.partitionBy("source").orderBy(F.asc("q_mu"), F.asc("doc_id"))
+    ranked = scored.select(
+        "*",
+        F.row_number().over(wt).alias("r_top"),
+        F.row_number().over(wb).alias("r_bot"),
+    )
+    t = ranked.select(
+        "source",
+        F.col("r_top").alias("pair_rank"),
+        F.col("doc_id").alias("chosen_doc_id"),
+        F.col("q_mu").alias("chosen_q_mu"),
+    ).where(F.col("pair_rank") <= _PP_P)
+    b = ranked.select(
+        "source",
+        F.col("r_bot").alias("pair_rank"),
+        F.col("doc_id").alias("rejected_doc_id"),
+        F.col("q_mu").alias("rejected_q_mu"),
+    )
+    return (
+        t.join(b, ["source", "pair_rank"])
+        .where(
+            (F.col("chosen_doc_id") != F.col("rejected_doc_id"))
+            & (F.col("chosen_q_mu") > F.col("rejected_q_mu"))
+        )
+        .select(
+            "source",
+            F.col("pair_rank").cast("int").alias("pair_rank"),
+            "chosen_doc_id",
+            "rejected_doc_id",
+            "chosen_q_mu",
+            "rejected_q_mu",
+            (F.col("chosen_q_mu") - F.col("rejected_q_mu")).alias("margin_mu"),
+        )
+        .orderBy("source", "pair_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# chat-template rendering with loss-mask offsets (SFT data construction)
+# ---------------------------------------------------------------------------
+
+_CT_PRE = "<|system|>\\nYou are helpful.\\n<|user|>\\n"
+_CT_MID = "\\n<|assistant|>\\n"
+_CT_END = "<|end|>"
+
+
+@query(
+    "chat_template_render",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, source, coalesce(text, '') AS text,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    conv AS (
+      SELECT u.source, CAST((u.rn + 1) // 2 AS BIGINT) AS conv_id,
+             u.doc_id AS user_doc_id, a.doc_id AS assistant_doc_id,
+             u.text AS u_t, a.text AS a_t
+      FROM ranked u JOIN ranked a
+        ON a.source = u.source AND a.rn = u.rn + 1
+      WHERE u.rn % 2 = 1
+    ),
+    rendered AS (
+      SELECT source, conv_id, user_doc_id, assistant_doc_id,
+             '<|system|>' || chr(10) || 'You are helpful.' || chr(10) || '<|user|>' || chr(10) || u_t || chr(10) || '<|assistant|>' || chr(10) || a_t || '<|end|>' AS r,
+             CAST(37 + length(u_t) AS BIGINT) + 15
+               AS mask_start,
+             CAST(37 + length(u_t) AS BIGINT) + 15
+               + length(a_t) AS mask_end
+      FROM conv
+    )
+    SELECT source, conv_id, user_doc_id, assistant_doc_id,
+           md5(r) AS render_md5, CAST(length(r) AS BIGINT) AS render_len,
+           mask_start, mask_end
+    FROM rendered ORDER BY source, conv_id
+    """,
+    tags=("curation", "sft", "training", "template"),
+)
+def chat_template_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT example construction: pair consecutive docs per source into
+    (user, assistant) turns, render the chat template, and emit the
+    ASSISTANT LOSS-MASK character offsets — computed arithmetically from
+    the part lengths (never by searching the rendered string, which
+    breaks when the user text contains the template markers). A pure
+    narrow map after one group-keyed pairing window; the render is
+    hash-pinned (md5) against the oracle."""
+    docs = table(spark, sf_dir, "documents", scatter=True).select(
+        "doc_id", "source", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    ranked = docs.withColumn("rn", F.row_number().over(w))
+    u = ranked.where(F.col("rn") % 2 == 1).select(
+        "source",
+        F.floor((F.col("rn") + 1) / 2).cast("long").alias("conv_id"),
+        F.col("doc_id").alias("user_doc_id"),
+        F.col("text").alias("ut"),
+        F.col("rn").alias("_urn"),
+    )
+    a = ranked.select(
+        "source",
+        F.col("doc_id").alias("assistant_doc_id"),
+        F.col("text").alias("at"),
+        (F.col("rn") - 1).alias("_urn"),
+    )
+    pre, mid, end = (
+        _CT_PRE.replace("\\n", "\n"),
+        _CT_MID.replace("\\n", "\n"),
+        _CT_END,
+    )
+    conv = u.join(a, ["source", "_urn"])
+    rendered = conv.select(
+        "source",
+        "conv_id",
+        "user_doc_id",
+        "assistant_doc_id",
+        F.concat(
+            F.lit(pre), F.col("ut"), F.lit(mid), F.col("at"), F.lit(end)
+        ).alias("r"),
+        (
+            F.lit(len(pre)).cast("long")
+            + F.length("ut")
+            + F.lit(len(mid)).cast("long")
+        ).alias("mask_start"),
+        (
+            F.lit(len(pre)).cast("long")
+            + F.length("ut")
+            + F.lit(len(mid)).cast("long")
+            + F.length("at")
+        ).alias("mask_end"),
+    )
+    return rendered.select(
+        "source",
+        "conv_id",
+        "user_doc_id",
+        "assistant_doc_id",
+        F.md5("r").alias("render_md5"),
+        F.length("r").cast("long").alias("render_len"),
+        "mask_start",
+        "mask_end",
+    ).orderBy("source", "conv_id")
