@@ -768,3 +768,91 @@ def sequence_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket", "bin_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# per-language tokenizer fertility (pinned-golden, independent python path)
+# ---------------------------------------------------------------------------
+
+
+def _bpe_fertility_oracle() -> str:
+    arms = []
+    for sig, g in _BPE_GOLDEN.items():
+        rows = g.get("fertility_by_lang")
+        if not rows:
+            continue
+        values = ", ".join(
+            f"({_sql_str(l)}, {nd}, {w}, {t}, {c}, {f}, {cpt})"
+            for l, nd, w, t, c, f, cpt in rows
+        )
+        arms.append(
+            "SELECT v.lang, CAST(v.n_docs AS BIGINT) AS n_docs, "
+            "CAST(v.words AS BIGINT) AS words, "
+            "CAST(v.tokens AS BIGINT) AS tokens, "
+            "CAST(v.chars AS BIGINT) AS chars, "
+            "CAST(v.fertility_ppm AS BIGINT) AS fertility_ppm, "
+            "CAST(v.chars_per_token_mu AS BIGINT) AS chars_per_token_mu "
+            f"FROM (VALUES {values}) "
+            "v(lang, n_docs, words, tokens, chars, fertility_ppm, "
+            "chars_per_token_mu) "
+            f"WHERE {_SIG_SQL} = {sig}"
+        )
+    return "\nUNION ALL\n".join(arms) + "\nORDER BY lang"
+
+
+@query(
+    "tokenizer_fertility_by_lang",
+    oracle=_bpe_fertility_oracle(),
+    tags=("tokenize", "bpe", "evaluation", "pinned-golden"),
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multilingual tokenizer-quality report: per language, BPE
+    tokens per word (fertility) and chars per token for the in-engine
+    trained vocabulary — the numbers that decide whether a tokenizer
+    under-serves a language. Encode is the broadcast-merges Arrow UDF;
+    the rollup is one lang-keyed aggregation. The pinned golden comes
+    from the INDEPENDENT pure-python trainer+encoder path
+    (scripts/gen_bpe_golden.py), so Spark-side encode drift in any
+    language breaks the match."""
+    from llm_data_pipeline_spark.functions.intmath import rounded_div_col
+    from llm_data_pipeline_spark.operators.bpe import encode_bpe, train_bpe
+
+    docs = table(spark, sf_dir, "documents")
+    _, merges, vocab = train_bpe(
+        docs, n_merges=BPE_N_MERGES, min_pair_freq=BPE_MIN_PAIR_FREQ,
+        min_word_freq=BPE_MIN_WORD_FREQ,
+    )
+    enc = encode_bpe(docs, merges, vocab).join(
+        docs.select("doc_id", "lang", "text"), "doc_id"
+    )
+    text = F.coalesce(F.col("text"), F.lit(""))
+    per_doc = enc.select(
+        F.coalesce(F.col("lang"), F.lit("")).alias("lang"),
+        F.size(
+            F.filter(F.split(text, r"\s+"), lambda x: x != "")
+        ).cast("long").alias("w"),
+        F.size("input_ids").cast("long").alias("t"),
+        F.length(text).cast("long").alias("c"),
+    )
+    agg = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("w").alias("words"),
+        F.sum("t").alias("tokens"),
+        F.sum("c").alias("chars"),
+    )
+    one = F.lit(1).cast("long")
+    return agg.select(
+        "lang",
+        "n_docs",
+        "words",
+        "tokens",
+        "chars",
+        rounded_div_col(
+            F.col("tokens") * F.lit(1_000_000).cast("long"),
+            F.greatest(F.col("words"), one),
+        ).alias("fertility_ppm"),
+        rounded_div_col(
+            F.col("chars") * F.lit(1_000_000).cast("long"),
+            F.greatest(F.col("tokens"), one),
+        ).alias("chars_per_token_mu"),
+    ).orderBy("lang")

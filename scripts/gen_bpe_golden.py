@@ -74,7 +74,40 @@ for sf in ("0.001", "0.01", "0.1"):
     for w in FIXTURE_TEXT.split():
         fixture_ids.extend(encode_word(w, ranks, piece_ids))
 
+    # per-language fertility (independent path for tokenizer_fertility_by_lang)
+    from llm_data_pipeline_spark.functions.intmath import rounded_div
+
+    lang_rows = con.execute(
+        f"SELECT coalesce(lang,''), coalesce(text,'') FROM read_parquet('{path}')"
+    ).fetchall()
+    fert: dict[str, list[int]] = {}
+    for lang, text in lang_rows:
+        words = text.split()
+        toks = 0
+        for w in words:
+            toks += len(word_ids[w]) if w in word_ids else len(
+                encode_word(w, ranks, piece_ids)
+            )
+        st = fert.setdefault(lang, [0, 0, 0, 0])
+        st[0] += 1
+        st[1] += len(words)
+        st[2] += toks
+        st[3] += len(text)
+    fertility = sorted(
+        [
+            lang,
+            st[0],
+            st[1],
+            st[2],
+            st[3],
+            rounded_div(st[2] * 1_000_000, max(st[1], 1)),
+            rounded_div(st[3] * 1_000_000, max(st[2], 1)),
+        ]
+        for lang, st in fert.items()
+    )
+
     out[str(int(sig))] = {
+        "fertility_by_lang": fertility,
         "sf": sf,
         "n_docs": len(rows),
         "merges": [
