@@ -295,3 +295,39 @@ def add_caption_alignment(
             "ELSE (_cap_match * 1000000) div _cap_longest END"
         ),
     ).drop("_cap_match", "_cap_longest")
+
+
+def ahash64(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprint of the payload body:
+    64 strided byte samples -> integer mean threshold -> packed 64-bit
+    hash. THE image near-dup primitive — on real images the 64 samples
+    are the decoded 8x8 grayscale; this byte-level path runs the
+    identical pipeline on the fake codec so the banding/verify machinery
+    is exercised end to end. Exactness: bit_i = (64 * p_i >= sum(p))
+    avoids any mean rounding, so the DuckDB oracle replays the hash from
+    the seed text's char codes. Bodies under 64 bytes get NULL (no stable
+    hash exists). Arrow-batched; downstream Hamming banding reuses
+    operators/dedup.py:simhash_candidate_pairs unchanged.
+    """
+
+    @F.pandas_udf(LongType())
+    def _ahash(payloads: pd.Series) -> pd.Series:
+        out = []
+        for p in payloads:
+            body = np.frombuffer(bytes(p), dtype=np.uint8)[12:]
+            n = body.shape[0]
+            if n < 64:
+                out.append(None)
+                continue
+            stride = n // 64
+            px = body[0 : 64 * stride : stride][:64].astype(np.int64)
+            total = int(px.sum())
+            h = 0
+            for b in (px * 64 >= total).tolist():
+                h = (h << 1) | int(b)
+            if h >= 1 << 63:
+                h -= 1 << 64
+            out.append(h)
+        return pd.Series(out, dtype="object")
+
+    return df.withColumn("simhash", _ahash(F.col(media_col)))

@@ -227,3 +227,85 @@ def multimodal_pair_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash (aHash) near-duplicate detection over binary payloads
+# ---------------------------------------------------------------------------
+
+_PH_VAR_OFFSET = 400_000
+_PH_MAX_HAMMING = 3
+
+
+@query(
+    "multimodal_phash_near_dups",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id, coalesce(text, '') AS t FROM documents
+      UNION ALL
+      SELECT doc_id + {_PH_VAR_OFFSET} AS doc_id,
+             'zz' || substr(coalesce(text, ''), 3) AS t
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    d AS (
+      SELECT doc_id, t, octet_length(encode(t)) AS n FROM aug
+      WHERE octet_length(encode(t)) >= 64
+    ),
+    px AS (
+      SELECT doc_id, i, unicode(substr(t, CAST(i * (n // 64) + 1 AS INT), 1)) AS p
+      FROM d, unnest(range(64)) q(i)
+    ),
+    tot AS (SELECT doc_id, CAST(sum(p) AS BIGINT) AS s FROM px GROUP BY doc_id),
+    hu AS (
+      SELECT px.doc_id,
+             sum(CASE WHEN 64 * px.p >= t.s
+                 THEN (1::HUGEINT << CAST(63 - px.i AS INT)) ELSE 0::HUGEINT END)
+               AS h
+      FROM px JOIN tot t ON t.doc_id = px.doc_id
+      GROUP BY px.doc_id
+    ),
+    hashes AS (
+      SELECT doc_id,
+             (CASE WHEN h >= 9223372036854775808::HUGEINT
+                   THEN h - 18446744073709551616::HUGEINT ELSE h END)::BIGINT
+               AS sim
+      FROM hu
+    )
+    SELECT a.doc_id AS u, b.doc_id AS v,
+           CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+    FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sim, b.sim)) <= {_PH_MAX_HAMMING}
+    ORDER BY u, v
+    """,
+    tags=("multimodal", "binary", "dedup", "phash"),
+)
+def multimodal_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-style perceptual near-dup detection on the binary payloads:
+    aHash-64 per payload (strided byte samples, integer mean threshold —
+    operators/multimodal.py:ahash64), then the SAME 4x16-bit pigeonhole
+    Hamming banding SimHash dedup uses (cap disabled -> recall exact, so
+    the oracle is the naive all-pairs Hamming ground truth). Variants
+    with a 2-byte payload edit are planted every 10th doc — the pair
+    class a byte-identity digest can never catch."""
+    from llm_data_pipeline_spark.operators.dedup import simhash_candidate_pairs
+    from llm_data_pipeline_spark.operators.multimodal import (
+        ahash64,
+        attach_fake_media,
+    )
+
+    docs = table(spark, sf_dir, "documents", scatter=True).select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    variants = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + _PH_VAR_OFFSET).alias("doc_id"),
+        F.concat(F.lit("zz"), F.substring("text", 3, 1 << 30)).alias("text"),
+    )
+    aug = docs.unionByName(variants)
+    hashed = (
+        ahash64(attach_fake_media(aug))
+        .where(F.col("simhash").isNotNull())
+        .select("doc_id", "simhash")
+    )
+    return simhash_candidate_pairs(
+        hashed, max_hamming=_PH_MAX_HAMMING, bucket_cap=None
+    ).orderBy("u", "v")
