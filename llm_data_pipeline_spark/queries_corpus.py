@@ -1599,3 +1599,138 @@ def packing_padding_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("padded_chars"),
         ).alias("waste_ppm"),
     ).orderBy("strategy")
+
+
+# ---------------------------------------------------------------------------
+# HLL sketch merge across snapshots (mergeability graded, not assumed)
+# ---------------------------------------------------------------------------
+
+
+def _hll_merge_oracle() -> str:
+    from llm_data_pipeline_spark.operators.sketches import (
+        ALPHA_NUM,
+        M,
+        SMALL_RANGE_MICRO,
+        W_BITS,
+        W_MOD,
+    )
+
+    h = DUCKDB_HASH60.format(s="coalesce(text, '')")
+    return f"""
+    WITH a AS (SELECT coalesce(text, '') AS text FROM documents
+               WHERE doc_id % 3 <> 0),
+    b AS (SELECT coalesce(text, '') AS text FROM documents
+          WHERE doc_id % 3 <> 1),
+    ra AS (
+      SELECT {h} % {M} AS bucket,
+             max(CASE WHEN ({h} // {M}) % {W_MOD} = 0 THEN {W_BITS + 1}
+                 ELSE {W_BITS + 1} - length(bin(({h} // {M}) % {W_MOD})) END)
+               AS rho
+      FROM a GROUP BY 1
+    ),
+    rb AS (
+      SELECT {h} % {M} AS bucket,
+             max(CASE WHEN ({h} // {M}) % {W_MOD} = 0 THEN {W_BITS + 1}
+                 ELSE {W_BITS + 1} - length(bin(({h} // {M}) % {W_MOD})) END)
+               AS rho
+      FROM b GROUP BY 1
+    ),
+    merged AS (
+      SELECT bucket, max(rho) AS rho
+      FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY bucket
+    ),
+    agg AS (
+      SELECT CAST(sum(1::BIGINT << ({W_BITS} - rho))
+                  + ({M} - count(*)) * {1 << W_BITS} AS BIGINT)
+               AS register_sum,
+             CAST({M} - count(*) AS BIGINT) AS zero_registers
+      FROM merged
+    ),
+    est AS (
+      SELECT register_sum, zero_registers,
+        CAST(CASE WHEN {ALPHA_NUM} // register_sum <= {SMALL_RANGE_MICRO}
+                       AND zero_registers > 0
+             THEN CAST(round({M} * ln({M}.0 / zero_registers) * 1000000)
+                       AS BIGINT)
+             ELSE {ALPHA_NUM} // register_sum END AS BIGINT) AS est_micro
+      FROM agg
+    ),
+    e AS (
+      SELECT CAST(count(DISTINCT text) AS BIGINT) AS exact_distinct
+      FROM (SELECT text FROM a UNION ALL SELECT text FROM b)
+    )
+    SELECT exact_distinct, est_micro, register_sum, zero_registers,
+           CAST(1 AS INT) AS merge_equals_rebuild,
+           CAST(CASE WHEN 5 * abs(est_micro - exact_distinct * 1000000)
+                          <= exact_distinct * 1000000
+                THEN 1 ELSE 0 END AS INT) AS within_20pct
+    FROM est, e ORDER BY exact_distinct
+    """
+
+
+@query(
+    "hll_merge_snapshots",
+    oracle=_hll_merge_oracle(),
+    tags=("corpus", "sketch", "distinct", "merge"),
+)
+def hll_merge_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE property that makes sketches 100-TB infrastructure, graded:
+    build HLL registers for two OVERLAPPING corpus snapshots separately,
+    merge by per-bucket max, and (a) pin register-level equality against
+    a direct build over the union (merge_equals_rebuild — verified in
+    Spark, constant-folded in the oracle where union-build == merge-build
+    by construction), (b) grade the merged estimate against the exact
+    union distinct count. Duplicates across snapshots cost nothing — max
+    is idempotent — which is why snapshot-cardinality dashboards never
+    rescan history."""
+    from llm_data_pipeline_spark.operators.sketches import (
+        hll_bucket_rho,
+        hll_registers_to_estimate,
+    )
+
+    docs = table(spark, sf_dir, "documents", scatter=True).select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    snap_a = docs.where(F.col("doc_id") % 3 != 0)
+    snap_b = docs.where(F.col("doc_id") % 3 != 1)
+    ra = hll_bucket_rho(snap_a, F.col("text")).groupBy("bucket").agg(
+        F.max("rho").alias("rho")
+    )
+    rb = hll_bucket_rho(snap_b, F.col("text")).groupBy("bucket").agg(
+        F.max("rho").alias("rho")
+    )
+    merged = (
+        ra.unionByName(rb).groupBy("bucket").agg(F.max("rho").alias("rho"))
+    )
+    rebuilt = (
+        hll_bucket_rho(
+            snap_a.unionByName(snap_b), F.col("text")
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    # register-level merge == rebuild, verified distributed (anti-joins
+    # both ways are empty <=> identical register maps)
+    diff = (
+        merged.join(rebuilt, ["bucket", "rho"], "left_anti")
+        .unionByName(rebuilt.join(merged, ["bucket", "rho"], "left_anti"))
+        .agg(F.count(F.lit(1)).alias("n_diff"))
+    )
+    est = hll_registers_to_estimate(merged)
+    exact = (
+        snap_a.unionByName(snap_b)
+        .agg(F.count_distinct("text").cast("long").alias("exact_distinct"))
+    )
+    out = exact.crossJoin(est).crossJoin(diff)
+    within = (
+        5 * F.abs(F.col("est_micro") - F.col("exact_distinct") * 1_000_000)
+        <= F.col("exact_distinct") * 1_000_000
+    )
+    return out.select(
+        "exact_distinct",
+        "est_micro",
+        "register_sum",
+        "zero_registers",
+        (F.col("n_diff") == 0).cast("int").alias("merge_equals_rebuild"),
+        within.cast("int").alias("within_20pct"),
+    ).orderBy("exact_distinct")

@@ -643,3 +643,121 @@ def chat_template_render(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mask_start",
         "mask_end",
     ).orderBy("source", "conv_id")
+
+
+# ---------------------------------------------------------------------------
+# split-leakage audit (near/exact duplicates crossing train/val/test)
+# ---------------------------------------------------------------------------
+
+
+def _leak_oracle() -> str:
+    from llm_data_pipeline_spark.queries_dedup import SHINGLE_SQL
+
+    split_case = (
+        f"CASE WHEN {_SPLIT_BUCKET_SQL} < 900 THEN 'train' "
+        f"WHEN {_SPLIT_BUCKET_SQL} < 950 THEN 'val' ELSE 'test' END"
+    )
+    return f"""
+    WITH {AUG_SQL.strip()},
+    {SHINGLE_SQL.strip().lstrip(",")},
+    labeled AS (SELECT doc_id, {split_case} AS split FROM aug),
+    near AS (
+      SELECT 'near' AS kind,
+             least(la.split, lb.split) AS split_a,
+             greatest(la.split, lb.split) AS split_b,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM jac j
+      JOIN labeled la ON la.doc_id = j.u
+      JOIN labeled lb ON lb.doc_id = j.v
+      WHERE j.jaccard >= 0.5
+      GROUP BY 2, 3
+    ),
+    digests AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(coalesce(text,'')), '\\s+', ' ', 'g')))
+               AS dg
+      FROM aug
+    ),
+    exact AS (
+      SELECT 'exact' AS kind,
+             least(la.split, lb.split) AS split_a,
+             greatest(la.split, lb.split) AS split_b,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM digests a JOIN digests b ON a.dg = b.dg AND a.doc_id < b.doc_id
+      JOIN labeled la ON la.doc_id = a.doc_id
+      JOIN labeled lb ON lb.doc_id = b.doc_id
+      GROUP BY 2, 3
+    )
+    SELECT kind, split_a, split_b, n_pairs,
+           CAST(CASE WHEN split_a <> split_b THEN 1 ELSE 0 END AS INT) AS is_leak
+    FROM (SELECT * FROM near UNION ALL SELECT * FROM exact)
+    ORDER BY kind, split_a, split_b
+    """
+
+
+@query(
+    "split_leakage_audit",
+    oracle=_leak_oracle(),
+    tags=("curation", "split", "governance", "dedup"),
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audit every eval pipeline needs before trusting a held-out
+    number: near-duplicate (Jaccard >= 0.5) and exact-duplicate pairs
+    broken down by the split sides they land on — a cross-split pair IS
+    benchmark leakage the split hash cannot see (it hashes ids, not
+    content). Runs the production ppjoin pair generator and the
+    production hash-bucket splitter unchanged; pair counts per
+    (split_a, split_b) with a leak flag."""
+    from llm_data_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+    aug = _augmented(spark, sf_dir, scatter=True)
+    labeled = split_dataset(
+        aug, {"train": 0.9, "val": 0.05, "test": 0.05}
+    ).select("doc_id", "split")
+    near = (
+        ngram_jaccard_pairs(aug, threshold=0.5, n=3)
+        .join(labeled.withColumnRenamed("split", "split_u"), F.col("u") == F.col("doc_id"))
+        .drop("doc_id")
+        .join(labeled.withColumnRenamed("split", "split_v"), F.col("v") == F.col("doc_id"))
+        .select(
+            F.lit("near").alias("kind"),
+            F.least("split_u", "split_v").alias("split_a"),
+            F.greatest("split_u", "split_v").alias("split_b"),
+        )
+    )
+    norm = F.trim(
+        F.regexp_replace(
+            F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+", " "
+        )
+    )
+    digests = aug.select("doc_id", F.md5(norm).alias("dg")).join(
+        labeled, "doc_id"
+    )
+    da = digests.select(
+        F.col("dg"), F.col("doc_id").alias("u"), F.col("split").alias("split_u")
+    )
+    db = digests.select(
+        F.col("dg"), F.col("doc_id").alias("v"), F.col("split").alias("split_v")
+    )
+    exact = (
+        da.join(db, "dg")
+        .where(F.col("u") < F.col("v"))
+        .select(
+            F.lit("exact").alias("kind"),
+            F.least("split_u", "split_v").alias("split_a"),
+            F.greatest("split_u", "split_v").alias("split_b"),
+        )
+    )
+    return (
+        near.unionByName(exact)
+        .groupBy("kind", "split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            "kind",
+            "split_a",
+            "split_b",
+            "n_pairs",
+            (F.col("split_a") != F.col("split_b")).cast("int").alias("is_leak"),
+        )
+        .orderBy("kind", "split_a", "split_b")
+    )
