@@ -861,3 +861,172 @@ def term_powerlaw_fit(spark: SparkSession, sf_dir: str):
             )
         ).alias("resid_mu"),
     ).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# code-switch segmentation: windowed LID over token windows
+# ---------------------------------------------------------------------------
+
+_CS_WIN = 16
+_CS_STRIDE = 8
+_CS_EN = ("the", "and", "of", "that")
+_CS_FR = ("le", "la", "les", "des")
+
+
+def _cs_oracle() -> str:
+    en_list = "[" + ", ".join(f"'{w}'" for w in _CS_EN) + "]"
+    fr_list = "[" + ", ".join(f"'{w}'" for w in _CS_FR) + "]"
+    return f"""
+    WITH toked AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(regexp_replace(lower(coalesce(text,'')),
+                         '\\s+', ' ', 'g')), ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    mixed AS (
+      SELECT doc_id,
+             list_concat(
+               list_concat(toks[1 : len(toks) // 2], {en_list}::VARCHAR[]),
+               list_concat(toks[len(toks) // 2 + 1 : len(toks)],
+                           {fr_list}::VARCHAR[])
+             ) AS toks
+      FROM toked
+    ),
+    wins AS (
+      SELECT doc_id, i,
+             toks[CAST(i * {_CS_STRIDE} + 1 AS INT)
+                  : CAST(i * {_CS_STRIDE} + {_CS_WIN} AS INT)] AS w
+      FROM mixed,
+           unnest(range(greatest((len(toks) - {_CS_WIN})
+                                 // {_CS_STRIDE} + 1, 1))) t(i)
+    ),
+    scored AS (
+      SELECT doc_id, i,
+             len(list_filter(w, x -> list_contains({en_list}, x))) AS eh,
+             len(list_filter(w, x -> list_contains({fr_list}, x))) AS fh
+      FROM wins
+    ),
+    pred AS (
+      SELECT doc_id, i,
+             CASE WHEN fh > eh THEN 'fr' ELSE 'en' END AS p
+      FROM scored
+    ),
+    marked AS (
+      SELECT doc_id, i, p,
+             CASE WHEN i = 0 OR p <> lag(p)
+                    OVER (PARTITION BY doc_id ORDER BY i)
+                  THEN 1 ELSE 0 END AS is_new
+      FROM pred
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(sum(is_new) AS BIGINT) AS n_segments,
+           string_agg(CASE WHEN is_new = 1 THEN p END, '>' ORDER BY i)
+             AS lang_seq,
+           CAST(coalesce(min(CASE WHEN is_new = 1 AND i > 0 THEN i END), -1)
+                AS BIGINT) AS boundary_win
+    FROM marked GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@query(
+    "code_switch_segmentation",
+    oracle=_cs_oracle(),
+    tags=("text-analysis", "langid", "segmentation"),
+)
+def code_switch_segmentation(spark: SparkSession, sf_dir: str):
+    """Within-document language segmentation (the code-switch detector):
+    sliding token windows (w={w}, stride={s}) scored by per-language
+    marker hits, contiguous same-prediction runs merged into segments,
+    first switch boundary reported. The graded corpus plants a 2-segment
+    en->fr structure inside every doc (marker injection at the halves),
+    so a correct segmenter reports exactly the planted boundary shape.
+    One explode + one doc-keyed window — the per-window work is a narrow
+    list filter, no UDF."""
+    docs = table(spark, sf_dir, "documents", scatter=True)
+    toks = F.filter(
+        F.split(
+            F.trim(
+                F.regexp_replace(
+                    F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+", " "
+                )
+            ),
+            " ",
+        ),
+        lambda x: x != "",
+    )
+    en_arr = F.array(*[F.lit(w) for w in _CS_EN])
+    fr_arr = F.array(*[F.lit(w) for w in _CS_FR])
+    mixed = docs.select("doc_id", toks.alias("_t")).select(
+        "doc_id",
+        F.concat(
+            F.slice("_t", 1, F.floor(F.size("_t") / 2).cast("int")),
+            en_arr,
+            F.slice(
+                "_t",
+                F.floor(F.size("_t") / 2).cast("int") + F.lit(1),
+                F.size("_t"),
+            ),
+            fr_arr,
+        ).alias("toks"),
+    )
+    n_win = F.greatest(
+        F.floor((F.size("toks") - _CS_WIN) / _CS_STRIDE).cast("int") + F.lit(1),
+        F.lit(1),
+    )
+    wins = mixed.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_win - 1),
+                lambda i: F.slice(
+                    F.col("toks"), i * _CS_STRIDE + 1, F.lit(_CS_WIN)
+                ),
+            )
+        ).alias("i", "w"),
+    )
+    eh = F.size(F.filter(F.col("w"), lambda x: F.array_contains(en_arr, x)))
+    fh = F.size(F.filter(F.col("w"), lambda x: F.array_contains(fr_arr, x)))
+    pred = wins.select(
+        "doc_id",
+        "i",
+        F.when(fh > eh, F.lit("fr")).otherwise(F.lit("en")).alias("p"),
+    )
+    wlag = Window.partitionBy("doc_id").orderBy("i")
+    marked = pred.select(
+        "doc_id",
+        "i",
+        "p",
+        F.when(
+            (F.col("i") == 0) | (F.col("p") != F.lag("p").over(wlag)), 1
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    seg = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum("is_new").alias("n_segments"),
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.sort_array(
+                        F.collect_list(F.struct("i", "is_new", "p"))
+                    ),
+                    lambda x: x["is_new"] == 1,
+                ),
+                lambda x: x["p"],
+            ),
+            ">",
+        ).alias("lang_seq"),
+        F.coalesce(
+            F.min(
+                F.when((F.col("is_new") == 1) & (F.col("i") > 0), F.col("i"))
+            ),
+            F.lit(-1),
+        )
+        .cast("long")
+        .alias("boundary_win"),
+    )
+    return seg.select(
+        "doc_id", "n_windows", "n_segments", "lang_seq", "boundary_win"
+    ).orderBy("doc_id")
