@@ -629,3 +629,46 @@ def test_containment_pairs_lossless_vs_bruteforce(spark):
             f"t={threshold}: missing={set(want)-set(got)} "
             f"extra={set(got)-set(want)}"
         )
+
+
+def test_containment_incremental_matches_full_restricted(spark):
+    """The incremental form must equal containment_pairs over base+inc
+    RESTRICTED to inner ∈ increment — same corpus engineering as the
+    lossless test, split into base and increment halves."""
+    import random
+
+    from llm_data_pipeline_spark.operators.dedup import (
+        containment_pairs,
+        containment_pairs_incremental,
+    )
+
+    rng = random.Random(23)
+    vocab = [f"w{i}" for i in range(9)]
+    base_rows, inc_rows = [], []
+    for i in range(24):
+        words = [rng.choice(vocab) for _ in range(rng.randint(4, 16))]
+        base_rows.append((i, " ".join(words)))
+        if i % 3 == 0:  # increment holds excerpts of base docs + fresh docs
+            inc_rows.append((500 + i, " ".join(words[: max(3, len(words) // 2)])))
+        if i % 5 == 0:
+            inc_rows.append(
+                (800 + i, " ".join(rng.choice(vocab) for _ in range(8)))
+            )
+    base = spark.createDataFrame(base_rows, "doc_id long, text string")
+    inc = spark.createDataFrame(inc_rows, "doc_id long, text string")
+
+    got = {
+        (r["inner_id"], r["outer_id"]): (r["n_common"], r["n_inner"])
+        for r in containment_pairs_incremental(
+            base, inc, threshold=0.7, n=3
+        ).collect()
+    }
+    inc_ids = {d for d, _ in inc_rows}
+    want = {
+        (r["inner_id"], r["outer_id"]): (r["n_common"], r["n_inner"])
+        for r in containment_pairs(
+            base.unionByName(inc), threshold=0.7, n=3
+        ).collect()
+        if r["inner_id"] in inc_ids
+    }
+    assert got == want and len(want) > 0
