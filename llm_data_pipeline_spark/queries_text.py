@@ -1030,3 +1030,238 @@ def code_switch_segmentation(spark: SparkSession, sf_dir: str):
     return seg.select(
         "doc_id", "n_windows", "n_segments", "lang_seq", "boundary_win"
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# quality-distribution drift (exact integer KS statistic)
+# ---------------------------------------------------------------------------
+
+_KS_BUCKET_MU = 50_000  # 20 quality buckets
+_KS_FLAG_PPM = 50_000   # 5% KS -> drift
+
+
+@query(
+    "quality_drift_ks",
+    oracle=f"""
+    WITH {TEXT_BASE_SQL.strip()},
+    scored AS (
+      SELECT f.doc_id, d.n_chars,
+             CAST(round(({_QUALITY_SCORE}) * 1000000) AS BIGINT)
+               // {_KS_BUCKET_MU} AS bucket
+      FROM feat f JOIN documents d USING (doc_id)
+    ),
+    a AS (SELECT bucket, count(*) AS c FROM scored WHERE doc_id % 2 = 0
+          GROUP BY bucket),
+    b AS (SELECT bucket, count(*) AS c FROM scored WHERE n_chars >= 300
+          GROUP BY bucket),
+    spine AS (
+      SELECT bucket FROM a UNION SELECT bucket FROM b
+    ),
+    cums AS (
+      SELECT s.bucket,
+             CAST(sum(coalesce(a.c, 0)) OVER w AS BIGINT) AS ca,
+             CAST(sum(coalesce(b.c, 0)) OVER w AS BIGINT) AS cb,
+             CAST(sum(coalesce(a.c, 0)) OVER () AS BIGINT) AS na,
+             CAST(sum(coalesce(b.c, 0)) OVER () AS BIGINT) AS nb
+      FROM spine s
+      LEFT JOIN a ON a.bucket = s.bucket
+      LEFT JOIN b ON b.bucket = s.bucket
+      WINDOW w AS (ORDER BY s.bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    cdfs AS (
+      SELECT bucket,
+             CAST({rounded_div_sql('(ca * 1000000)', 'greatest(na, 1)')}
+                  AS BIGINT) AS cdf_a_ppm,
+             CAST({rounded_div_sql('(cb * 1000000)', 'greatest(nb, 1)')}
+                  AS BIGINT) AS cdf_b_ppm
+      FROM cums
+    )
+    SELECT bucket, cdf_a_ppm, cdf_b_ppm,
+           abs(cdf_a_ppm - cdf_b_ppm) AS diff_ppm,
+           CAST(max(abs(cdf_a_ppm - cdf_b_ppm)) OVER () AS BIGINT) AS ks_ppm,
+           CAST(CASE WHEN max(abs(cdf_a_ppm - cdf_b_ppm)) OVER ()
+                          > {_KS_FLAG_PPM}
+                THEN 1 ELSE 0 END AS INT) AS drift_flag
+    FROM cdfs ORDER BY bucket
+    """,
+    tags=("text-analysis", "governance", "drift"),
+)
+def quality_drift_ks(spark: SparkSession, sf_dir: str):
+    """Dataset drift monitoring: the Kolmogorov-Smirnov statistic between
+    two slices' quality distributions, in EXACT integer ppm — per-bucket
+    histograms (20 keys, map-side combined), cumulative windows over the
+    bucket spine, max |cdf_a - cdf_b|. The slices deliberately select by
+    different mechanisms (even ids vs long docs) so the drift is real and
+    the flag fires deterministically. This is the pre-training guardrail
+    that catches a silently-shifted ingest batch before it trains."""
+    from llm_data_pipeline_spark.functions import analysis as A
+    from llm_data_pipeline_spark.functions.intmath import rounded_div_col
+
+    docs = table(spark, sf_dir, "documents", scatter=True)
+    scored = A.with_quality_score(docs).select(
+        "doc_id",
+        "n_chars",
+        F.floor(
+            F.round(F.col("quality_score") * 1_000_000, 0).cast("long")
+            / _KS_BUCKET_MU
+        )
+        .cast("long")
+        .alias("bucket"),
+    )
+    a = (
+        scored.where(F.col("doc_id") % 2 == 0)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("ca"))
+    )
+    b = (
+        scored.where(F.col("n_chars") >= 300)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    spine = a.select("bucket").unionByName(b.select("bucket")).distinct()
+    joined = (
+        spine.join(a, "bucket", "left")
+        .join(b, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cums = joined.select(
+        "bucket",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+        F.sum("ca").over(wall).alias("na"),
+        F.sum("cb").over(wall).alias("nb"),
+    )
+    one = F.lit(1).cast("long")
+    cdfs = cums.select(
+        "bucket",
+        rounded_div_col(
+            F.col("cum_a") * F.lit(1_000_000).cast("long"),
+            F.greatest(F.col("na"), one),
+        ).alias("cdf_a_ppm"),
+        rounded_div_col(
+            F.col("cum_b") * F.lit(1_000_000).cast("long"),
+            F.greatest(F.col("nb"), one),
+        ).alias("cdf_b_ppm"),
+    )
+    diff = F.abs(F.col("cdf_a_ppm") - F.col("cdf_b_ppm"))
+    ks = F.max(diff).over(wall)
+    return cdfs.select(
+        "bucket",
+        "cdf_a_ppm",
+        "cdf_b_ppm",
+        diff.alias("diff_ppm"),
+        ks.alias("ks_ppm"),
+        (ks > _KS_FLAG_PPM).cast("int").alias("drift_flag"),
+    ).orderBy("bucket")
+
+
+# ---------------------------------------------------------------------------
+# per-language quality z-scores (two-pass exact integer moments)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "quality_zscore_by_lang",
+    oracle=f"""
+    WITH {TEXT_BASE_SQL.strip()},
+    scored AS (
+      SELECT f.doc_id, d.lang,
+             CAST(round(({_QUALITY_SCORE}) * 1000000) AS BIGINT) AS q_mu
+      FROM feat f JOIN documents d USING (doc_id)
+    ),
+    m AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n,
+             CAST({rounded_div_sql('CAST(sum(q_mu) AS BIGINT)', 'count(*)')}
+                  AS BIGINT) AS mean_mu
+      FROM scored GROUP BY lang
+    ),
+    v AS (
+      SELECT s.lang,
+             CAST({rounded_div_sql(
+                 'CAST(sum((s.q_mu - m.mean_mu) * (s.q_mu - m.mean_mu)) AS BIGINT)',
+                 'max(m.n)')} AS BIGINT) AS var_mu2
+      FROM scored s JOIN m ON m.lang = s.lang GROUP BY s.lang
+    ),
+    p AS (
+      SELECT m.lang, m.n, m.mean_mu,
+             CAST(round(sqrt(v.var_mu2)) AS BIGINT) AS std_mu
+      FROM m JOIN v ON v.lang = m.lang
+    )
+    SELECT s.doc_id, s.lang, s.q_mu, p.mean_mu, p.std_mu,
+           CAST({rounded_div_sql('((s.q_mu - p.mean_mu) * 1000000)',
+                                 'greatest(p.std_mu, 1)')} AS BIGINT) AS z_mu
+    FROM scored s JOIN p ON p.lang = s.lang
+    ORDER BY s.doc_id
+    """,
+    tags=("text-analysis", "quality", "calibration"),
+)
+def quality_zscore_by_lang(spark: SparkSession, sf_dir: str):
+    """Per-language quality calibration: z-scores against each language's
+    own mean/std so one global threshold stops privileging whichever
+    language the raw score flatters — the standard fix before a
+    cross-lingual quality cut. Two-pass exact integer moments (centered
+    squares stay far inside int64; the one sqrt runs on an integer input,
+    cross-engine stable) + a broadcast params join; z in micro-units."""
+    from llm_data_pipeline_spark.functions import analysis as A
+    from llm_data_pipeline_spark.functions.intmath import rounded_div_col
+
+    docs = table(spark, sf_dir, "documents", scatter=True)
+    scored = A.with_quality_score(docs).select(
+        "doc_id",
+        "lang",
+        F.round(F.col("quality_score") * 1_000_000, 0)
+        .cast("long")
+        .alias("q_mu"),
+    )
+    m = scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        rounded_div_col(F.sum("q_mu"), F.count(F.lit(1))).alias("mean_mu"),
+    )
+    v = (
+        scored.join(F.broadcast(m), "lang")
+        .groupBy("lang")
+        .agg(
+            rounded_div_col(
+                F.sum(
+                    (F.col("q_mu") - F.col("mean_mu"))
+                    * (F.col("q_mu") - F.col("mean_mu"))
+                ),
+                F.max("n"),
+            ).alias("var_mu2")
+        )
+    )
+    p = m.join(v, "lang").select(
+        "lang",
+        "n",
+        "mean_mu",
+        F.round(F.sqrt(F.col("var_mu2").cast("double")), 0)
+        .cast("long")
+        .alias("std_mu"),
+    )
+    return (
+        scored.join(F.broadcast(p), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "q_mu",
+            "mean_mu",
+            "std_mu",
+            rounded_div_col(
+                (F.col("q_mu") - F.col("mean_mu"))
+                * F.lit(1_000_000).cast("long"),
+                F.greatest(F.col("std_mu"), F.lit(1).cast("long")),
+            ).alias("z_mu"),
+        )
+        .orderBy("doc_id")
+    )
