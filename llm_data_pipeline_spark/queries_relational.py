@@ -386,3 +386,105 @@ def event_sequence_training_pairs(spark: SparkSession, sf_dir: str):
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@query(
+    "events_funnel_conversion",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(ts) FILTER (WHERE event_type = 'view') AS t_view,
+             min(ts) FILTER (WHERE event_type = 'click') AS t_click,
+             min(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+      FROM events GROUP BY user_id
+    ),
+    reach AS (
+      SELECT user_id,
+             CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS s1,
+             CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                  THEN 1 ELSE 0 END AS s2,
+             CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                       AND t_purchase > t_click
+                  THEN 1 ELSE 0 END AS s3
+      FROM firsts
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(s1) AS BIGINT) AS r1,
+             CAST(sum(s2) AS BIGINT) AS r2,
+             CAST(sum(s3) AS BIGINT) AS r3
+      FROM reach
+    )
+    SELECT stage, reached,
+           CAST(CASE WHEN prev >= 0
+                THEN (reached * 1000000 + prev // 2) // greatest(prev, 1)
+                ELSE 0 END AS BIGINT) AS conversion_ppm
+    FROM (
+      SELECT 'stage1_view' AS stage, r1 AS reached, n_users AS prev FROM agg
+      UNION ALL
+      SELECT 'stage2_click_after_view', r2, r1 FROM agg
+      UNION ALL
+      SELECT 'stage3_purchase_after_click', r3, r2 FROM agg
+    ) ORDER BY stage
+    """,
+    tags=("relational", "events", "funnel"),
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str):
+    """Ordered funnel analysis (view -> click-after-view ->
+    purchase-after-click): per user the FIRST timestamp of each stage,
+    stage k counts only when it strictly follows stage k-1 — the
+    time-ordering constraint a naive per-type count ignores. One
+    conditional-min aggregation per user (no self-joins, no explode),
+    then a 3-row rollup with per-stage conversion in ppm."""
+    e = table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "t_view"
+        ),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "t_click"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("t_purchase"),
+    )
+    s1 = F.col("t_view").isNotNull()
+    s2 = s1 & (F.col("t_click") > F.col("t_view"))
+    s3 = s2 & (F.col("t_purchase") > F.col("t_click"))
+    agg = firsts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(s1.cast("int")).cast("long").alias("r1"),
+        F.sum(s2.cast("int")).cast("long").alias("r2"),
+        F.sum(s3.cast("int")).cast("long").alias("r3"),
+    )
+    rows = (
+        agg.select(
+            F.lit("stage1_view").alias("stage"),
+            F.col("r1").alias("reached"),
+            F.col("n_users").alias("prev"),
+        )
+        .unionByName(
+            agg.select(
+                F.lit("stage2_click_after_view").alias("stage"),
+                F.col("r2").alias("reached"),
+                F.col("r1").alias("prev"),
+            )
+        )
+        .unionByName(
+            agg.select(
+                F.lit("stage3_purchase_after_click").alias("stage"),
+                F.col("r3").alias("reached"),
+                F.col("r2").alias("prev"),
+            )
+        )
+    )
+    from llm_data_pipeline_spark.functions.intmath import rounded_div_col
+
+    return rows.select(
+        "stage",
+        "reached",
+        rounded_div_col(
+            F.col("reached") * F.lit(1_000_000).cast("long"),
+            F.greatest(F.col("prev"), F.lit(1).cast("long")),
+        ).alias("conversion_ppm"),
+    ).orderBy("stage")

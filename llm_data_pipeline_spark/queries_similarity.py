@@ -1339,3 +1339,104 @@ def embedding_kcenter_selection(spark: SparkSession, sf_dir: str):
 
     emb = table(spark, sf_dir, "embeddings", scatter=True)
     return kcenter_selection(emb, k=_KC_K).orderBy("sel_rank")
+
+
+# ---------------------------------------------------------------------------
+# embedding-store QA: norm outliers via median + MAD
+# ---------------------------------------------------------------------------
+
+_NORM_MAD_K = 3
+
+
+@query(
+    "embedding_norm_outliers",
+    oracle=f"""
+    WITH aug AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 500000 AS vec_id, label,
+             list_transform(CAST(embedding AS DOUBLE[]), x -> 3.0 * x) AS v
+      FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    norms AS (
+      SELECT vec_id, label,
+             CAST(round(sqrt(list_dot_product(v, v)) * 1000000) AS BIGINT)
+               AS norm_mu
+      FROM aug
+    ),
+    med AS (SELECT quantile_cont(norm_mu, 0.5) AS m FROM norms),
+    dev AS (
+      SELECT n.vec_id, n.label, n.norm_mu,
+             abs(n.norm_mu - CAST(round(med.m) AS BIGINT)) AS adev
+      FROM norms n CROSS JOIN med
+    ),
+    mad AS (SELECT quantile_cont(adev, 0.5) AS m FROM dev)
+    SELECT d.vec_id, d.label, d.norm_mu, d.adev AS abs_dev_mu,
+           CAST(round(mad.m) AS BIGINT) AS mad_mu,
+           CAST(CASE WHEN d.adev > {_NORM_MAD_K} * CAST(round(mad.m) AS BIGINT)
+                THEN 1 ELSE 0 END AS INT) AS is_outlier
+    FROM dev d CROSS JOIN mad
+    WHERE d.adev > {_NORM_MAD_K} * CAST(round(mad.m) AS BIGINT)
+    ORDER BY d.vec_id
+    """,
+    tags=("similarity", "governance", "qa"),
+)
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str):
+    """Embedding-store QA: vectors whose L2 norm sits more than
+    {k} MADs from the median norm — the truncated/corrupted/wrong-model
+    rows that poison cosine search silently (a zero or doubled norm still
+    joins happily; x3-scaled corruptions are planted every 50th id). Median + MAD instead of mean + stddev so one corrupt
+    batch cannot mask itself by inflating the spread; norms in integer
+    micro-units, medians via the sort-based percentile both engines
+    compute bit-identically (same contract as doc_length_iqr_filter)."""
+    emb = table(spark, sf_dir, "embeddings", scatter=True).select(
+        "vec_id", "label",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    corrupted = emb.where(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 500000).alias("vec_id"),
+        "label",
+        F.transform(F.col("v"), lambda x: F.lit(3.0) * x).alias("v"),
+    )
+    aug = emb.unionByName(corrupted)
+    norm_mu = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.col("v"),
+                F.lit(0.0),
+                lambda acc, x: acc + x * x,
+            )
+        )
+        * 1_000_000.0,
+        0,
+    ).cast("long")
+    norms = aug.select("vec_id", "label", norm_mu.alias("norm_mu"))
+    med = norms.agg(
+        F.round(F.expr("percentile(norm_mu, 0.5)"), 0)
+        .cast("long")
+        .alias("m")
+    )
+    dev = norms.crossJoin(F.broadcast(med)).select(
+        "vec_id",
+        "label",
+        "norm_mu",
+        F.abs(F.col("norm_mu") - F.col("m")).alias("abs_dev_mu"),
+    )
+    mad = dev.agg(
+        F.round(F.expr("percentile(abs_dev_mu, 0.5)"), 0)
+        .cast("long")
+        .alias("mad_mu")
+    )
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .where(F.col("abs_dev_mu") > _NORM_MAD_K * F.col("mad_mu"))
+        .select(
+            "vec_id",
+            "label",
+            "norm_mu",
+            "abs_dev_mu",
+            "mad_mu",
+            F.lit(1).cast("int").alias("is_outlier"),
+        )
+        .orderBy("vec_id")
+    )
