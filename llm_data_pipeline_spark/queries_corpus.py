@@ -1734,3 +1734,87 @@ def hll_merge_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_diff") == 0).cast("int").alias("merge_equals_rebuild"),
         within.cast("int").alias("within_20pct"),
     ).orderBy("exact_distinct")
+
+
+# ---------------------------------------------------------------------------
+# source-mix entropy (corpus diversity governance)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "source_mix_entropy",
+    oracle=f"""
+    WITH c AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents
+      GROUP BY source
+    ),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS total, count(*) AS k FROM c),
+    terms AS (
+      SELECT c.source, c.n, t.total, t.k,
+             CAST({rounded_div_sql(
+                 '(c.n * CAST(round((ln(t.total) - ln(c.n)) * 1000000) AS BIGINT))',
+                 't.total')} AS BIGINT) AS term_mu
+      FROM c CROSS JOIN t
+    )
+    SELECT source, n,
+           CAST({rounded_div_sql('(n * 1000000)', 'total')} AS BIGINT)
+             AS share_ppm,
+           term_mu,
+           CAST(sum(term_mu) OVER () AS BIGINT) AS entropy_mu,
+           CAST(round(ln(k) * 1000000) AS BIGINT) AS max_entropy_mu,
+           CAST(CASE WHEN 10 * sum(term_mu) OVER ()
+                          >= 9 * CAST(round(ln(k) * 1000000) AS BIGINT)
+                THEN 1 ELSE 0 END AS INT) AS diverse_ok
+    FROM terms ORDER BY source
+    """,
+    tags=("corpus", "governance", "mixing"),
+)
+def source_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-diversity governance: Shannon entropy of the source mix in
+    integer micro-nats — per-source terms p*ln(1/p) computed as exact
+    rounded division over ln(total)-ln(count) (ln on integer inputs, the
+    cross-engine-stable class), summed order-free. diverse_ok flags the
+    mix within 90% of the uniform maximum ln(k) — the alarm that one
+    source is quietly swallowing the corpus. One groupBy; everything else
+    is a k-row rollup."""
+    from llm_data_pipeline_spark.functions.intmath import rounded_div_col
+
+    docs = table(spark, sf_dir, "documents", scatter=True)
+    c = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("k")
+    )
+    terms = c.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n",
+        "total",
+        "k",
+        rounded_div_col(
+            F.col("n")
+            * F.round(
+                (F.log(F.col("total").cast("double")) - F.log(F.col("n").cast("double")))
+                * 1_000_000.0,
+                0,
+            ).cast("long"),
+            F.col("total"),
+        ).alias("term_mu"),
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    max_ent = F.round(F.log(F.col("k").cast("double")) * 1_000_000.0, 0).cast(
+        "long"
+    )
+    return terms.select(
+        "source",
+        "n",
+        rounded_div_col(
+            F.col("n") * F.lit(1_000_000).cast("long"), F.col("total")
+        ).alias("share_ppm"),
+        "term_mu",
+        F.sum("term_mu").over(wall).alias("entropy_mu"),
+        max_ent.alias("max_entropy_mu"),
+        (10 * F.sum("term_mu").over(wall) >= 9 * max_ent)
+        .cast("int")
+        .alias("diverse_ok"),
+    ).orderBy("source")

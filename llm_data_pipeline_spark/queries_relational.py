@@ -488,3 +488,81 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str):
             F.greatest(F.col("prev"), F.lit(1).cast("long")),
         ).alias("conversion_ppm"),
     ).orderBy("stage")
+
+
+@query(
+    "events_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, CAST(date_trunc('day', min(ts)) AS DATE) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS act_day
+      FROM events
+    ),
+    joined AS (
+      SELECT f.cohort_day,
+             date_diff('day', f.cohort_day, a.act_day) AS day_offset,
+             a.user_id
+      FROM firsts f JOIN activity a USING (user_id)
+      WHERE date_diff('day', f.cohort_day, a.act_day) BETWEEN 0 AND 7
+    ),
+    sizes AS (
+      SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_size
+      FROM firsts GROUP BY cohort_day
+    ),
+    ret AS (
+      SELECT j.cohort_day, CAST(j.day_offset AS INT) AS day_offset,
+             CAST(count(DISTINCT j.user_id) AS BIGINT) AS n_users
+      FROM joined j GROUP BY 1, 2
+    )
+    SELECT strftime(r.cohort_day, '%Y-%m-%d') AS cohort_day,
+           r.day_offset, r.n_users, s.cohort_size,
+           CAST((r.n_users * 1000000 + s.cohort_size // 2) // s.cohort_size
+                AS BIGINT) AS retention_ppm
+    FROM ret r JOIN sizes s USING (cohort_day)
+    ORDER BY r.cohort_day, r.day_offset
+    """,
+    tags=("relational", "events", "cohorts"),
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str):
+    """Cohort retention: users grouped by first-seen day, distinct-active
+    share at day offsets 0..7 — the user-analytics staple, shaped for
+    scale: one min-aggregation for cohorts, one distinct projection for
+    activity, a user-keyed join, and an offset rollup; nothing quadratic,
+    nothing collected."""
+    from llm_data_pipeline_spark.functions.intmath import rounded_div_col
+
+    e = table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("day", F.min("ts"))).alias("cohort_day")
+    )
+    activity = e.select(
+        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("act_day")
+    ).distinct()
+    joined = firsts.join(activity, "user_id").select(
+        "cohort_day",
+        F.datediff("act_day", "cohort_day").alias("day_offset"),
+        "user_id",
+    ).where(F.col("day_offset").between(0, 7))
+    sizes = firsts.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    ret = joined.groupBy("cohort_day", "day_offset").agg(
+        F.count_distinct("user_id").cast("long").alias("n_users")
+    )
+    return (
+        ret.join(sizes, "cohort_day")
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.col("day_offset").cast("int").alias("day_offset"),
+            "n_users",
+            "cohort_size",
+            rounded_div_col(
+                F.col("n_users") * F.lit(1_000_000).cast("long"),
+                F.col("cohort_size"),
+            ).alias("retention_ppm"),
+        )
+        .orderBy("cohort_day", "day_offset")
+    )
