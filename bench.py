@@ -486,6 +486,32 @@ def ann_recall(spark, sf_dir: str) -> dict:
         bf.unpersist()
     out["k"] = 10
     out["n_pairs_exact"] = total
+    # Recall floors: an index geometry that stops matching the corpus
+    # (frozen nlist / stale codebooks after corpus growth) must fail
+    # LOUDLY here, not ship silently — round-5 lesson: sf0.01-trained
+    # books at sf0.1 collapsed IVF-PQ recall to 0.07. Floors sit under
+    # the measured sf0.1 values (0.465/0.965/0.57/0.51/0.92) with slack
+    # for data refreshes.
+    floors = {
+        "embedding_pq_adc_topk": 0.30,
+        "embedding_pq_rerank_topk": 0.60,
+        "embedding_ivf_flat_topk": 0.45,
+        "embedding_ivfpq_topk": 0.40,
+        "embedding_ann_lsh_topk": 0.60,
+    }
+    breaches = {
+        q: {"recall": out[q], "floor": f}
+        for q, f in floors.items()
+        if q in out and out[q] < f
+    }
+    out["floors"] = floors
+    out["recall_ok"] = not breaches
+    if breaches:
+        print(
+            f"bench: ANN RECALL FLOOR BREACH — retrain codebooks / rescale "
+            f"geometry (scripts/gen_codebooks.py large): {breaches}",
+            file=sys.stderr,
+        )
     return out
 
 

@@ -112,6 +112,50 @@ def _sample_vectors(
     return np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
 
 
+def ann_geometry(n: int) -> dict:
+    """Index geometry derived from corpus size — the rule that keeps ANN
+    recall stable as the corpus grows (a frozen nlist/codebook collapses
+    recall at 10x data: measured 0.07 recall@10 with sf0.01-trained books
+    on the sf0.1 corpus).
+
+    - ``n_lists``: 2^round(log2(sqrt(n))) — the classic ~sqrt(n) IVF rule,
+      snapped to a power of two (n=500 -> 16, n=2000 -> 32, n=2e6 -> 1024).
+    - ``n_probe_flat``: n_lists/4 (probe ~25% of lists for IVF-Flat).
+    - ``n_probe_ivfpq``: n_lists/4 on the small tier (the committed,
+      oracle-replayed constants), n_lists/2 beyond — PQ ranking noise
+      costs extra routing recall, so at scale IVF-PQ probes twice as wide
+      for the same target recall (measured: 8/32 probes -> 0.435, 16/32
+      -> 0.510 recall@10 at n=2000).
+    - ``n_sub``/``n_codes``: 4x16 (16-bit codes) up to ~1k vectors; 16x64
+      (96-bit codes) beyond — chosen by measured recall@10 on the bench
+      corpus (16 bits: 0.095; 96 bits: 0.465 flat-ADC at n=2000).
+    - ``shortlist``: max(50, n/20) rerank candidates — a fixed 50 shrinks
+      to nothing relative to a growing corpus (0.265 recall at n=2000;
+      0.965 with 100).
+
+    At 100 TB the codebooks are retrained per corpus snapshot on a
+    deterministic sample (train_*_codebook) with exactly these shapes and
+    shipped as broadcast literals; bench.py asserts recall floors so a
+    geometry/corpus mismatch fails loudly instead of silently degrading.
+    """
+    import math
+
+    n = max(int(n), 1)
+    n_lists = max(4, 2 ** int(round(math.log2(max(math.sqrt(n), 4.0)))))
+    small = n <= 1000
+    return {
+        "n_lists": n_lists,
+        "n_probe_flat": max(2, n_lists // 4),
+        "n_probe_ivfpq": (
+            max(2, n_lists // 4) if small else max(4, n_lists // 2)
+        ),
+        "n_sub": 4 if small else 16,
+        "n_codes": 16 if small else 64,
+        "shortlist": max(50, n // 20),
+        "tier": "small" if small else "large",
+    }
+
+
 def ivf_flat_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -618,6 +662,168 @@ def _d2_micro(a, b):
     ).cast("long")
 
 
+def _np_round6(x: np.ndarray) -> np.ndarray:
+    """numpy twin of F.round(x, 6): HALF_UP (away from zero), matching the
+    operator/oracle tie rule — np.round is half-to-even and would break
+    boundary assignments."""
+    return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+
+def _np_micro(d: np.ndarray) -> np.ndarray:
+    """numpy twin of _d2_micro's rounding for non-negative squared
+    distances: floor(d*1e6 + 0.5) as int64."""
+    return np.floor(d * 1e6 + 0.5).astype(np.int64)
+
+
+def pq_encode_gemm(
+    df: DataFrame,
+    codebook: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ivf_centroids: list | None = None,
+) -> DataFrame:
+    """PQ (optionally IVF-residual) encode as ONE Arrow mapInPandas pass —
+    the scale path for big codebooks.
+
+    The fold-expression encode joins every vector against every
+    (subspace, code) row and evaluates three interpreted array folds per
+    candidate — n x n_sub x n_codes rows (2M at 16x64 books on the 2000-row
+    bench corpus, measured ~11 s inside ivfpq). Here each Arrow batch does
+    the identical math as a handful of BLAS GEMMs: assign to the best
+    rounded-cosine IVF list (HALF_UP round, first-max = lowest list — the
+    _best_lists tie rule), take residuals, and per subspace pick
+    argmin(floor(d2*1e6+0.5), code). A narrow map over the corpus — no
+    join, no shuffle, codebooks ride the closure as broadcast literals.
+
+    Returns (id, list_id, m, code); list_id is -1 when no ``ivf_centroids``
+    (flat PQ). Used automatically by pq_adc_topk/ivfpq_topk for books
+    beyond the small oracle-replayed tier.
+    """
+    books = [np.asarray(b, dtype=np.float64) for b in codebook]
+    n_sub = len(books)
+    cents = (
+        np.asarray(ivf_centroids, dtype=np.float64)
+        if ivf_centroids is not None
+        else None
+    )
+    schema = f"{id_col} long, list_id long, m int, code long"
+
+    def _enc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            if cents is not None:
+                xn = np.linalg.norm(X, axis=1)
+                cn = np.linalg.norm(cents, axis=1)
+                cos = (X @ cents.T) / np.maximum(
+                    xn[:, None] * cn[None, :], 1e-300
+                )
+                assign = _np_round6(cos).argmax(axis=1)
+                R = X - cents[assign]
+            else:
+                assign = np.full(len(X), -1, dtype=np.int64)
+                R = X
+            dim_per = X.shape[1] // n_sub
+            codes = np.empty((len(X), n_sub), dtype=np.int64)
+            for m, B in enumerate(books):
+                sub = R[:, m * dim_per : (m + 1) * dim_per]
+                d = (
+                    (sub * sub).sum(axis=1, keepdims=True)
+                    - 2.0 * (sub @ B.T)
+                    + (B * B).sum(axis=1)
+                )
+                codes[:, m] = _np_micro(d).argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(ids, n_sub),
+                    "list_id": np.repeat(assign, n_sub),
+                    "m": np.tile(np.arange(n_sub, dtype=np.int32), len(X)),
+                    "code": codes.reshape(-1),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(_enc, schema)
+
+
+def pq_lut_gemm(
+    queries: DataFrame,
+    codebook: list,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    ivf_centroids: list | None = None,
+    n_probe: int = 1,
+) -> DataFrame:
+    """Per-query ADC lookup tables as one Arrow pass (scale twin of the
+    fold-expression LUT): for each query, its ``n_probe`` best rounded-
+    cosine lists (all of them when flat) and, per probed list, the integer
+    micro-unit distance of the query('s residual) subvectors to every
+    (subspace, code) centroid. Returns (query_id, list_id, m, code, dq);
+    list_id is -1 for flat PQ."""
+    books = [np.asarray(b, dtype=np.float64) for b in codebook]
+    n_sub = len(books)
+    n_codes = max(len(b) for b in books)
+    cents = (
+        np.asarray(ivf_centroids, dtype=np.float64)
+        if ivf_centroids is not None
+        else None
+    )
+    schema = f"{query_id_col} long, list_id long, m int, code long, dq long"
+
+    def _lut(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            qids = pdf[query_id_col].to_numpy(dtype=np.int64)
+            rows_q, rows_l, rows_m, rows_c, rows_d = [], [], [], [], []
+            if cents is not None:
+                xn = np.linalg.norm(X, axis=1)
+                cn = np.linalg.norm(cents, axis=1)
+                cos = _np_round6(
+                    (X @ cents.T)
+                    / np.maximum(xn[:, None] * cn[None, :], 1e-300)
+                )
+                lids = np.arange(len(cents))
+            for qi in range(len(X)):
+                if cents is not None:
+                    order = np.lexsort((lids, -cos[qi]))
+                    probed = lids[order[:n_probe]]
+                else:
+                    probed = np.array([-1])
+                for pl in probed:
+                    r = X[qi] - cents[pl] if pl >= 0 else X[qi]
+                    dim_per = len(r) // n_sub
+                    for m, B in enumerate(books):
+                        sub = r[m * dim_per : (m + 1) * dim_per]
+                        d = (sub @ sub) - 2.0 * (B @ sub) + (B * B).sum(axis=1)
+                        dI = _np_micro(d)
+                        k = len(B)
+                        rows_q.append(np.full(k, qids[qi], dtype=np.int64))
+                        rows_l.append(np.full(k, pl, dtype=np.int64))
+                        rows_m.append(np.full(k, m, dtype=np.int32))
+                        rows_c.append(np.arange(k, dtype=np.int64))
+                        rows_d.append(dI)
+            if rows_q:
+                yield pd.DataFrame(
+                    {
+                        query_id_col: np.concatenate(rows_q),
+                        "list_id": np.concatenate(rows_l),
+                        "m": np.concatenate(rows_m),
+                        "code": np.concatenate(rows_c),
+                        "dq": np.concatenate(rows_d),
+                    }
+                )
+
+    _ = n_codes  # shape doc only
+    return queries.select(query_id_col, vec_col).mapInPandas(_lut, schema)
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -649,7 +855,34 @@ def ivfpq_topk(
     vec_id), so the whole index + search replays in the SQL oracle.
 
     Returns (query_id, vec_id, adist, rank).
+
+    Encode strategy mirrors pq_adc_topk: small oracle-replayed books run
+    the fold-expression build the SQL oracle replays; bigger books use
+    the Arrow GEMM encode/LUT (same assignment/rounding/tie rules,
+    measured 10.9 -> ~3 s at 32-list 16x64 books on the bench corpus).
     """
+    if len(pq_codebook) * max(len(b) for b in pq_codebook) > 64:
+        codes = pq_encode_gemm(
+            corpus, pq_codebook, id_col=id_col, vec_col=vec_col,
+            ivf_centroids=ivf_centroids,
+        )
+        lut = pq_lut_gemm(
+            queries, pq_codebook, query_id_col=query_id_col,
+            vec_col=vec_col, ivf_centroids=ivf_centroids, n_probe=n_probe,
+        )
+        adist = (
+            codes.join(F.broadcast(lut), ["list_id", "m", "code"])
+            .where(F.col(id_col) != F.col(query_id_col))
+            .groupBy(query_id_col, id_col)
+            .agg(F.sum("dq").cast("long").alias("adist"))
+        )
+        w = Window.partitionBy(query_id_col).orderBy(
+            F.asc("adist"), F.asc(id_col)
+        )
+        return adist.withColumn("rank", F.row_number().over(w)).where(
+            F.col("rank") <= k
+        )
+
     spark = corpus.sparkSession
     n_sub = len(pq_codebook)
     dim_per = len(pq_codebook[0][0])
@@ -702,11 +935,14 @@ def ivfpq_topk(
         "code",
         _d2_micro(F.col("rsv"), F.col("cv")).alias("_d"),
     )
-    w_enc = Window.partitionBy(id_col, "m").orderBy(F.asc("_d"), F.asc("code"))
-    codes = (
-        enc.withColumn("_rn", F.row_number().over(w_enc))
-        .where(F.col("_rn") == 1)
-        .select(id_col, "list_id", "m", "code")
+    # nearest code per (vector, subspace) as a min_by HASH AGGREGATE over
+    # the n x n_sub x n_codes candidate rows — map-side combinable, so the
+    # shuffle carries n x n_sub rows instead of the full candidate set a
+    # row_number window would sort (measured 10.9 -> 5.1 s at 16x64 books
+    # on the bench corpus). struct(_d, code) ordering == the oracle's
+    # ORDER BY d, code tie rule.
+    codes = enc.groupBy(id_col, "list_id", "m").agg(
+        F.min_by("code", F.struct("_d", "code")).alias("code")
     )
 
     probes = _best_lists(queries, cents, query_id_col, vec_col, n_probe)
@@ -766,7 +1002,37 @@ def pq_adc_topk(
     exact BIGINTs — no float summation order anywhere. Ties break on
     (code) at encode time and (vec_id) at rank time. Returns
     (query_id, vec_id, adist, rank) with adist in micro-units.
+
+    Encode strategy: books up to the small oracle-replayed tier
+    (n_sub x n_codes <= 64 cells) use the fold-expression encode the SQL
+    oracle replays term for term; bigger books switch to the Arrow GEMM
+    encode/LUT (pq_encode_gemm/pq_lut_gemm — identical tie rules, ~3x
+    fewer interpreted folds per candidate row, measured 3.9 -> 1.9 s at
+    16x64 books on the bench corpus).
     """
+    if codebook is not None:
+        # the codebook fixes the shape — a caller-passed n_sub that
+        # disagrees with it would slice subvectors of the wrong width
+        n_sub = len(codebook)
+        if n_sub * max(len(b) for b in codebook) > 64:
+            codes = pq_encode_gemm(
+                corpus, codebook, id_col=id_col, vec_col=vec_col
+            ).drop("list_id")
+            lut = pq_lut_gemm(
+                queries, codebook, query_id_col=query_id_col, vec_col=vec_col
+            ).drop("list_id")
+            adist = (
+                codes.join(F.broadcast(lut), ["m", "code"])
+                .where(F.col(id_col) != F.col(query_id_col))
+                .groupBy(query_id_col, id_col)
+                .agg(F.sum("dq").cast("long").alias("adist"))
+            )
+            w = Window.partitionBy(query_id_col).orderBy(
+                F.asc("adist"), F.asc(id_col)
+            )
+            return adist.withColumn("rank", F.row_number().over(w)).where(
+                F.col("rank") <= k
+            )
     d2u = _d2_micro
 
     def sub_rows(df: DataFrame, ident: str) -> DataFrame:
@@ -801,11 +1067,11 @@ def pq_adc_topk(
     scored = corpus_sub.join(F.broadcast(cb), "m").select(
         id_col, "m", "code", d2u(F.col("sv"), F.col("cv")).alias("_d")
     )
-    w_enc = Window.partitionBy(id_col, "m").orderBy(F.asc("_d"), F.asc("code"))
-    codes = (
-        scored.withColumn("_rn", F.row_number().over(w_enc))
-        .where(F.col("_rn") == 1)
-        .select(id_col, "m", "code")
+    # min_by hash aggregate, not a row_number window: map-side combine
+    # shrinks the encode shuffle from n x n_sub x n_codes rows to
+    # n x n_sub (same (d, code) tie rule as the oracle's ORDER BY)
+    codes = scored.groupBy(id_col, "m").agg(
+        F.min_by("code", F.struct("_d", "code")).alias("code")
     )
 
     q_sub = sub_rows(queries, query_id_col)

@@ -436,3 +436,134 @@ class TestMarginMining:
             mutual = int(best_bwd[t][0] == i)
             want[i] = (t, cos[(i, t)], m, mutual, int(m >= tmin))
         assert got == want
+
+
+class TestAnnGeometry:
+    """ann_geometry: the ~sqrt(n) scaling rule + codebook-tier selection
+    (round-5 defect: frozen nlist=16 / sf0.01 books collapsed IVF-PQ
+    recall@10 to 0.07 at sf0.1)."""
+
+    def test_sqrt_rule_and_tiers(self):
+        from llm_data_pipeline_spark.operators.similarity import ann_geometry
+
+        small = ann_geometry(500)   # the graded sf0.01/sf0.001 corpus
+        # the small tier MUST reproduce the committed graded constants —
+        # these are baked into the DuckDB oracles
+        assert small == {
+            "n_lists": 16, "n_probe_flat": 4, "n_probe_ivfpq": 4,
+            "n_sub": 4, "n_codes": 16, "shortlist": 50, "tier": "small",
+        }
+        large = ann_geometry(2000)  # the bench corpus
+        assert large["n_lists"] == 32 and large["tier"] == "large"
+        assert large["n_probe_ivfpq"] == 16 and large["n_probe_flat"] == 8
+        assert large["n_sub"] == 16 and large["n_codes"] == 64
+        assert large["shortlist"] == 100
+        # keeps growing ~sqrt(n), snapped to powers of two
+        assert ann_geometry(2_000_000)["n_lists"] == 1024
+
+    def test_large_codebooks_match_their_geometry(self):
+        from llm_data_pipeline_spark.data.codebooks_large import (
+            GEOMETRY,
+            IVF_CODEBOOK_L,
+            PQ_CODEBOOK_L,
+            PQ_RESIDUAL_CODEBOOK_L,
+        )
+
+        assert len(IVF_CODEBOOK_L) == GEOMETRY["n_lists"]
+        assert len(PQ_CODEBOOK_L) == GEOMETRY["n_sub"]
+        assert all(len(b) == GEOMETRY["n_codes"] for b in PQ_CODEBOOK_L)
+        assert len(PQ_RESIDUAL_CODEBOOK_L) == GEOMETRY["n_sub"]
+        dim = len(IVF_CODEBOOK_L[0])
+        assert dim == 64
+        assert len(PQ_CODEBOOK_L[0][0]) == dim // GEOMETRY["n_sub"]
+
+
+class TestGemmEncodeParity:
+    """The Arrow GEMM encode/LUT (scale path) must reproduce the
+    fold-expression path bit for bit — same assignment, codes, and
+    integer ADC distances — pinned on the real embeddings table with the
+    committed graded codebooks."""
+
+    def test_pq_adc_gemm_matches_fold(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from llm_data_pipeline_spark.data.codebooks import PQ_CODEBOOK
+        from llm_data_pipeline_spark.operators.similarity import (
+            pq_adc_topk,
+            pq_encode_gemm,
+            pq_lut_gemm,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries = emb.where(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        # fold path (what the oracle replays; small books stay under the
+        # auto-switch threshold)
+        fold = pq_adc_topk(emb, queries, k=10, codebook=PQ_CODEBOOK)
+        # GEMM path forced over the SAME small books
+        codes = pq_encode_gemm(emb, PQ_CODEBOOK).drop("list_id")
+        lut = pq_lut_gemm(queries, PQ_CODEBOOK).drop("list_id")
+        from pyspark.sql.window import Window
+
+        adist = (
+            codes.join(F.broadcast(lut), ["m", "code"])
+            .where(F.col("vec_id") != F.col("query_id"))
+            .groupBy("query_id", "vec_id")
+            .agg(F.sum("dq").cast("long").alias("adist"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.asc("adist"), F.asc("vec_id")
+        )
+        gemm = adist.withColumn("rank", F.row_number().over(w)).where(
+            F.col("rank") <= 10
+        )
+        cols = ["query_id", "vec_id", "adist", "rank"]
+        a = sorted(map(tuple, fold.select(*cols).collect()))
+        b = sorted(map(tuple, gemm.select(*cols).collect()))
+        assert a == b
+
+    def test_ivfpq_gemm_matches_fold(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from llm_data_pipeline_spark.data.codebooks import (
+            IVF_CODEBOOK,
+            PQ_RESIDUAL_CODEBOOK,
+        )
+        from llm_data_pipeline_spark.operators.similarity import (
+            ivfpq_topk,
+            pq_encode_gemm,
+            pq_lut_gemm,
+        )
+        from pyspark.sql.window import Window
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries = emb.where(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        fold = ivfpq_topk(
+            emb, queries, IVF_CODEBOOK, PQ_RESIDUAL_CODEBOOK, k=10, n_probe=4
+        )
+        codes = pq_encode_gemm(
+            emb, PQ_RESIDUAL_CODEBOOK, ivf_centroids=IVF_CODEBOOK
+        )
+        lut = pq_lut_gemm(
+            queries, PQ_RESIDUAL_CODEBOOK, ivf_centroids=IVF_CODEBOOK,
+            n_probe=4,
+        )
+        adist = (
+            codes.join(F.broadcast(lut), ["list_id", "m", "code"])
+            .where(F.col("vec_id") != F.col("query_id"))
+            .groupBy("query_id", "vec_id")
+            .agg(F.sum("dq").cast("long").alias("adist"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.asc("adist"), F.asc("vec_id")
+        )
+        gemm = adist.withColumn("rank", F.row_number().over(w)).where(
+            F.col("rank") <= 10
+        )
+        cols = ["query_id", "vec_id", "adist", "rank"]
+        a = sorted(map(tuple, fold.select(*cols).collect()))
+        b = sorted(map(tuple, gemm.select(*cols).collect()))
+        assert a == b
