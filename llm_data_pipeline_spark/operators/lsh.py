@@ -141,6 +141,59 @@ def candidate_pairs(
     )
 
 
+def band_bucket_stats(
+    bands: DataFrame,
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
+) -> DataFrame:
+    """Per-band audit of the bucket-cap guard — the "no silent caps" rule
+    applied to candidate_pairs' mega-bucket drop.
+
+    ``candidate_pairs`` drops buckets larger than ``bucket_cap`` entirely
+    (the O(n^2) guard). Correct, but at 100 TB a degenerate band (every
+    empty doc sharing the all-zero signature, a boilerplate string
+    saturating one shingle) silently deletes recall unless the drop is
+    OBSERVABLE. This emits, per band_id, over buckets with >= 2 members:
+
+      n_buckets / n_dropped_buckets       — how many, how many capped
+      docs_in_dropped                     — members losing this band's edges
+      pairs_dropped / pairs_kept          — n*(n-1)/2 candidate pairs the
+                                            cap removed vs what survived
+      max_bucket_n                        — the largest bucket seen (the
+                                            degenerate-band fingerprint)
+
+    One count aggregate over (band_id, band_hash) then a per-band rollup —
+    the same map-side-combinable shape as candidate_pairs' own prefilter,
+    so auditing costs one extra pass over the (narrow) band rows, never
+    touches documents, and is safe to run on every production dedup.
+    """
+    sizes = bands.groupBy("band_id", "band_hash").agg(
+        F.count("*").alias("n")
+    )
+    dropped = F.col("n") > bucket_cap
+    pairs = F.expr("(n * (n - 1)) DIV 2")
+    zero = F.lit(0).cast("long")
+    return (
+        sizes.where(F.col("n") >= 2)
+        .groupBy("band_id")
+        .agg(
+            F.count("*").cast("long").alias("n_buckets"),
+            F.sum(F.when(dropped, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dropped_buckets"),
+            F.coalesce(F.sum(F.when(dropped, F.col("n"))), zero)
+            .cast("long")
+            .alias("docs_in_dropped"),
+            F.coalesce(F.sum(F.when(dropped, pairs)), zero)
+            .cast("long")
+            .alias("pairs_dropped"),
+            F.coalesce(F.sum(F.when(~dropped, pairs)), zero)
+            .cast("long")
+            .alias("pairs_kept"),
+            F.max("n").cast("long").alias("max_bucket_n"),
+        )
+    )
+
+
 def connected_components(
     edges: DataFrame,
     max_iterations: int = 25,

@@ -1300,6 +1300,13 @@ def kcenter_selection(
     distributed k-center cost. The frame is lazily re-checkpointed each
     round so round r does not replay rounds 1..r-1.
 
+    k-BOUND: the loop is k SEQUENTIAL Spark jobs (farthest-point is
+    inherently order-dependent), so wall-clock is k x (job latency +
+    one corpus map) and the driver keeps a k-vector list — practical to
+    k in the low hundreds (coresets, exemplar panels). For k in the
+    thousands use :func:`kcenter_selection_batched`: same contract, ~k/p
+    driver round-trips.
+
     Returns (sel_rank, vec_id, radius_mu): radius_mu is the selected
     point's min-distance at selection time (the decreasing coverage
     radius; -1 sentinel for the seed). Deterministic and fully replayed
@@ -1348,6 +1355,106 @@ def kcenter_selection(
                 "vec_id",
                 "v",
                 F.least(F.col("mind"), dist_to(sel_v)).alias("mind"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return spark.createDataFrame(
+        picked, "sel_rank int, vec_id long, radius_mu long"
+    )
+
+
+def kcenter_selection_batched(
+    emb: DataFrame,
+    k: int = 8,
+    p: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batched greedy k-center — ~k/p driver round-trips instead of k.
+
+    :func:`kcenter_selection` is k sequential Spark jobs (its documented
+    k-bound); past coreset-sized k the per-job latency dominates. Here
+    each round fetches the TOP-p candidates by current min-distance (one
+    TakeOrderedAndProject) and accepts them greedily ON THE DRIVER: a
+    candidate is accepted only if its distance to every peer accepted in
+    the SAME batch is >= its recorded corpus min-distance — i.e. its
+    farthest-point claim was not invalidated by a batch peer (classic
+    over-sampling-with-rejection; rejected candidates simply wait for the
+    next round, so no pick is ever based on a stale radius). The running
+    min-distance then updates against ALL accepted picks in one narrow
+    map (a single F.least chain), and the batch arithmetic uses the exact
+    dist_to rounding (HALF_UP micro-units), so:
+
+    - p=1 reproduces the sequential greedy EXACTLY (test-pinned);
+    - p>1 keeps every emitted radius_mu a true min-distance at selection
+      time, with rounds cut from k to ~k/p (the cover-radius quality
+      stays in the greedy ballpark — test-asserted on the real table).
+    """
+    spark = emb.sparkSession
+
+    def dist_to(vec) -> "F.Column":
+        arr = F.array(*[F.lit(float(x)) for x in vec])
+        return (
+            F.lit(1_000_000).cast("long")
+            - F.round(
+                F.round(cosine(F.col("v"), arr), 6) * F.lit(1_000_000.0),
+                0,
+            ).cast("long")
+        )
+
+    def np_dist(a, b) -> int:
+        a = np.asarray(a, dtype=np.float64)
+        b = np.asarray(b, dtype=np.float64)
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        c = float(a @ b / (na * nb)) if na > 0 and nb > 0 else 0.0
+        m = np.sign(c) * np.floor(abs(c) * 1e6 + 0.5)
+        return int(1_000_000 - m)
+
+    base = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    seed = base.orderBy("vec_id").limit(1).collect()
+    if not seed:
+        return spark.createDataFrame(
+            [], "sel_rank int, vec_id long, radius_mu long"
+        )
+    seed_id, seed_v = seed[0]["vec_id"], seed[0]["v"]
+    picked = [(0, int(seed_id), -1)]
+    sel_vecs = {int(seed_id): seed_v}
+    mind = (
+        base.where(F.col("vec_id") != seed_id)
+        .select("vec_id", "v", dist_to(seed_v).alias("mind"))
+        .localCheckpoint(eager=False)
+    )
+    while len(picked) < k:
+        want = k - len(picked)
+        cands = (
+            mind.orderBy(F.desc("mind"), F.asc("vec_id"))
+            .limit(min(p, want))
+            .collect()
+        )
+        if not cands:
+            break
+        accepted = []
+        for c in cands:
+            if all(
+                np_dist(c["v"], sel_vecs[a_id]) >= c["mind"]
+                for _, a_id, _ in accepted
+            ):
+                accepted.append((len(picked) + len(accepted), int(c["vec_id"]), int(c["mind"])))
+                sel_vecs[int(c["vec_id"])] = c["v"]
+        if not accepted:  # defensive: top-1 always accepts (empty peers)
+            break
+        picked.extend(accepted)
+        if len(picked) >= k:
+            break
+        new_ids = [a_id for _, a_id, _ in accepted]
+        mind = (
+            mind.where(~F.col("vec_id").isin(new_ids))
+            .select(
+                "vec_id",
+                "v",
+                F.least(
+                    F.col("mind"), *[dist_to(sel_vecs[i]) for i in new_ids]
+                ).alias("mind"),
             )
             .localCheckpoint(eager=False)
         )

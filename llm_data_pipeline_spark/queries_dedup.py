@@ -25,6 +25,8 @@ from llm_data_pipeline_spark.operators.dedup import (
     simhash_candidate_pairs,
 )
 from llm_data_pipeline_spark.operators.lsh import (
+    band_bucket_stats,
+    band_rows,
     connected_components,
     minhash_dedup,
     minhash_incremental_dedup,
@@ -433,6 +435,76 @@ def minhash_dedup_kept(spark: SparkSession, sf_dir: str):
     # instead of a global orderBy, whose range-partitioner sampling pass
     # would re-execute the whole dedup child plan a second time
     return kept.select("doc_id").coalesce(1).sortWithinPartitions("doc_id")
+
+
+_MEGA_TEXT = "degenerate boilerplate page please enable javascript to continue"
+_MEGA_N = 30
+_MEGA_OFFSET = 5_000_000
+_BAND_STATS_CAP = 25
+
+
+@query(
+    "lsh_band_stats",
+    oracle=f"""
+    WITH {AUG_SQL.strip()},
+    allc AS (
+      SELECT doc_id, text FROM aug
+      UNION ALL
+      SELECT {_MEGA_OFFSET} + i AS doc_id, '{_MEGA_TEXT}' AS text
+      FROM range({_MEGA_N}) t(i)
+    ),
+    {_minhash_sig_sql("allc").strip()},
+    bandkey AS (
+      SELECT doc_id, (pos // 8)::INT AS band_id,
+             string_agg(sig_val::VARCHAR, ',' ORDER BY pos) AS bkey
+      FROM sig GROUP BY doc_id, (pos // 8)
+    ),
+    bsz AS (
+      SELECT band_id, bkey, count(*) AS n
+      FROM bandkey GROUP BY band_id, bkey
+    )
+    SELECT CAST(band_id AS BIGINT) AS band_id,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(coalesce(sum(CASE WHEN n > {_BAND_STATS_CAP} THEN 1 END), 0)
+                AS BIGINT) AS n_dropped_buckets,
+           CAST(coalesce(sum(CASE WHEN n > {_BAND_STATS_CAP} THEN n END), 0)
+                AS BIGINT) AS docs_in_dropped,
+           CAST(coalesce(sum(CASE WHEN n > {_BAND_STATS_CAP}
+                                  THEN (n * (n - 1)) // 2 END), 0)
+                AS BIGINT) AS pairs_dropped,
+           CAST(coalesce(sum(CASE WHEN n <= {_BAND_STATS_CAP}
+                                  THEN (n * (n - 1)) // 2 END), 0)
+                AS BIGINT) AS pairs_kept,
+           CAST(max(n) AS BIGINT) AS max_bucket_n
+    FROM bsz WHERE n >= 2
+    GROUP BY band_id
+    ORDER BY band_id
+    """,
+    tags=("dedup", "minhash", "lsh", "audit"),
+)
+def lsh_band_stats(spark: SparkSession, sf_dir: str):
+    """LSH bucket-cap drop audit (operators/lsh.py:band_bucket_stats) —
+    the "no silent caps" rule applied to the mega-bucket guard. The
+    fixture plants a degenerate bucket: 30 identical boilerplate docs
+    whose shared signature collides in every band, over a cap of 25 —
+    so each of the 16 bands must report exactly one dropped bucket of 30
+    members / 435 dropped pairs, alongside the real corpus's kept-bucket
+    and kept-pair counts. The oracle replays the full signature + banding
+    chain and the per-band accounting. At 100 TB this is the audit column
+    that distinguishes a dedup run that can prove what the cap cost from
+    one that silently lost recall (VERDICT r5 #3)."""
+    aug = _augmented(spark, sf_dir, scatter=True)
+    mega = spark.range(_MEGA_N).select(
+        (F.col("id") + _MEGA_OFFSET).alias("doc_id"),
+        F.lit(_MEGA_TEXT).alias("text"),
+    )
+    sig = add_minhash_md5(aug.unionByName(mega))
+    bands = band_rows(sig, rows_per_band=8)
+    return (
+        band_bucket_stats(bands, bucket_cap=_BAND_STATS_CAP)
+        .withColumn("band_id", F.col("band_id").cast("long"))
+        .orderBy("band_id")
+    )
 
 
 @query(

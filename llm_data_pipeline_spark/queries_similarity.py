@@ -892,14 +892,24 @@ def text_hashed_embedding_near_dups(spark: SparkSession, sf_dir: str):
     return out.orderBy("u", "v")
 
 
+def _text_cents_sql() -> str:
+    from llm_data_pipeline_spark.data.text_centroids import TEXT_CENTROIDS
+
+    return (
+        "cents AS (\n      SELECT * FROM (VALUES\n      "
+        + ",\n      ".join(
+            f"({i}, {_sql_dlist(vec)})"
+            for i, vec in enumerate(TEXT_CENTROIDS)
+        )
+        + "\n      ) AS t(list_id, cvec)\n    )"
+    )
+
+
 @query(
     "text_semantic_dedup",
     oracle=f"""
     WITH {_HASHED_VECS_SQL},
-    cents AS (
-      SELECT row_number() OVER (ORDER BY doc_id) - 1 AS list_id, v AS cvec
-      FROM (SELECT doc_id, v FROM vecs ORDER BY doc_id LIMIT 16)
-    ),
+    {_text_cents_sql()},
     assigned AS (
       SELECT doc_id, v, list_id, csim FROM (
         SELECT vecs.doc_id, vecs.v, c.list_id,
@@ -932,16 +942,17 @@ def text_hashed_embedding_near_dups(spark: SparkSession, sf_dir: str):
 def text_semantic_dedup(spark: SparkSession, sf_dir: str):
     """SemDeDup on RAW TEXT, end to end in-engine and model-free:
     documents -> signed hashed-trigram embeddings (operators/
-    hashed_embedding.py) -> nearest of 16 deterministic stand-in
-    centroids (the 16 smallest doc_ids' vectors — same stand-in recipe
-    IVF used pre-training; swap for trained k-means in production) ->
+    hashed_embedding.py) -> nearest of 16 TRAINED k-means centroids
+    (deterministic Lloyd recipe over the same hashed embeddings,
+    committed literals in data/text_centroids.py via
+    scripts/gen_codebooks.py text — the r5 stand-in is gone) ->
     per-cluster BLAS pair generation (cluster_pairs_gemm, lossless
     margin + exact re-score) -> pairwise-dominance keep. The oracle
-    replays hashing, centroid derivation, assignment, pairs, and the
-    anti-join relationally — the complete text->embedding->semantic-
-    dedup chain is hash-checked with zero external models."""
-    from pyspark.sql.window import Window
-
+    replays hashing, the committed centroid literals, assignment,
+    pairs, and the anti-join relationally — the complete text->
+    embedding->semantic-dedup chain is hash-checked with zero external
+    models."""
+    from llm_data_pipeline_spark.data.text_centroids import TEXT_CENTROIDS
     from llm_data_pipeline_spark.operators.hashed_embedding import (
         hashed_trigram_embedding,
     )
@@ -949,18 +960,9 @@ def text_semantic_dedup(spark: SparkSession, sf_dir: str):
 
     docs = table(spark, sf_dir, "documents", scatter=True)
     emb = hashed_trigram_embedding(docs)
-    # centroid derivation stays a plan subtree: exchange reuse shares the
-    # embedding build across consumers (a bounded 16-row driver collect
-    # measured SLOWER — it broke the reuse and added a standalone job,
-    # 5.2 -> 6.6 s steady)
-    w16 = Window.orderBy("doc_id")
-    cents = (
-        emb.orderBy("doc_id")
-        .limit(16)
-        .select(
-            (F.row_number().over(w16) - 1).cast("long").alias("list_id"),
-            F.col("embedding").alias("cvec"),
-        )
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(TEXT_CENTROIDS)],
+        "list_id long, cvec array<double>",
     )
     return (
         semantic_dedup(emb, cents, threshold=0.9, id_col="doc_id",

@@ -567,3 +567,42 @@ class TestGemmEncodeParity:
         a = sorted(map(tuple, fold.select(*cols).collect()))
         b = sorted(map(tuple, gemm.select(*cols).collect()))
         assert a == b
+
+
+class TestKCenterBatched:
+    """kcenter_selection_batched: p=1 == the sequential greedy exactly;
+    p>1 cuts rounds while keeping the cover radius in the greedy
+    ballpark."""
+
+    def test_p1_equals_greedy(self, spark, sf_dir):
+        from llm_data_pipeline_spark.operators.similarity import (
+            kcenter_selection,
+            kcenter_selection_batched,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        g = kcenter_selection(emb, k=6).collect()
+        b = kcenter_selection_batched(emb, k=6, p=1).collect()
+        assert sorted(map(tuple, g)) == sorted(map(tuple, b))
+
+    def test_batched_radius_quality(self, spark, sf_dir):
+        from llm_data_pipeline_spark.operators.similarity import (
+            kcenter_selection,
+            kcenter_selection_batched,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        k = 8
+        g = {r["sel_rank"]: r for r in kcenter_selection(emb, k=k).collect()}
+        b = kcenter_selection_batched(emb, k=k, p=4).collect()
+        assert len(b) == k
+        assert [r["sel_rank"] for r in sorted(b, key=lambda r: r["sel_rank"])] == list(range(k))
+        # every batched radius is a true min-distance at selection time
+        # (the accept rule guarantees it); quality: the final cover radius
+        # stays within 2x of the greedy's final radius
+        g_final = g[k - 1]["radius_mu"]
+        b_final = min(r["radius_mu"] for r in b if r["radius_mu"] >= 0)
+        assert b_final <= 2 * g_final
+        # radii are non-increasing in selection order
+        radii = [r["radius_mu"] for r in sorted(b, key=lambda r: r["sel_rank"])][1:]
+        assert radii == sorted(radii, reverse=True)
