@@ -884,3 +884,56 @@ def remove_duplicated_spans_incremental(
         "doc_id", "start"
     )
     return _strip_spans(toked_new, starts, w, id_col, out_col)
+
+
+def prefix_dup_pairs(
+    df: DataFrame,
+    min_prefix: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Strict-prefix duplicate pairs: (u, v) where u's whole text is a
+    proper prefix of v's — the crawl-truncation artifact class (the same
+    page fetched with different byte caps), which Jaccard/containment
+    screens under-weight when the truncation is early.
+
+    Candidate generation is an equi-join on the first ``min_prefix``
+    normalized characters (a block key, never an n^2 comparison): if u is
+    a prefix of v and len(u) >= min_prefix, both share the identical
+    16-char block key. Within a block, verification is one startswith on
+    the shorter side. Pairs with len(u) < min_prefix are out of contract
+    (a sub-16-char "document" prefixing another is noise, and its block
+    key could not match anyway) — the bound is explicit, not silent.
+
+    At 100 TB: the block key is as selective as a hash prefix (16 chars of
+    normalized text), so blocks are tiny except for true boilerplate
+    families; the join shuffles only (key, id, length) plus the candidate
+    rows' text for the verify. Returns (u, v, u_len, v_len).
+    """
+    t = norm_ws(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        t.alias("_t"),
+        F.length(t).alias("_len"),
+    ).where(F.col("_len") >= min_prefix)
+    keyed = base.withColumn("_key", F.substring("_t", 1, min_prefix))
+    a = keyed.select(
+        F.col("_key"),
+        F.col("_id").alias("u"),
+        F.col("_t").alias("_ut"),
+        F.col("_len").alias("u_len"),
+    )
+    b = keyed.select(
+        F.col("_key"),
+        F.col("_id").alias("v"),
+        F.col("_t").alias("_vt"),
+        F.col("_len").alias("v_len"),
+    )
+    return (
+        a.join(b, "_key")
+        .where(
+            (F.col("u_len") < F.col("v_len"))
+            & F.col("_vt").startswith(F.col("_ut"))
+        )
+        .select("u", "v", "u_len", "v_len")
+    )

@@ -27,6 +27,7 @@ from llm_data_pipeline_spark.operators.dedup import (
 from llm_data_pipeline_spark.operators.lsh import (
     band_bucket_stats,
     band_rows,
+    candidate_pairs,
     connected_components,
     minhash_dedup,
     minhash_incremental_dedup,
@@ -435,6 +436,159 @@ def minhash_dedup_kept(spark: SparkSession, sf_dir: str):
     # instead of a global orderBy, whose range-partitioner sampling pass
     # would re-execute the whole dedup child plan a second time
     return kept.select("doc_id").coalesce(1).sortWithinPartitions("doc_id")
+
+
+_NORM_DOC = (
+    "trim(regexp_replace(lower(coalesce(text,'')), '\\s+', ' ', 'g'))"
+)
+
+
+@query(
+    "prefix_truncation_dedup",
+    oracle=f"""
+    WITH trunc AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 200000 AS doc_id,
+             substr({_NORM_DOC}, 1, 40) AS text
+      FROM documents
+      WHERE doc_id < 30 AND length({_NORM_DOC}) >= 80
+    ),
+    base AS (
+      SELECT doc_id AS id,
+             trim(regexp_replace(lower(coalesce(text,'')), '\\s+', ' ', 'g'))
+               AS t
+      FROM trunc
+    ),
+    keyed AS (
+      SELECT id, t, length(t) AS len, substr(t, 1, 16) AS key
+      FROM base WHERE length(t) >= 16
+    )
+    SELECT a.id AS u, b.id AS v,
+           a.len AS u_len, b.len AS v_len
+    FROM keyed a JOIN keyed b ON a.key = b.key
+    WHERE a.len < b.len AND starts_with(b.t, a.t)
+    ORDER BY u, v
+    """,
+    tags=("dedup", "prefix"),
+)
+def prefix_truncation_dedup(spark: SparkSession, sf_dir: str):
+    """Crawl-truncation dedup (operators/dedup.py:prefix_dup_pairs): docs
+    whose full text is a STRICT PREFIX of another doc — the same page
+    fetched under different byte caps, a class Jaccard and containment
+    under-weight when the cut is early. The fixture plants 30 forty-char
+    truncations of real docs; candidate generation is an equi-join on the
+    first 16 normalized chars (a block key — never an n^2 scan), verified
+    by one startswith per block candidate. The oracle replays planting,
+    normalization, blocking, and verification."""
+    from llm_data_pipeline_spark.functions.text import norm_ws
+    from llm_data_pipeline_spark.operators.dedup import prefix_dup_pairs
+
+    docs = table(spark, sf_dir, "documents", scatter=True).select(
+        "doc_id", "text"
+    )
+    n = norm_ws(F.col("text"))
+    planted = (
+        docs.where((F.col("doc_id") < 30) & (F.length(n) >= 80))
+        .select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.substring(n, 1, 40).alias("text"),
+        )
+    )
+    return (
+        prefix_dup_pairs(docs.unionByName(planted), min_prefix=16)
+        .orderBy("u", "v")
+    )
+
+
+@query(
+    "dedup_cluster_size_histogram",
+    oracle=f"""
+    WITH RECURSIVE {AUG_SQL.strip()},
+    {_minhash_sig_sql("aug").strip()},
+    bandkey AS (
+      SELECT doc_id, (pos // 8)::INT AS band_id,
+             string_agg(sig_val::VARCHAR, ',' ORDER BY pos) AS bkey
+      FROM sig GROUP BY doc_id, (pos // 8)
+    ),
+    sized AS (
+      SELECT band_id, bkey, doc_id,
+             count(*) OVER (PARTITION BY band_id, bkey) AS n
+      FROM bandkey
+    ),
+    edges AS (
+      SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+      FROM sized a JOIN sized b
+        ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+      WHERE a.n <= 500
+    ),
+    sym AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+    walk(id, comp) AS (
+      SELECT DISTINCT u, u FROM sym
+      UNION
+      SELECT s.v, w.comp FROM walk w JOIN sym s ON s.u = w.id
+    ),
+    comps AS (SELECT id AS doc_id, min(comp) AS component FROM walk GROUP BY id),
+    csizes AS (
+      SELECT component, count(*) AS csize FROM comps GROUP BY component
+    ),
+    multi AS (
+      SELECT CAST(csize AS BIGINT) AS cluster_size,
+             CAST(count(*) AS BIGINT) AS n_clusters,
+             CAST(csize * count(*) AS BIGINT) AS n_docs,
+             CAST((csize - 1) * count(*) AS BIGINT) AS n_removed
+      FROM csizes GROUP BY csize
+    ),
+    singles AS (
+      SELECT CAST(1 AS BIGINT) AS cluster_size,
+             CAST(count(*) AS BIGINT) AS n_clusters,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(0 AS BIGINT) AS n_removed
+      FROM aug a
+      WHERE a.doc_id NOT IN (SELECT doc_id FROM comps)
+    )
+    SELECT * FROM (
+      SELECT * FROM multi UNION ALL SELECT * FROM singles WHERE n_clusters > 0
+    ) ORDER BY cluster_size
+    """,
+    tags=("dedup", "minhash", "audit"),
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str):
+    """Duplicate-cluster size distribution — the dedup run's headline
+    audit artifact (how much of the corpus sits in how-big duplicate
+    families, and how many docs dedup removes at each size). Components
+    come from the same MinHash-LSH chain as minhash_dedup_kept
+    (rows_per_band=8, bucket cap 500); singleton docs (no candidate edge)
+    are reported as cluster_size=1 so the histogram accounts for every
+    document. All counts are exact integers; the oracle replays the full
+    signature -> banding -> components -> histogram chain."""
+    aug = _augmented(spark, sf_dir, scatter=True)
+    sig = add_minhash_md5(aug)
+    bands = band_rows(sig, rows_per_band=8).localCheckpoint(eager=False)
+    edges = candidate_pairs(bands, bucket_cap=500)
+    comps = connected_components(edges)
+    csizes = comps.groupBy("component").agg(F.count("*").alias("csize"))
+    multi = csizes.groupBy("csize").agg(F.count("*").alias("n_clusters")).select(
+        F.col("csize").cast("long").alias("cluster_size"),
+        F.col("n_clusters").cast("long").alias("n_clusters"),
+        (F.col("csize") * F.col("n_clusters")).cast("long").alias("n_docs"),
+        ((F.col("csize") - 1) * F.col("n_clusters"))
+        .cast("long")
+        .alias("n_removed"),
+    )
+    singles = (
+        aug.select("doc_id")
+        .join(comps.select("doc_id"), "doc_id", "left_anti")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > 0)
+        .select(
+            F.lit(1).cast("long").alias("cluster_size"),
+            F.col("n").cast("long").alias("n_clusters"),
+            F.col("n").cast("long").alias("n_docs"),
+            F.lit(0).cast("long").alias("n_removed"),
+        )
+    )
+    return multi.unionByName(singles).orderBy("cluster_size")
 
 
 _MEGA_TEXT = "degenerate boilerplate page please enable javascript to continue"

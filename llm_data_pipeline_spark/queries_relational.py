@@ -12,6 +12,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from llm_data_pipeline_spark.functions.intmath import rounded_div_sql
 from llm_data_pipeline_spark.queries import query, table
 
 
@@ -331,6 +332,74 @@ def events_sessionization(spark: SparkSession, sf_dir: str):
             F.round(F.sum("value"), 3).alias("session_value"),
         )
         .orderBy("user_id", "session_id")
+    )
+
+
+@query(
+    "events_dwell_transition_stats",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS from_type,
+             epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT from_type, event_type AS to_type,
+           CAST(count(*) AS BIGINT) AS n_transitions,
+           CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+           {rounded_div_sql('CAST(sum(gap_us) AS BIGINT)', 'count(*)')}
+             AS avg_gap_us
+    FROM seq
+    WHERE from_type IS NOT NULL AND gap_us <= 7200000000
+    GROUP BY from_type, event_type
+    ORDER BY from_type, to_type
+    """,
+    tags=("relational", "events", "window", "analytics"),
+)
+def events_dwell_transition_stats(spark: SparkSession, sf_dir: str):
+    """User-journey dwell analysis: for every consecutive event pair per
+    user (lag window over (ts, event_id)), the transition (from_type ->
+    to_type) and its dwell gap in exact integer microseconds; per
+    transition edge, count / min / max and the exact-integer rounded
+    average (gaps over 2h are dropped as session breaks — the bound is
+    explicit in the predicate). This is the event-stream counterpart of
+    funnel conversion: it weighs the edges of the journey graph. One
+    window + one aggregate; all arithmetic BIGINT."""
+    from llm_data_pipeline_spark.functions.intmath import rounded_div_col
+    from llm_data_pipeline_spark.functions.time import epoch_us
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = epoch_us(e, "ts")
+    seq = e.select(
+        F.col("event_type").alias("to_type"),
+        F.lag("event_type").over(w).alias("from_type"),
+        (us - F.lag(us).over(w)).cast("long").alias("gap_us"),
+    ).where(
+        F.col("from_type").isNotNull() & (F.col("gap_us") <= 7_200_000_000)
+    )
+    return (
+        seq.groupBy("from_type", "to_type")
+        .agg(
+            F.count("*").cast("long").alias("n_transitions"),
+            F.min("gap_us").cast("long").alias("min_gap_us"),
+            F.max("gap_us").cast("long").alias("max_gap_us"),
+            F.sum("gap_us").cast("long").alias("_sum"),
+        )
+        .select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            "min_gap_us",
+            "max_gap_us",
+            rounded_div_col(F.col("_sum"), F.col("n_transitions")).alias(
+                "avg_gap_us"
+            ),
+        )
+        .orderBy("from_type", "to_type")
     )
 
 

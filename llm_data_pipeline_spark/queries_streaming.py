@@ -450,3 +450,95 @@ def streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "zero_registers",
         within.cast("int").alias("within_20pct"),
     ).orderBy("hour")
+
+
+@query(
+    "streaming_quality_drift_monitor",
+    oracle="""
+    WITH base AS (
+      SELECT lang,
+             CAST(sum(length(coalesce(text,''))) AS BIGINT) AS sum_len,
+             count(*) AS n
+      FROM documents GROUP BY lang
+    ),
+    mean_ AS (
+      SELECT lang,
+             CASE WHEN sum_len * 1000000 >= 0
+                  THEN (sum_len * 1000000 + n // 2) // n
+                  ELSE -((-(sum_len * 1000000) + n // 2) // n) END
+               AS mean_len_micro
+      FROM base
+    ),
+    dev AS (
+      SELECT d.lang,
+             abs(length(coalesce(d.text,'')) * 1000000 - m.mean_len_micro)
+               AS dev_micro
+      FROM documents d JOIN mean_ m ON m.lang = d.lang
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST((sum(dev_micro) + count(*) // 2) // count(*) AS BIGINT)
+             AS mad_len_micro,
+           ((sum(dev_micro) + count(*) // 2) // count(*)) > 40000000
+             AS drift_flag
+    FROM dev
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("streaming", "quality", "drift", "stream-static"),
+)
+def streaming_quality_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quality-drift monitor — the deploy-time shape of
+    quality_drift_ks: a STATIC per-language baseline (exact integer mean
+    length in micro-units, one batch aggregate broadcast into the stream)
+    joins each arriving document, the absolute deviation accumulates per
+    language in a stateful complete-mode aggregate, and the emitted mean
+    absolute deviation carries a drift flag (> 40 chars). Stream-static
+    join + stateful agg + exact integer arithmetic: streaming == batch is
+    the graded contract (the oracle is the same math in plain SQL). In
+    production the baseline is yesterday's snapshot and the flag pages the
+    ingest on-call; here baseline and stream cover the same rows so the
+    MAD is the corpus's own spread."""
+    from llm_data_pipeline_spark.functions.intmath import rounded_div_col
+
+    docs_path = f"{sf_dir}/documents.parquet"
+    static = (
+        spark.read.parquet(docs_path)
+        .groupBy("lang")
+        .agg(
+            F.sum(F.length(F.coalesce(F.col("text"), F.lit("")))).alias(
+                "sum_len"
+            ),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "lang",
+            rounded_div_col(
+                F.col("sum_len") * 1_000_000, F.col("n")
+            ).alias("mean_len_micro"),
+        )
+    )
+    sdf = read_parquet_stream(spark, docs_path, ts_col=None)
+    dev = sdf.join(F.broadcast(static), "lang").select(
+        "lang",
+        F.abs(
+            F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long")
+            * 1_000_000
+            - F.col("mean_len_micro")
+        ).alias("dev_micro"),
+    )
+    agg = dev.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dev_micro").cast("long").alias("_sum_dev"),
+    )
+    out = run_to_memory(agg, mode="complete", state_partitions=4)
+    return (
+        out.select(
+            "lang",
+            "n_docs",
+            rounded_div_col(F.col("_sum_dev"), F.col("n_docs")).alias(
+                "mad_len_micro"
+            ),
+        )
+        .withColumn("drift_flag", F.col("mad_len_micro") > 40_000_000)
+        .orderBy("lang")
+    )

@@ -1265,3 +1265,194 @@ def quality_zscore_by_lang(spark: SparkSession, sf_dir: str):
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# round 6: taxonomy tagging + character-entropy gibberish detection
+# ---------------------------------------------------------------------------
+
+_TAXONOMY = {
+    "relational": ["join", "scan", "filter", "sort", "merge", "group"],
+    "execution": ["spark", "batch", "stream", "hash", "window", "vector"],
+    "storage": ["table", "row", "column", "part", "key", "value"],
+}
+
+
+def _topic_hits_sql(topic: str) -> str:
+    words = ", ".join(f"'{w}'" for w in _TAXONOMY[topic])
+    return f"len(list_filter(toks, t -> list_contains([{words}], t)))"
+
+
+@query(
+    "keyword_taxonomy_tagging",
+    oracle=f"""
+    WITH toksrc AS (
+      SELECT doc_id, {TOKS} AS toks FROM documents
+    ),
+    hits AS (
+      SELECT doc_id,
+             CAST({_topic_hits_sql('relational')} AS BIGINT) AS n_relational,
+             CAST({_topic_hits_sql('execution')} AS BIGINT) AS n_execution,
+             CAST({_topic_hits_sql('storage')} AS BIGINT) AS n_storage
+      FROM toksrc
+    )
+    SELECT doc_id, n_relational, n_execution, n_storage,
+           CASE WHEN n_relational = 0 AND n_execution = 0 AND n_storage = 0
+                THEN 'none'
+                WHEN n_execution > n_relational AND n_execution > n_storage
+                THEN 'execution'
+                WHEN n_relational >= n_execution AND n_relational > n_storage
+                THEN 'relational'
+                WHEN n_relational >= n_execution AND n_relational = n_storage
+                THEN 'relational'
+                ELSE 'storage' END AS top_topic
+    FROM hits
+    ORDER BY doc_id
+    """,
+    tags=("text", "taxonomy", "governance"),
+)
+def keyword_taxonomy_tagging(spark: SparkSession, sf_dir: str):
+    """Keyword-taxonomy topic tagging — the domain-mix classifier every
+    pre-training curation run carries (FlashText-style dictionary match,
+    here a broadcast literal list per topic): per doc, occurrence counts
+    against three topic lexicons and the argmax topic with a fixed
+    alphabetical tie order (relational >= execution > storage resolves
+    ties deterministically; all-zero -> 'none'). The whole operator is a
+    narrow map (higher-order filter per topic) — zero shuffles before
+    the presentation sort; lexicons ride the plan as literals. Oracle
+    replays tokenization, the three lexicon counts, and the tie cascade."""
+    docs = table(spark, sf_dir, "documents", scatter=True)
+    toks = F.filter(F.split(T.norm_ws(F.col("text")), " "), lambda x: x != "")
+
+    def hits(topic: str):
+        ws = _TAXONOMY[topic]
+        return F.size(F.filter(toks, lambda t: t.isin(*ws))).cast("long")
+
+    hit = docs.select(
+        "doc_id",
+        hits("relational").alias("n_relational"),
+        hits("execution").alias("n_execution"),
+        hits("storage").alias("n_storage"),
+    )
+    top = (
+        F.when(
+            (F.col("n_relational") == 0)
+            & (F.col("n_execution") == 0)
+            & (F.col("n_storage") == 0),
+            F.lit("none"),
+        )
+        .when(
+            (F.col("n_execution") > F.col("n_relational"))
+            & (F.col("n_execution") > F.col("n_storage")),
+            F.lit("execution"),
+        )
+        .when(
+            (F.col("n_relational") >= F.col("n_execution"))
+            & (F.col("n_relational") >= F.col("n_storage")),
+            F.lit("relational"),
+        )
+        .otherwise(F.lit("storage"))
+    )
+    return hit.withColumn("top_topic", top).orderBy("doc_id")
+
+
+_ENT_MAXCHARS = 400
+_ENT_LOW_MICRO = 1_500_000  # ~1.5 nats: below = repetitive/gibberish
+_ENT_REP_N = 5
+_ENT_REP_OFFSET = 900_000
+
+
+@query(
+    "char_entropy_gibberish",
+    oracle=f"""
+    WITH planted AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT {_ENT_REP_OFFSET} + i AS doc_id, repeat('ha', 100) AS text
+      FROM range({_ENT_REP_N}) t(i)
+    ),
+    base AS (
+      SELECT doc_id,
+             substr(trim(regexp_replace(lower(coalesce(text,'')),
+                         '\\s+', ' ', 'g')), 1, {_ENT_MAXCHARS}) AS t
+      FROM planted
+    ),
+    chars AS (
+      SELECT doc_id, unnest(string_split(t, '')) AS ch
+      FROM base WHERE length(t) > 0
+    ),
+    counts AS (
+      SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch
+    ),
+    tot AS (SELECT doc_id, sum(c) AS n, count(*) AS n_distinct
+            FROM counts GROUP BY doc_id),
+    terms AS (
+      SELECT c.doc_id,
+             CAST(round(1000000.0 * (c.c / t.n) * ln(t.n / c.c))
+                  AS BIGINT) AS term
+      FROM counts c JOIN tot t USING (doc_id)
+    )
+    SELECT t.doc_id, CAST(t.n AS BIGINT) AS n_chars_used,
+           CAST(t.n_distinct AS BIGINT) AS n_distinct_chars,
+           CAST(sum(term) AS BIGINT) AS entropy_micro_nats,
+           sum(term) < {_ENT_LOW_MICRO} AS is_repetitive
+    FROM terms JOIN tot t USING (doc_id)
+    GROUP BY t.doc_id, t.n, t.n_distinct
+    ORDER BY t.doc_id
+    """,
+    tags=("text", "quality", "entropy"),
+)
+def char_entropy_gibberish(spark: SparkSession, sf_dir: str):
+    """Character-entropy gibberish detection — the cheap quality signal
+    that catches repetitive spam (keyboard mashing, repeated-token pages)
+    language-ID and stopword ratios miss. Shannon entropy over the first
+    {_ENT_MAXCHARS} normalized chars in INTEGER MICRO-NATS: each char's
+    term round(1e6 * (c/n) * ln(n/c)) is quantized BEFORE the sum, so the
+    total is an exact BIGINT in both engines (int/int division and ln of
+    identical doubles are cross-engine safe; double SUM order is not —
+    the repo's standard determinism contract). The fixture plants
+    {_ENT_REP_N} 'hahaha...' docs that must flag is_repetitive (entropy
+    ~0.69 nats < the {_ENT_LOW_MICRO} micro-nat threshold). Shape: one
+    explode + two aggregates, bounded by {_ENT_MAXCHARS} chars/doc."""
+    docs = table(spark, sf_dir, "documents", scatter=True).select(
+        "doc_id", "text"
+    )
+    planted = spark.range(_ENT_REP_N).select(
+        (F.col("id") + _ENT_REP_OFFSET).alias("doc_id"),
+        F.lit("ha" * 100).alias("text"),
+    )
+    base = docs.unionByName(planted).select(
+        "doc_id",
+        F.substring(T.norm_ws(F.col("text")), 1, _ENT_MAXCHARS).alias("t"),
+    ).where(F.length("t") > 0)
+    chars = base.select("doc_id", F.explode(F.split("t", "")).alias("ch"))
+    counts = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    tot = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n"), F.count("*").alias("n_distinct")
+    )
+    terms = counts.join(tot, "doc_id").select(
+        "doc_id",
+        F.round(
+            F.lit(1_000_000.0)
+            * (F.col("c") / F.col("n"))
+            * F.log(F.col("n") / F.col("c")),
+            0,
+        )
+        .cast("long")
+        .alias("term"),
+    )
+    return (
+        terms.groupBy("doc_id")
+        .agg(F.sum("term").cast("long").alias("entropy_micro_nats"))
+        .join(tot, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_chars_used"),
+            F.col("n_distinct").cast("long").alias("n_distinct_chars"),
+            "entropy_micro_nats",
+            (F.col("entropy_micro_nats") < _ENT_LOW_MICRO).alias(
+                "is_repetitive"
+            ),
+        )
+        .orderBy("doc_id")
+    )
