@@ -1818,3 +1818,173 @@ def source_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("diverse_ok"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# round 6: novelty accounting + dedup source crosstab
+# ---------------------------------------------------------------------------
+
+_NOV_NORM = "trim(regexp_replace(lower(coalesce(text,'')), '\\s+', ' ', 'g'))"
+_NOV_TOKS = f"list_filter(string_split({_NOV_NORM}, ' '), x -> x <> '')"
+
+
+@query(
+    "ngram_novelty_by_source",
+    oracle=f"""
+    WITH toksrc AS (
+      SELECT doc_id, source, {_NOV_TOKS} AS toks FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT source,
+             toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS gram
+      FROM toksrc, unnest(range(len(toks) - 2)) t(i)
+      WHERE len(toks) >= 3
+    ),
+    firsts AS (
+      SELECT gram, min(source) AS first_source FROM grams GROUP BY gram
+    )
+    SELECT g.source,
+           CAST(count(*) AS BIGINT) AS n_grams_distinct,
+           CAST(coalesce(sum(CASE WHEN f.first_source = g.source
+                                  THEN 1 END), 0) AS BIGINT) AS n_novel,
+           {rounded_div_sql(
+               "coalesce(sum(CASE WHEN f.first_source = g.source THEN 1 END), 0)"
+               " * 1000000", "count(*)")} AS novelty_ppm
+    FROM grams g JOIN firsts f USING (gram)
+    GROUP BY g.source
+    ORDER BY g.source
+    """,
+    tags=("corpus", "novelty", "governance"),
+)
+def ngram_novelty_by_source(spark: SparkSession, sf_dir: str):
+    """Source novelty accounting — the "how much NEW content does each
+    crawl/source contribute" number that decides whether ingesting a
+    source is worth its processing cost at 100 TB. Per source: distinct
+    word-trigrams, trigrams whose FIRST occurrence (min source in the
+    deterministic source order — the stand-in for crawl sequence) lands
+    in that source, and the novelty share in exact ppm. Two hash
+    aggregates over the exploded gram set + one equi-join; map-side
+    combine carries (source, gram) distincts. Oracle replays
+    tokenization, gram explode, first-occurrence attribution, and the
+    rounded-div ppm."""
+    from llm_data_pipeline_spark.functions.intmath import rounded_div_col
+    from llm_data_pipeline_spark.functions.text import norm_ws
+
+    docs = table(spark, sf_dir, "documents", scatter=True)
+    toks = F.filter(F.split(norm_ws(F.col("text")), " "), lambda x: x != "")
+    base = docs.select("source", toks.alias("toks")).where(
+        F.size("toks") >= 3
+    )
+    grams = base.select(
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("toks"), i + 1),
+                    F.element_at(F.col("toks"), i + 2),
+                    F.element_at(F.col("toks"), i + 3),
+                ),
+            )
+        ).alias("gram"),
+    ).distinct()
+    firsts = grams.groupBy("gram").agg(F.min("source").alias("first_source"))
+    joined = grams.join(firsts, "gram")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_grams_distinct"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("first_source") == F.col("source"), 1)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            "source",
+            "n_grams_distinct",
+            "n_novel",
+            rounded_div_col(
+                F.col("n_novel") * 1_000_000, F.col("n_grams_distinct")
+            ).alias("novelty_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "dedup_source_crosstab",
+    oracle=f"""
+    WITH toksrc AS (
+      SELECT doc_id, source, {_NOV_TOKS} AS toks FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(range(len(toks) - 2),
+                 i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+               AS gs
+      FROM toksrc WHERE len(toks) >= 3
+    ),
+    pairs AS (
+      SELECT a.doc_id AS u, b.doc_id AS v, a.source AS su, b.source AS sv,
+             len(list_intersect(a.gs, b.gs)) AS inter,
+             len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs)) AS uni
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    ),
+    dup AS (
+      SELECT least(su, sv) AS source_a, greatest(su, sv) AS source_b
+      FROM pairs WHERE inter * 2 >= uni
+    )
+    SELECT source_a, source_b,
+           CAST(count(*) AS BIGINT) AS n_dup_pairs,
+           (source_a = source_b) AS intra_source
+    FROM dup
+    GROUP BY source_a, source_b
+    ORDER BY source_a, source_b
+    """,
+    tags=("corpus", "dedup", "audit"),
+)
+def dedup_source_crosstab(spark: SparkSession, sf_dir: str):
+    """Where do near-duplicates COME FROM: every word-trigram-Jaccard
+    >= 0.5 pair, cross-tabulated by (source, source) with sources
+    normalized least/greatest — intra-source counts mean a crawler
+    re-fetching itself, cross-source counts mean mirror/syndication
+    overlap, and the split decides which dedup runs daily vs per-ingest
+    at 100 TB. Reuses the engine's prefix-pruned ppjoin pair generator
+    (operators/dedup.py:ngram_jaccard_pairs, never an n^2 scan); the
+    oracle brute-forces the same Jaccard relationally."""
+    from llm_data_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = table(spark, sf_dir, "documents", scatter=True)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5, n=3).select("u", "v")
+    src = docs.select(F.col("doc_id"), F.col("source"))
+    labeled = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("u"), F.col("source").alias("su")
+            ),
+            "u",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("v"), F.col("source").alias("sv")
+            ),
+            "v",
+        )
+        .select(
+            F.least("su", "sv").alias("source_a"),
+            F.greatest("su", "sv").alias("source_b"),
+        )
+    )
+    return (
+        labeled.groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("n_dup_pairs"))
+        .withColumn(
+            "intra_source", F.col("source_a") == F.col("source_b")
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -566,7 +566,9 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str):
     sig = add_minhash_md5(aug)
     bands = band_rows(sig, rows_per_band=8).localCheckpoint(eager=False)
     edges = candidate_pairs(bands, bucket_cap=500)
-    comps = connected_components(edges)
+    # comps feeds two consumers (size histogram + singleton anti-join);
+    # pin it so neither replays the pair-generation/CC chain
+    comps = connected_components(edges).localCheckpoint(eager=False)
     csizes = comps.groupBy("component").agg(F.count("*").alias("csize"))
     multi = csizes.groupBy("csize").agg(F.count("*").alias("n_clusters")).select(
         F.col("csize").cast("long").alias("cluster_size"),
@@ -588,7 +590,12 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str):
             F.lit(0).cast("long").alias("n_removed"),
         )
     )
-    return multi.unionByName(singles).orderBy("cluster_size")
+    # tiny result: single-partition presentation sort (no range sampling)
+    return (
+        multi.unionByName(singles)
+        .coalesce(1)
+        .sortWithinPartitions("cluster_size")
+    )
 
 
 _MEGA_TEXT = "degenerate boilerplate page please enable javascript to continue"
@@ -654,10 +661,14 @@ def lsh_band_stats(spark: SparkSession, sf_dir: str):
     )
     sig = add_minhash_md5(aug.unionByName(mega))
     bands = band_rows(sig, rows_per_band=8)
+    # 16-row result: presentation sort via coalesce(1) so the global
+    # orderBy's range-sampling pass cannot re-execute the signature chain
+    # (README perf rule #3 — measured 10.2 -> ~5 s)
     return (
         band_bucket_stats(bands, bucket_cap=_BAND_STATS_CAP)
         .withColumn("band_id", F.col("band_id").cast("long"))
-        .orderBy("band_id")
+        .coalesce(1)
+        .sortWithinPartitions("band_id")
     )
 
 

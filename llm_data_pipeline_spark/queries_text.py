@@ -1456,3 +1456,146 @@ def char_entropy_gibberish(spark: SparkSession, sf_dir: str):
         )
         .orderBy("doc_id")
     )
+
+
+_WCP_CAP = 20      # fingerprints in more docs than this are stop-fps
+_WCP_MIN_SHARED = 5
+_WCP_BASE_OFF = 700_000
+_WCP_VAR_OFF = 710_000
+_WCP_NPAIRS = 10
+
+
+def _wcp_planted_sql() -> str:
+    """10 planted near-dup pairs over PRIVATE per-pair vocabularies
+    ('pv{i}_{j%7}' words): the synthetic corpus is a word salad over one
+    tiny vocabulary, so its 8-char grams are corpus-wide boilerplate that
+    the stop-fp cap removes — only genuinely rare shared fingerprints
+    (the planted pairs') survive, which is exactly the operator's
+    discrimination claim."""
+    word = "'pv' || i::VARCHAR || '_' || (j % 7)::VARCHAR"
+    return f"""
+    planted AS (
+      SELECT {_WCP_BASE_OFF} + i AS doc_id,
+             array_to_string(list_transform(range(30),
+                 j -> {word}), ' ') AS text
+      FROM range({_WCP_NPAIRS}) t(i)
+      UNION ALL
+      SELECT {_WCP_VAR_OFF} + i AS doc_id,
+             array_to_string(list_transform(range(30),
+                 j -> CASE WHEN j = 15 THEN 'pvx' ELSE {word} END), ' ')
+               AS text
+      FROM range({_WCP_NPAIRS}) t(i)
+    ),
+    allw AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id, text FROM planted
+    )"""
+
+
+@query(
+    "winnow_candidate_pairs",
+    oracle=f"""
+WITH {_wcp_planted_sql().strip()},
+codes AS (
+  SELECT doc_id,
+         list_transform(list_filter(string_split_regex(coalesce(text, ''), ''),
+                                    c -> c <> ''),
+                        c -> unicode(c)) AS cs
+  FROM allw
+), hashed AS (
+  SELECT doc_id, CASE
+    WHEN len(cs) = 0 THEN CAST([] AS BIGINT[])
+    WHEN len(cs) < 8 THEN [list_reduce(list_prepend(CAST(0 AS BIGINT), cs),
+                                       (a, b) -> (a * {A.WINNOW_BASE} + b) % {A.WINNOW_MOD})]
+    ELSE list_transform(range(len(cs) - 7),
+           i -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(cs, i + 1, i + 8)),
+                            (a, b) -> (a * {A.WINNOW_BASE} + b) % {A.WINNOW_MOD}))
+  END AS hs FROM codes
+), minima AS (
+  SELECT doc_id, CASE
+    WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+    WHEN len(hs) <= 4 THEN [list_min(hs)]
+    ELSE list_transform(range(len(hs) - 3), i -> list_min(list_slice(hs, i + 1, i + 4)))
+  END AS ms FROM hashed
+), fps AS (
+  SELECT doc_id, unnest(list_distinct(ms)) AS fp FROM minima
+), rare AS (
+  SELECT fp FROM fps GROUP BY fp
+  HAVING count(*) BETWEEN 2 AND {_WCP_CAP}
+), ff AS (
+  SELECT f.doc_id, f.fp FROM fps f SEMI JOIN rare r ON f.fp = r.fp
+)
+SELECT a.doc_id AS u, b.doc_id AS v,
+       CAST(count(*) AS BIGINT) AS n_shared_fp
+FROM ff a JOIN ff b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= {_WCP_MIN_SHARED}
+ORDER BY u, v
+""",
+    tags=("text-analysis", "fingerprint", "dedup"),
+)
+def winnow_candidate_pairs(spark: SparkSession, sf_dir: str):
+    """Fingerprint-index near-dup candidates — the winnowing scheme used
+    the way MOSS uses it: docs sharing >= {_WCP_MIN_SHARED} RARE
+    fingerprints (fingerprints present in more than {_WCP_CAP} docs are
+    stop-fps — corpus boilerplate with no discrimination, dropped by the
+    same count-prefilter-then-join shape as the LSH bucket cap, and the
+    cap is observable via lsh_band_stats' twin accounting here being the
+    rare-CTE bound). The fixture plants {_WCP_NPAIRS} pairs over private
+    vocabularies (one word edited) that must surface with high shared
+    counts while the word-salad corpus's universal grams cap away. A
+    third candidate mechanism beside shingle-Jaccard and MinHash bands —
+    robust to local edits by the winnowing guarantee."""
+    docs = table(spark, sf_dir, "documents", scatter=True).select(
+        "doc_id", "text"
+    )
+    idx = spark.range(_WCP_NPAIRS).select(F.col("id").alias("i"))
+
+    def word(j):
+        return F.concat(
+            F.lit("pv"),
+            F.col("i").cast("string"),
+            F.lit("_"),
+            (j % 7).cast("string"),
+        )
+
+    base = idx.select(
+        (F.col("i") + _WCP_BASE_OFF).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(F.sequence(F.lit(0), F.lit(29)), lambda j: word(j)),
+        ).alias("text"),
+    )
+    var = idx.select(
+        (F.col("i") + _WCP_VAR_OFF).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(29)),
+                lambda j: F.when(j == 15, F.lit("pvx")).otherwise(word(j)),
+            ),
+        ).alias("text"),
+    )
+    allw = docs.unionByName(base).unionByName(var)
+    fp = A.add_winnow_fingerprints(allw, k=8, w=4)
+    fps = fp.select(
+        "doc_id", F.explode(F.array_distinct("fingerprints")).alias("fp")
+    ).localCheckpoint(eager=False)
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("nd"))
+        .where((F.col("nd") >= 2) & (F.col("nd") <= _WCP_CAP))
+        .select("fp")
+    )
+    ff = fps.join(rare, "fp", "left_semi")
+    a = ff.select(F.col("fp"), F.col("doc_id").alias("u"))
+    b = ff.select(F.col("fp"), F.col("doc_id").alias("v"))
+    return (
+        a.join(b, "fp")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").cast("long").alias("n_shared_fp"))
+        .where(F.col("n_shared_fp") >= _WCP_MIN_SHARED)
+        .coalesce(1)
+        .sortWithinPartitions("u", "v")
+    )
