@@ -428,9 +428,22 @@ def minhash_incremental_dedup(
         .select("u", "v")
         .dropDuplicates(["u", "v"])
     )
-    comps = connected_components(nb.unionByName(nn))
+    return _incremental_keep(
+        base_sig.select(F.col(id_col)), new_sig, nb.unionByName(nn), id_col
+    )
 
-    base_meta = base_sig.select(
+
+def _incremental_keep(
+    base_ids: DataFrame, new_sig: DataFrame, edges: DataFrame, id_col: str
+) -> DataFrame:
+    """Shared keep-rule tail of the incremental dedup variants: components
+    over the (new x base) ∪ (new x new) edges, drop every increment member
+    of a component containing ANY base doc, keep the (ts, length, doc_id)-
+    desc canonical of all-new components. ``base_ids`` needs only the id
+    column (the base is already deduped — no metadata enters the rule)."""
+    comps = connected_components(edges)
+
+    base_meta = base_ids.select(
         F.col(id_col).alias("m_doc_id"),
         F.lit(False).alias("is_new"),
         F.lit(0).cast("long").alias("ts"),
@@ -470,6 +483,74 @@ def minhash_incremental_dedup(
         .withColumn("kept", F.col("_rm_doc_id").isNull())
         .drop("_rm_doc_id")
     )
+
+
+def band_index_rows(
+    df_sig: DataFrame,
+    rows_per_band: int = DEFAULT_ROWS_PER_BAND,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Band rows keyed for STORAGE: (bh, doc_id) where ``bh`` fuses
+    (band_id, band_hash) into one join/bucket column — the layout the
+    persisted 100-TB band index uses so a bucketed table on ``bh`` serves
+    the daily incremental join without re-shuffling the base corpus."""
+    return band_rows(df_sig, rows_per_band, id_col=id_col).select(
+        F.concat_ws(
+            ":", F.col("band_id").cast("string"), F.col("band_hash")
+        ).alias("bh"),
+        "doc_id",
+    )
+
+
+def minhash_incremental_dedup_indexed(
+    index_bands: DataFrame,
+    new_sig: DataFrame,
+    rows_per_band: int = DEFAULT_ROWS_PER_BAND,
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental fuzzy dedup against a PERSISTED band index — the
+    physical deployment of minhash_incremental_dedup at 100 TB.
+
+    ``index_bands`` is the base corpus's (bh, doc_id) band-index table,
+    written ONCE bucketed (and sorted) by ``bh`` (see band_index_rows /
+    skew.write_bucketed): the daily run never re-reads base text, never
+    recomputes base signatures, and — because the index side's storage
+    partitioning already satisfies the join distribution — never shuffles
+    the index: only the (small) increment's band rows exchange into the
+    index's buckets (plan-guarded in tests). Semantics are identical to
+    minhash_incremental_dedup with the same cap/keep rules (``bh`` is a
+    bijection of (band_id, band_hash), so per-bh caps equal per-(band_id,
+    band_hash) caps); the graded query reuses the same oracle."""
+    bn = band_index_rows(new_sig, rows_per_band, id_col=id_col)
+    bb = index_bands.select("bh", "doc_id")
+    sizes = (
+        bb.select("bh")
+        .unionByName(bn.select("bh"))
+        .groupBy("bh")
+        .agg(F.count("*").alias("n"))
+        .where((F.col("n") >= 2) & (F.col("n") <= bucket_cap))
+        .select("bh")
+    )
+    bbs = bb.join(sizes, "bh", "left_semi")
+    bns = bn.join(sizes, "bh", "left_semi").localCheckpoint(eager=False)
+    nb = (
+        bns.select("bh", F.col("doc_id").alias("u"))
+        .join(bbs.select("bh", F.col("doc_id").alias("v")), "bh")
+        .select("u", "v")
+        .dropDuplicates(["u", "v"])
+    )
+    nn = (
+        bns.select("bh", F.col("doc_id").alias("u"))
+        .join(bns.select("bh", F.col("doc_id").alias("v")), "bh")
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .dropDuplicates(["u", "v"])
+    )
+    base_ids = index_bands.select(
+        F.col("doc_id").alias(id_col)
+    ).dropDuplicates([id_col])
+    return _incremental_keep(base_ids, new_sig, nb.unionByName(nn), id_col)
 
 
 def canonical_per_component(

@@ -1083,9 +1083,9 @@ allc AS (
 """
 
 
-@query(
-    "minhash_incremental_dedup",
-    oracle=f"""
+# shared by minhash_incremental_dedup and its persisted-index twin
+# (identical semantics, different physical plan)
+_INC_DEDUP_ORACLE = f"""
     WITH RECURSIVE {_INC_SQL.strip()},
     {_minhash_sig_sql("allc").strip()},
     bandkey AS (
@@ -1139,7 +1139,12 @@ allc AS (
     SELECT i.doc_id,
            (i.doc_id NOT IN (SELECT doc_id FROM removals)) AS kept
     FROM inc i ORDER BY i.doc_id
-    """,
+    """
+
+
+@query(
+    "minhash_incremental_dedup",
+    oracle=_INC_DEDUP_ORACLE,
     tags=("dedup", "minhash", "incremental"),
 )
 def minhash_incremental_dedup_query(spark: SparkSession, sf_dir: str):
@@ -1159,6 +1164,54 @@ def minhash_incremental_dedup_query(spark: SparkSession, sf_dir: str):
     inc = _increment(spark, sf_dir)
     out = minhash_incremental_dedup(
         add_minhash_md5(base), add_minhash_md5(inc), rows_per_band=8
+    )
+    return out.select("doc_id", "kept").coalesce(1).sortWithinPartitions(
+        "doc_id"
+    )
+
+
+@query(
+    "minhash_bucketed_index_dedup",
+    oracle=_INC_DEDUP_ORACLE,
+    tags=("dedup", "minhash", "incremental", "bucketing", "scale"),
+)
+def minhash_bucketed_index_dedup(spark: SparkSession, sf_dir: str):
+    """minhash_incremental_dedup's PHYSICAL deployment: the base corpus's
+    band index (bh = band_id:band_hash, doc_id) is WRITTEN ONCE as a
+    bucketed+sorted table on bh (operators/lsh.py:band_index_rows +
+    skew.write_bucketed), and the daily increment joins against
+    spark.table(...) — the base text is never re-read, base signatures
+    never recomputed, and the index side never re-shuffles (its storage
+    partitioning satisfies the join distribution; only the small
+    increment's band rows exchange into the index buckets — plan-guarded
+    in tests/test_skew.py). Same cap/keep semantics as the in-memory
+    operator (bh is a bijection of (band_id, band_hash)), so this query
+    grades against the IDENTICAL oracle — physical layout changed,
+    answers bit-equal."""
+    import os as _os
+
+    from llm_data_pipeline_spark.operators.lsh import (
+        band_index_rows,
+        minhash_incremental_dedup_indexed,
+    )
+    from llm_data_pipeline_spark.operators.skew import write_bucketed
+    from llm_data_pipeline_spark.queries_sinks import SINK_BASE
+
+    base = table(spark, sf_dir, "documents", scatter=True).select(
+        "doc_id", "text"
+    )
+    inc = _increment(spark, sf_dir)
+    sfx = f"{abs(hash(sf_dir)) % 10**8}_{_os.getpid()}"
+    t_index = f"bkt_band_index_{sfx}"
+    write_bucketed(
+        band_index_rows(add_minhash_md5(base), rows_per_band=8),
+        t_index,
+        "bh",
+        8,
+        path=f"{SINK_BASE}/{t_index}",
+    )
+    out = minhash_incremental_dedup_indexed(
+        spark.table(t_index), add_minhash_md5(inc), rows_per_band=8
     )
     return out.select("doc_id", "kept").coalesce(1).sortWithinPartitions(
         "doc_id"

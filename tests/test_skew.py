@@ -100,3 +100,38 @@ def test_rendezvous_minimal_movement(spark):
         ).collect()
     }
     assert again == {r.doc_id: (r.old, r.new) for r in rows}
+
+
+def test_band_index_join_keeps_index_unshuffled(spark, sf_dir):
+    """The persisted band index's bucketed layout must serve the
+    incremental join WITHOUT re-shuffling the index side: the index scan
+    shows bucket selection and the only Exchange under the band join is
+    the increment side's. (The physical claim behind
+    minhash_bucketed_index_dedup.)"""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from llm_data_pipeline_spark.operators.lsh import band_index_rows
+    from llm_data_pipeline_spark.operators.minhash import add_minhash_md5
+    from llm_data_pipeline_spark.operators.skew import write_bucketed
+    from llm_data_pipeline_spark.plans import inspect as I
+    from llm_data_pipeline_spark.queries import table
+    from llm_data_pipeline_spark.queries_sinks import SINK_BASE
+
+    os.makedirs(SINK_BASE, exist_ok=True)
+    base = table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = f"bkt_band_index_test_{os.getpid()}"
+    write_bucketed(
+        band_index_rows(add_minhash_md5(base.where(F.col("doc_id") < 100)),
+                        rows_per_band=8),
+        t, "bh", 8, path=f"{SINK_BASE}/{t}",
+    )
+    inc = base.where(F.col("doc_id") >= 100).limit(50)
+    bn = band_index_rows(add_minhash_md5(inc), rows_per_band=8)
+    joined = spark.table(t).hint("merge").join(bn, "bh")
+    plan = I.formatted_plan(joined)
+    assert "SortMergeJoin" in plan
+    # exactly ONE exchange: the increment side; the bucketed index scan
+    # feeds the join through sort only
+    assert I.shuffle_count(joined) == 1
