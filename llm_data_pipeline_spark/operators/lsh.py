@@ -502,12 +502,22 @@ def band_index_rows(
     )
 
 
+def band_index_counts(index_bands: DataFrame) -> DataFrame:
+    """Per-bucket size table (bh, base_n) computed ONCE at index-build
+    time — the companion artifact that keeps the DAILY cap decision
+    increment-bounded (without it the incremental run re-counts every
+    base band row each day, which the bench's index_scale_check measured
+    as erasing the index's advantage)."""
+    return index_bands.groupBy("bh").agg(F.count("*").alias("base_n"))
+
+
 def minhash_incremental_dedup_indexed(
     index_bands: DataFrame,
     new_sig: DataFrame,
     rows_per_band: int = DEFAULT_ROWS_PER_BAND,
     bucket_cap: int = DEFAULT_BUCKET_CAP,
     id_col: str = "doc_id",
+    index_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental fuzzy dedup against a PERSISTED band index — the
     physical deployment of minhash_incremental_dedup at 100 TB.
@@ -521,17 +531,44 @@ def minhash_incremental_dedup_indexed(
     index's buckets (plan-guarded in tests). Semantics are identical to
     minhash_incremental_dedup with the same cap/keep rules (``bh`` is a
     bijection of (band_id, band_hash), so per-bh caps equal per-(band_id,
-    band_hash) caps); the graded query reuses the same oracle."""
+    band_hash) caps); the graded query reuses the same oracle.
+
+    Pass ``index_counts`` (the persisted band_index_counts table) to keep
+    the daily cap decision INCREMENT-BOUNDED: only buckets the increment
+    touches can form an edge, so their combined size base_n + new_n is
+    all the cap needs — computed from the increment's (tiny) per-bh
+    counts joined to the stored base counts, never by re-aggregating the
+    base band rows. Buckets the increment does not touch need no cap
+    decision (they generate no edge). Without ``index_counts`` the union
+    re-count runs (semantically identical, O(base) daily — measured at
+    parity with the from-text path, which is the whole reason the counts
+    artifact exists)."""
     bn = band_index_rows(new_sig, rows_per_band, id_col=id_col)
     bb = index_bands.select("bh", "doc_id")
-    sizes = (
-        bb.select("bh")
-        .unionByName(bn.select("bh"))
-        .groupBy("bh")
-        .agg(F.count("*").alias("n"))
-        .where((F.col("n") >= 2) & (F.col("n") <= bucket_cap))
-        .select("bh")
-    )
+    if index_counts is not None:
+        new_counts = bn.groupBy("bh").agg(F.count("*").alias("new_n"))
+        sizes = (
+            new_counts.join(
+                index_counts.select("bh", "base_n"), "bh", "left"
+            )
+            .select(
+                "bh",
+                (
+                    F.coalesce(F.col("base_n"), F.lit(0)) + F.col("new_n")
+                ).alias("n"),
+            )
+            .where((F.col("n") >= 2) & (F.col("n") <= bucket_cap))
+            .select("bh")
+        )
+    else:
+        sizes = (
+            bb.select("bh")
+            .unionByName(bn.select("bh"))
+            .groupBy("bh")
+            .agg(F.count("*").alias("n"))
+            .where((F.col("n") >= 2) & (F.col("n") <= bucket_cap))
+            .select("bh")
+        )
     bbs = bb.join(sizes, "bh", "left_semi")
     bns = bn.join(sizes, "bh", "left_semi").localCheckpoint(eager=False)
     nb = (

@@ -1191,6 +1191,7 @@ def minhash_bucketed_index_dedup(spark: SparkSession, sf_dir: str):
     import os as _os
 
     from llm_data_pipeline_spark.operators.lsh import (
+        band_index_counts,
         band_index_rows,
         minhash_incremental_dedup_indexed,
     )
@@ -1203,15 +1204,23 @@ def minhash_bucketed_index_dedup(spark: SparkSession, sf_dir: str):
     inc = _increment(spark, sf_dir)
     sfx = f"{abs(hash(sf_dir)) % 10**8}_{_os.getpid()}"
     t_index = f"bkt_band_index_{sfx}"
+    t_counts = f"bkt_band_counts_{sfx}"
+    bands = band_index_rows(add_minhash_md5(base), rows_per_band=8)
+    write_bucketed(bands, t_index, "bh", 32, path=f"{SINK_BASE}/{t_index}")
+    # the per-bucket count companion is derived from the WRITTEN index
+    # (one narrow aggregate at build time, never at serve time)
     write_bucketed(
-        band_index_rows(add_minhash_md5(base), rows_per_band=8),
-        t_index,
+        band_index_counts(spark.table(t_index)),
+        t_counts,
         "bh",
-        8,
-        path=f"{SINK_BASE}/{t_index}",
+        32,
+        path=f"{SINK_BASE}/{t_counts}",
     )
     out = minhash_incremental_dedup_indexed(
-        spark.table(t_index), add_minhash_md5(inc), rows_per_band=8
+        spark.table(t_index),
+        add_minhash_md5(inc),
+        rows_per_band=8,
+        index_counts=spark.table(t_counts),
     )
     return out.select("doc_id", "kept").coalesce(1).sortWithinPartitions(
         "doc_id"

@@ -459,6 +459,113 @@ def embedding_ivf_flat_topk(spark: SparkSession, sf_dir: str):
 
 
 @query(
+    "embedding_ann_recall_graded",
+    oracle=f"""
+    WITH {_PAIR_BASE.strip()},
+    {_IVF_CB_SQL.strip()},
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+    exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {cos_sql('qv', 'e.v')} DESC,
+                                           e.vec_id) AS rank
+        FROM e CROSS JOIN q
+        WHERE e.vec_id <> q.query_id
+      ) WHERE rank <= 10
+    ),
+    assign AS (
+      SELECT vec_id, list_id FROM (
+        SELECT e.vec_id, c.list_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos_sql('e.v', 'c.cvec')} DESC,
+                                           c.list_id) AS rn
+        FROM e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, list_id FROM (
+        SELECT q.query_id, c.list_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {cos_sql('q.qv', 'c.cvec')} DESC,
+                                           c.list_id) AS rn
+        FROM q CROSS JOIN cents c
+      ) WHERE rn <= 4
+    ),
+    approx AS (
+      SELECT query_id, vec_id FROM (
+        SELECT p.query_id, a.vec_id,
+               row_number() OVER (PARTITION BY p.query_id
+                                  ORDER BY {cos_sql('q.qv', 'e.v')} DESC,
+                                           a.vec_id) AS rank
+        FROM probes p
+        JOIN q ON q.query_id = p.query_id
+        JOIN assign a ON a.list_id = p.list_id
+        JOIN e ON e.vec_id = a.vec_id
+        WHERE a.vec_id <> p.query_id
+      ) WHERE rank <= 10
+    )
+    SELECT x.query_id,
+           CAST(coalesce(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 END), 0)
+                AS BIGINT) AS n_hits,
+           CAST(coalesce(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 END), 0)
+                * 100000 AS BIGINT) AS recall_ppm
+    FROM exact x
+    LEFT JOIN approx a ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+    GROUP BY x.query_id
+    ORDER BY x.query_id
+    """,
+    tags=("similarity", "ann", "recall", "audit"),
+)
+def embedding_ann_recall_graded(spark: SparkSession, sf_dir: str):
+    """ANN quality as a GRADED fact, not a bench side-note: recall@10 of
+    the IVF-Flat index against the exact brute-force top-10, computed
+    in-engine per query point — the oracle replays BOTH retrieval chains
+    (exact scoring + the trained-codebook build/probe) and the hit
+    counting, so the recall NUMBER itself is hash-checked (the embedding
+    twin of minhash_lsh_recall_eval). recall_ppm = hits * 1e6 / 10 in
+    exact integers. Uses the same corpus-size geometry selection as the
+    serving queries (small tier replayed at the graded SF; bench.py's
+    floors cover the large tier)."""
+    emb = table(spark, sf_dir, "embeddings", scatter=True)
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    books = _ann_books(emb)
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(books["ivf"])],
+        "list_id long, cvec array<double>",
+    )
+    exact = brute_force_topk(emb, queries, k=10).select(
+        "query_id", "vec_id"
+    )
+    approx = ivf_flat_topk(
+        emb, queries, k=10, n_probe=books["geo"]["n_probe_flat"],
+        centroids=cents,
+    ).select("query_id", F.col("vec_id").alias("a_vec_id"))
+    hits = exact.join(
+        approx,
+        (exact.query_id == approx.query_id)
+        & (F.col("vec_id") == F.col("a_vec_id")),
+        "left",
+    ).select(exact.query_id, F.col("a_vec_id").isNotNull().alias("hit"))
+    return (
+        hits.groupBy("query_id")
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("hit"), 1)), F.lit(0))
+            .cast("long")
+            .alias("n_hits")
+        )
+        .select(
+            "query_id",
+            "n_hits",
+            (F.col("n_hits") * 100_000).cast("long").alias("recall_ppm"),
+        )
+        .orderBy("query_id")
+    )
+
+
+@query(
     "embedding_pq_adc_topk",
     oracle=f"""
     WITH {_PAIR_BASE.strip()},

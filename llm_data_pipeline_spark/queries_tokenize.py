@@ -856,3 +856,108 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest(F.col("tokens"), one),
         ).alias("chars_per_token_mu"),
     ).orderBy("lang")
+
+
+_VC_NORM = "trim(regexp_replace(lower(coalesce(text,'')), '\\s+', ' ', 'g'))"
+_VC_TOKS = f"list_filter(string_split({_VC_NORM}, ' '), x -> x <> '')"
+_VC_TARGETS = (500_000, 900_000, 950_000, 990_000, 1_000_000)
+
+
+@query(
+    "token_vocab_coverage_curve",
+    oracle=f"""
+    WITH toksrc AS (
+      SELECT {_VC_TOKS} AS toks FROM documents
+    ),
+    units AS (
+      SELECT toks[i+1] || ' ' || toks[i+2] AS unit
+      FROM toksrc, unnest(range(len(toks) - 1)) t(i)
+      WHERE len(toks) >= 2
+    ),
+    freq AS (SELECT unit, count(*) AS f FROM units GROUP BY unit),
+    ranked AS (
+      SELECT unit, f,
+             row_number() OVER (ORDER BY f DESC, unit) AS rnk,
+             sum(f) OVER (ORDER BY f DESC, unit
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(f) OVER () AS total
+      FROM freq
+    ),
+    cumppm AS (
+      SELECT rnk, CAST((cum * 1000000 + total // 2) // total AS BIGINT)
+               AS cum_ppm
+      FROM ranked
+    )
+    SELECT t.target_ppm,
+           CAST(min(c.rnk) AS BIGINT) AS vocab_rank,
+           CAST(min_by(c.cum_ppm, c.rnk) AS BIGINT) AS cum_ppm_at_rank
+    FROM (SELECT unnest([{", ".join(str(t) for t in _VC_TARGETS)}])
+            AS target_ppm) t
+    JOIN cumppm c ON c.cum_ppm >= t.target_ppm
+    GROUP BY t.target_ppm
+    ORDER BY t.target_ppm
+    """,
+    tags=("tokenize", "vocab", "analysis"),
+)
+def token_vocab_coverage_curve(spark: SparkSession, sf_dir: str):
+    """Vocabulary coverage curve — the vocab-size design input for
+    tokenizer training: how many highest-frequency units (word bigrams
+    here, the subword proxy with a usefully large unit space on the
+    synthetic corpus) are needed to cover 50/90/95/99/100% of all corpus
+    occurrences. One count aggregate, one global (freq desc, unit) window
+    for rank + cumulative mass (exact integers; cum_ppm by rounded
+    integer division), then the smallest covering rank per target. At
+    100 TB the global window runs over the VOCABULARY (frequency table),
+    not the corpus — vocab-bounded by construction."""
+    from pyspark.sql.window import Window
+
+    from llm_data_pipeline_spark.functions.intmath import rounded_div_col
+    from llm_data_pipeline_spark.functions.text import norm_ws
+
+    docs = table(spark, sf_dir, "documents", scatter=True)
+    toks = F.filter(F.split(norm_ws(F.col("text")), " "), lambda x: x != "")
+    units = docs.select(toks.alias("toks")).where(F.size("toks") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("toks"), i + 1),
+                    F.element_at(F.col("toks"), i + 2),
+                ),
+            )
+        ).alias("unit")
+    )
+    freq = units.groupBy("unit").agg(F.count("*").alias("f"))
+    w = Window.orderBy(F.desc("f"), F.asc("unit"))
+    ranked = freq.select(
+        "unit",
+        "f",
+        F.row_number().over(w).alias("rnk"),
+        F.sum("f").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cum"
+        ),
+        F.sum("f").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total"),
+    )
+    cumppm = ranked.select(
+        "rnk",
+        rounded_div_col(F.col("cum") * 1_000_000, F.col("total")).alias(
+            "cum_ppm"
+        ),
+    )
+    targets = spark.createDataFrame(
+        [(t,) for t in _VC_TARGETS], "target_ppm long"
+    )
+    return (
+        targets.join(cumppm, F.col("cum_ppm") >= F.col("target_ppm"))
+        .groupBy("target_ppm")
+        .agg(
+            F.min("rnk").cast("long").alias("vocab_rank"),
+            F.min_by("cum_ppm", "rnk").cast("long").alias("cum_ppm_at_rank"),
+        )
+        .orderBy("target_ppm")
+    )
