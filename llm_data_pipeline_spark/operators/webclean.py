@@ -245,3 +245,53 @@ def canonical_url(url: Column) -> Column:
         path,
         F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
     )
+
+
+# HTML entity map shared by the Spark extractor and (name/value literals)
+# the SQL oracle — plain string replaces, never regex, so ordering is the
+# only semantic (amp LAST so '&amp;lt;' decodes to '&lt;' not '<').
+HTML_ENTITIES = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+)
+
+
+def html_title(html: Column) -> Column:
+    """<title> contents (first match, '' when absent) — native
+    regexp_extract, case-insensitive, dot-matches-newline."""
+    return F.regexp_extract(html, r"(?is)<title[^>]*>(.*?)</title>", 1)
+
+
+def html_text_extract(html: Column) -> Column:
+    """Visible text from raw HTML as a pure native-regex chain — the
+    WARC-side ingest step the reference never needed (it consumes WET,
+    Common Crawl's PRE-extracted text; this closes the raw-HTML half):
+
+    1. drop <script>/<style>/<!-- --> blocks (non-greedy, dotall),
+    2. turn block-level closers/breaks into newlines (so paragraphs
+       survive as whitespace),
+    3. strip every remaining tag,
+    4. decode the six ubiquitous entities (plain string replaces),
+    5. collapse whitespace.
+
+    Every step is `regexp_replace`/`replace` with the 'g'-equivalent
+    all-occurrence semantics on both engines, no lookaround (RE2-safe),
+    so the whole extractor replays in the DuckDB oracle. Zero-shuffle
+    narrow map; at 100 TB this runs inside the ingest scan exactly like
+    basic_clean.
+    """
+    t = F.regexp_replace(html, r"(?is)<script[^>]*>.*?</script>", " ")
+    t = F.regexp_replace(t, r"(?is)<style[^>]*>.*?</style>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(
+        t, r"(?i)</(p|div|li|tr|h[1-6]|ul|ol|table|blockquote)>|<br[^>]*>",
+        "\n",
+    )
+    t = F.regexp_replace(t, r"(?s)<[^>]*>", " ")
+    for ent, rep in HTML_ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(t, r"\s+", " "))

@@ -788,3 +788,104 @@ def pipeline_web_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.lag("docs").over(wlag), F.col("docs")),
         ).alias("retained_ppm"),
     ).orderBy("stage")
+
+
+_HX_NORM = "trim(regexp_replace(lower(coalesce(text,'')), '\\s+', ' ', 'g'))"
+
+
+def _hx_entity_sql(expr: str) -> str:
+    from llm_data_pipeline_spark.operators.webclean import HTML_ENTITIES
+
+    out = expr
+    for ent, rep in HTML_ENTITIES:
+        out = f"replace({out}, '{ent}', '{rep.replace(chr(39), chr(39)*2)}')"
+    return out
+
+
+def _hx_extract_sql(src: str) -> str:
+    """DuckDB twin of operators/webclean.py:html_text_extract."""
+    t = f"regexp_replace({src}, '(?is)<script[^>]*>.*?</script>', ' ', 'g')"
+    t = f"regexp_replace({t}, '(?is)<style[^>]*>.*?</style>', ' ', 'g')"
+    t = f"regexp_replace({t}, '(?s)<!--.*?-->', ' ', 'g')"
+    t = (
+        f"regexp_replace({t}, "
+        "'(?i)</(p|div|li|tr|h[1-6]|ul|ol|table|blockquote)>|<br[^>]*>', "
+        "chr(10), 'g')"
+    )
+    t = f"regexp_replace({t}, '(?s)<[^>]*>', ' ', 'g')"
+    t = _hx_entity_sql(t)
+    return f"trim(regexp_replace({t}, '\\s+', ' ', 'g'))"
+
+
+@query(
+    "html_text_extraction",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_HX_NORM} AS n FROM documents
+      WHERE length({_HX_NORM}) >= 40
+    ),
+    pages AS (
+      SELECT doc_id,
+             '<html><head><title>Doc ' || doc_id::VARCHAR ||
+             '</title><style>p {{color: red}}</style></head><body><p>' ||
+             substr(n, 1, 60) ||
+             '</p><!-- hidden comment --><script>var x = 1 &lt; 2;</script>'
+             || '<div>' || substr(n, 61, 60) ||
+             ' costs &lt;b&gt;5 &amp;amp; 6&lt;/b&gt;&nbsp;euro</div>' ||
+             '<br></body></html>' AS html
+      FROM base
+    )
+    SELECT doc_id,
+           regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1)
+             AS title,
+           {_hx_extract_sql('html')} AS text
+    FROM pages
+    ORDER BY doc_id
+    """,
+    tags=("webclean", "html", "ingest"),
+)
+def html_text_extraction(spark: SparkSession, sf_dir: str):
+    """Raw-HTML text extraction (operators/webclean.py:html_text_extract)
+    — the WARC-side ingest step the reference never needed (it consumes
+    WET, Common Crawl's pre-extracted text; this closes the raw-HTML
+    half). The fixture renders each document into a deterministic HTML
+    page exercising every extractor rule — script/style/comment blocks
+    that must vanish, block closers that must become whitespace, tags
+    that must strip, and entity text ('&lt;b&gt;', '&amp;amp;', '&nbsp;')
+    that must decode AFTER stripping so literal '<b>' survives as text.
+    Both engines construct the identical page strings and run the
+    identical RE2-safe regex chain, so the full extracted TEXT is graded
+    character-for-character, not just counts. Zero-shuffle narrow map."""
+    from llm_data_pipeline_spark.functions.text import norm_ws
+    from llm_data_pipeline_spark.operators.webclean import (
+        html_text_extract,
+        html_title,
+    )
+
+    docs = table(spark, sf_dir, "documents", scatter=True)
+    base = docs.select(
+        "doc_id", norm_ws(F.col("text")).alias("n")
+    ).where(F.length("n") >= 40)
+    pages = base.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit(
+                "</title><style>p {color: red}</style></head><body><p>"
+            ),
+            F.substring("n", 1, 60),
+            F.lit(
+                "</p><!-- hidden comment --><script>var x = 1 &lt; 2;"
+                "</script><div>"
+            ),
+            F.substring("n", 61, 60),
+            F.lit(" costs &lt;b&gt;5 &amp;amp; 6&lt;/b&gt;&nbsp;euro</div>"),
+            F.lit("<br></body></html>"),
+        ).alias("html"),
+    )
+    return pages.select(
+        "doc_id",
+        html_title(F.col("html")).alias("title"),
+        html_text_extract(F.col("html")).alias("text"),
+    ).orderBy("doc_id")
