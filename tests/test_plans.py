@@ -403,3 +403,51 @@ def test_kmeans_assignment_joinless(spark, sf_dir):
     # the model rides in the expression as literals — assignment must be a
     # pure narrow map: no join, no shuffle
     assert "Join" not in plan and I.shuffle_count(df) == 0
+
+
+def test_html_extraction_zero_shuffle_narrow_map(q):
+    """The HTML extractor must run inside the scan stage: no join, at
+    most the presentation sort's exchange."""
+    df = q("html_text_extraction")
+    I.assert_no_cartesian(df)
+    plan = I.simple_plan(df)
+    assert "Join" not in plan
+    assert I.shuffle_count(df) <= 1
+
+
+def test_taxonomy_tagging_zero_shuffle_narrow_map(q):
+    df = q("keyword_taxonomy_tagging")
+    I.assert_no_cartesian(df)
+    plan = I.simple_plan(df)
+    assert "Join" not in plan
+    assert I.shuffle_count(df) <= 1
+
+
+def test_sliding_windows_zero_shuffle_narrow_map(q):
+    df = q("doc_sliding_windows")
+    I.assert_no_cartesian(df)
+    plan = I.simple_plan(df)
+    assert "Join" not in plan
+    assert I.shuffle_count(df) <= 1
+
+
+def test_skipgram_pairs_single_equi_join(q):
+    """Context pairs come from ONE equi-join on (doc_id, position range),
+    never a per-doc cross product."""
+    df = q("skipgram_training_pairs")
+    I.assert_no_cartesian(df)
+
+
+def test_prefix_dedup_block_key_join(q):
+    """Candidate generation is an equi-join on the 16-char block key —
+    exactly one join, no cartesian."""
+    df = q("prefix_truncation_dedup")
+    I.assert_no_cartesian(df)
+
+
+def test_ann_recall_graded_prunes_label(q):
+    """The recall audit touches only (vec_id, embedding) — label must be
+    pruned from every scan."""
+    df = q("embedding_ann_recall_graded")
+    schemas = I.scan_read_schemas(df)
+    assert schemas and all("label" not in s for s in schemas)
