@@ -1986,3 +1986,90 @@ def bbit_minhash_similarity(spark: SparkSession, sf_dir: str):
         F.abs(F.col("j_full_ppm") - F.col("j_exact_ppm")).alias("err_full_ppm"),
         F.abs(F.col("j_bbit_ppm") - F.col("j_exact_ppm")).alias("err_bbit_ppm"),
     ).orderBy("u")
+
+
+_TAKEDOWN_IDS = (3, 17, 29)
+
+
+@query(
+    "takedown_cluster_propagation",
+    oracle=f"""
+    WITH RECURSIVE {AUG_SQL.strip()},
+    {SHINGLE_SQL.strip()},
+    edges AS (SELECT u, v FROM jac WHERE jaccard >= 0.5),
+    sym AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+    walk(id, comp) AS (
+      SELECT DISTINCT u, u FROM sym
+      UNION
+      SELECT s.v, w.comp FROM walk w JOIN sym s ON s.u = w.id
+    ),
+    comps AS (SELECT id AS doc_id, min(comp) AS component FROM walk GROUP BY id),
+    req AS (SELECT unnest([{", ".join(str(i) for i in _TAKEDOWN_IDS)}])
+              AS doc_id),
+    hit_comps AS (
+      SELECT DISTINCT c.component FROM comps c SEMI JOIN req r
+        ON c.doc_id = r.doc_id
+    ),
+    cluster_deletes AS (
+      SELECT c.doc_id FROM comps c SEMI JOIN hit_comps h
+        ON c.component = h.component
+    ),
+    all_deletes AS (
+      -- DISTINCT over UNION ALL, not bare UNION: inside a WITH RECURSIVE
+      -- statement DuckDB gives UNION in non-recursive CTEs the recursive
+      -- (non-deduplicating) treatment
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_id FROM cluster_deletes
+        UNION ALL
+        SELECT doc_id FROM req
+      )
+    )
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id IN (SELECT doc_id FROM req)
+                THEN 'requested' ELSE 'near_dup_of_requested' END AS reason
+    FROM all_deletes d
+    ORDER BY d.doc_id
+    """,
+    tags=("dedup", "governance", "takedown"),
+)
+def takedown_cluster_propagation(spark: SparkSession, sf_dir: str):
+    """GDPR/DMCA takedown PROPAGATION — the governance operator naive
+    delete-by-id misses: removing only the requested doc leaves its
+    near-duplicates (re-crawls, mirrors, truncations) in the corpus, so
+    the content survives training anyway. Here the takedown set expands
+    through the near-dup graph: connected components over trigram-Jaccard
+    >= 0.5 edges (the fuzzy_dedup chain), every member of a component
+    containing ANY requested doc is deleted, labeled 'requested' vs
+    'near_dup_of_requested'. Deletion stays a distributed semi-join —
+    never a driver list. The oracle replays shingling, the pair graph,
+    recursive components, and the expansion."""
+    req = spark.createDataFrame(
+        [(i,) for i in _TAKEDOWN_IDS], "doc_id long"
+    )
+    aug = _augmented(spark, sf_dir, scatter=True)
+    edges = ngram_jaccard_pairs(aug, threshold=0.5, n=3).select("u", "v")
+    comps = connected_components(edges).localCheckpoint(eager=False)
+    hit_comps = (
+        comps.join(req, "doc_id", "left_semi")
+        .select("component")
+        .distinct()
+    )
+    cluster_deletes = comps.join(
+        F.broadcast(hit_comps), "component", "left_semi"
+    ).select("doc_id")
+    all_deletes = cluster_deletes.unionByName(req.select("doc_id")).distinct()
+    return (
+        all_deletes.join(
+            req.select(F.col("doc_id").alias("_r")),
+            F.col("doc_id") == F.col("_r"),
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.when(F.col("_r").isNotNull(), F.lit("requested"))
+            .otherwise(F.lit("near_dup_of_requested"))
+            .alias("reason"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("doc_id")
+    )
