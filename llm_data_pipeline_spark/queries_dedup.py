@@ -1208,19 +1208,18 @@ def minhash_bucketed_index_dedup(spark: SparkSession, sf_dir: str):
     bands = band_index_rows(add_minhash_md5(base), rows_per_band=8)
     write_bucketed(bands, t_index, "bh", 32, path=f"{SINK_BASE}/{t_index}")
     # the per-bucket count companion is derived from the WRITTEN index
-    # (one narrow aggregate at build time, never at serve time)
-    write_bucketed(
-        band_index_counts(spark.table(t_index)),
-        t_counts,
-        "bh",
-        32,
-        path=f"{SINK_BASE}/{t_counts}",
+    # (one narrow aggregate at build time, never at serve time); plain
+    # parquet — its serve-time join side is the broadcast increment
+    # counts, so bucketing would buy nothing
+    counts_path = f"{SINK_BASE}/{t_counts}"
+    band_index_counts(spark.table(t_index)).write.mode("overwrite").parquet(
+        counts_path
     )
     out = minhash_incremental_dedup_indexed(
         spark.table(t_index),
         add_minhash_md5(inc),
         rows_per_band=8,
-        index_counts=spark.table(t_counts),
+        index_counts=spark.read.parquet(counts_path),
     )
     return out.select("doc_id", "kept").coalesce(1).sortWithinPartitions(
         "doc_id"
