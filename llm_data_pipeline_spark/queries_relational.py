@@ -635,3 +635,89 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str):
         )
         .orderBy("cohort_day", "day_offset")
     )
+
+
+_THS_TRAIN_PPM = 700_000  # time axis split: first 70% train
+_THS_VAL_PPM = 850_000    # next 15% val, rest test
+
+
+@query(
+    "events_temporal_holdout_split",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1 FROM events
+    ),
+    cuts AS (
+      SELECT t0, t1,
+             t0 + ((t1 - t0) * {_THS_TRAIN_PPM}) // 1000000 AS c_train,
+             t0 + ((t1 - t0) * {_THS_VAL_PPM}) // 1000000 AS c_val
+      FROM bounds
+    ),
+    labeled AS (
+      SELECT CASE WHEN epoch_us(e.ts) <= c.c_train THEN 'train'
+                  WHEN epoch_us(e.ts) <= c.c_val THEN 'val'
+                  ELSE 'test' END AS split,
+             e.user_id, e.ts
+      FROM events e CROSS JOIN cuts c
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS min_ts,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_ts
+    FROM labeled
+    GROUP BY split
+    ORDER BY split
+    """,
+    tags=("relational", "events", "split", "curation"),
+)
+def events_temporal_holdout_split(spark: SparkSession, sf_dir: str):
+    """Temporal holdout split — the split an EVENT/sequence model must
+    use (a hashed-id split leaks the future into training): the time axis
+    cuts at 70%/85% of the [min, max] event-time span (exact integer
+    microsecond arithmetic on the boundaries, floor-div — no float ever
+    touches a cut), events label train/val/test by their timestamp, and
+    the manifest reports per-split volumes, user reach, and the actual
+    time ranges (ISO strings — DATE/TIMESTAMP canonicalize differently
+    across engines, strings do not). One two-value aggregate broadcast
+    into a narrow labeling map + one rollup."""
+    from llm_data_pipeline_spark.functions.time import epoch_us
+
+    e = table(spark, sf_dir, "events")
+    us = epoch_us(e, "ts")
+    bounds = e.agg(
+        F.min(us).alias("t0"), F.max(us).alias("t1")
+    ).select(
+        "t0",
+        "t1",
+        (
+            F.col("t0")
+            + F.expr(f"((t1 - t0) * {_THS_TRAIN_PPM}) div 1000000")
+        ).alias("c_train"),
+        (
+            F.col("t0")
+            + F.expr(f"((t1 - t0) * {_THS_VAL_PPM}) div 1000000")
+        ).alias("c_val"),
+    )
+    labeled = e.crossJoin(F.broadcast(bounds)).select(
+        F.when(us <= F.col("c_train"), F.lit("train"))
+        .when(us <= F.col("c_val"), F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+        "user_id",
+        "ts",
+    )
+    return (
+        labeled.groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "min_ts"
+            ),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "max_ts"
+            ),
+        )
+        .orderBy("split")
+    )

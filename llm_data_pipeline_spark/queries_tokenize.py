@@ -961,3 +961,80 @@ def token_vocab_coverage_curve(spark: SparkSession, sf_dir: str):
         )
         .orderBy("target_ppm")
     )
+
+
+@query(
+    "packed_attention_mask_stats",
+    oracle=_SQL_PRELUDE.format(vocab_size=VOCAB_SIZE) + f"""
+, witheos AS (
+  SELECT doc_id, i, id FROM enc
+  UNION ALL
+  SELECT doc_id, len(tl) AS i, 2 AS id FROM toks WHERE len(tl) > 0
+),
+ordered AS (
+  SELECT id,
+         row_number() OVER (ORDER BY doc_id, i) - 1 AS goff,
+         dense_rank() OVER (ORDER BY doc_id) - 1 AS sid
+  FROM witheos
+),
+chunked AS (
+  SELECT goff // {SEQ_LEN} AS chunk_id, goff % {SEQ_LEN} AS cpos, sid
+  FROM ordered
+  WHERE goff < ((SELECT count(*) FROM witheos) // {SEQ_LEN}) * {SEQ_LEN}
+),
+segs AS (
+  SELECT chunk_id, sid, count(*) AS seg_len
+  FROM chunked GROUP BY chunk_id, sid
+)
+SELECT chunk_id,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(seg_len * seg_len) AS BIGINT) AS active_pairs,
+       CAST({SEQ_LEN} * {SEQ_LEN} - sum(seg_len * seg_len) AS BIGINT)
+         AS blocked_pairs,
+       CAST((sum(seg_len * seg_len) * 1000000
+             + ({SEQ_LEN} * {SEQ_LEN}) // 2) // ({SEQ_LEN} * {SEQ_LEN})
+            AS BIGINT) AS mask_density_ppm
+FROM segs GROUP BY chunk_id
+ORDER BY chunk_id
+""",
+    tags=("tokenize", "pack", "attention", "order-sensitive"),
+)
+def packed_attention_mask_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-diagonal attention-mask accounting for the packed chunks —
+    the number the training stack needs to budget attention FLOPs and to
+    verify cross-document leakage is actually masked: per 512-token
+    chunk, the segment runs from pack_constant_length give the
+    block-diagonal mask's active token-pair count sum(len_i^2), the
+    blocked (cross-document) pair count L^2 - sum(len_i^2), and the mask
+    density in exact integer ppm. Derived entirely from the packer's
+    seq_lens metadata (no second pass over token arrays); the oracle
+    re-derives the same segments from first principles."""
+    docs = table(spark, sf_dir, "documents")
+    vocab = train_word_vocab(docs, vocab_size=VOCAB_SIZE)
+    enc = encode_via_udf(docs, vocab)
+    chunks = pack_chunks(
+        enc, seq_len=SEQ_LEN, eos_id=2, add_eos=True, ensure_eos=True,
+        drop_remainder=True, order_col="doc_id",
+    )
+    active = F.aggregate(
+        F.col("seq_lens"),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x.cast("long") * x.cast("long"),
+    )
+    L2 = SEQ_LEN * SEQ_LEN
+    return (
+        chunks.select(
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.size("seq_lens").cast("long").alias("n_segments"),
+            active.alias("active_pairs"),
+        )
+        .withColumn(
+            "blocked_pairs", (F.lit(L2) - F.col("active_pairs")).cast("long")
+        )
+        .withColumn(
+            "mask_density_ppm",
+            ((F.col("active_pairs") * 1_000_000 + F.lit(L2 // 2)) / F.lit(L2))
+            .cast("long"),
+        )
+        .orderBy("chunk_id")
+    )
