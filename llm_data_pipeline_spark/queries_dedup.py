@@ -2072,3 +2072,139 @@ def takedown_cluster_propagation(spark: SparkSession, sf_dir: str):
         .coalesce(1)
         .sortWithinPartitions("doc_id")
     )
+
+
+def _dq_quality_sql() -> str:
+    """Quality score + decile-bucket fragment over the ``aug`` CTE —
+    imports the canonical score fragments from queries_text so the
+    formula can never drift from text_quality_scores'."""
+    from llm_data_pipeline_spark.queries_text import (
+        _H_COLS,
+        _QUALITY_SCORE,
+        RAW,
+        TOKS,
+    )
+
+    return f"""
+    qbase AS (
+      SELECT doc_id, {RAW} AS raw, {TOKS} AS toks FROM aug
+    ),
+    feat AS (
+      SELECT doc_id, raw, len(toks) AS n_tok,
+             {_H_COLS}
+      FROM qbase
+    ),
+    buckets AS (
+      SELECT doc_id,
+             least(CAST(floor(({_QUALITY_SCORE}) * 10) AS INT), 9) AS bucket
+      FROM feat
+    )"""
+
+
+@query(
+    "dedup_rate_by_quality_bucket",
+    oracle=f"""
+    WITH RECURSIVE {AUG_SQL.strip()},
+    {SHINGLE_SQL.strip()},
+    edges AS (SELECT u, v FROM jac WHERE jaccard >= 0.5),
+    sym AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+    walk(id, comp) AS (
+      SELECT DISTINCT u, u FROM sym
+      UNION
+      SELECT s.v, w.comp FROM walk w JOIN sym s ON s.u = w.id
+    ),
+    comps AS (SELECT id AS doc_id, min(comp) AS component FROM walk GROUP BY id),
+    members AS (
+      SELECT c.doc_id, c.component, length(a.text) AS length
+      FROM comps c JOIN aug a ON a.doc_id = c.doc_id
+    ),
+    canon AS (
+      SELECT component, doc_id AS canonical_doc_id
+      FROM (
+        SELECT component, doc_id,
+               row_number() OVER (PARTITION BY component
+                                  ORDER BY length DESC, doc_id DESC) AS rk
+        FROM members
+      ) WHERE rk = 1
+    ),
+    removals AS (
+      SELECT m.doc_id FROM members m
+      JOIN canon c ON c.component = m.component
+       AND m.doc_id <> c.canonical_doc_id
+    ),
+    {_dq_quality_sql().strip()}
+    SELECT CAST(b.bucket AS BIGINT) AS quality_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(coalesce(sum(CASE WHEN r.doc_id IS NOT NULL THEN 1 END), 0)
+                AS BIGINT) AS n_removed,
+           CAST((coalesce(sum(CASE WHEN r.doc_id IS NOT NULL THEN 1 END), 0)
+                 * 1000000 + count(*) // 2) // count(*) AS BIGINT)
+             AS removal_ppm
+    FROM buckets b
+    LEFT JOIN removals r ON r.doc_id = b.doc_id
+    GROUP BY b.bucket
+    ORDER BY quality_bucket
+    """,
+    tags=("dedup", "quality", "audit"),
+)
+def dedup_rate_by_quality_bucket(spark: SparkSession, sf_dir: str):
+    """Does dedup remove the right docs? The cross-family audit: fuzzy-
+    dedup removals (the fuzzy_dedup_kept chain) cross-tabulated against
+    quality-score deciles (the text_quality_scores formula, imported so
+    the two can never drift) — per bucket, corpus share and removal rate
+    in exact ppm. At 100 TB this is the dashboard that catches a dedup
+    run silently gutting one quality stratum (e.g. boilerplate-heavy
+    low-quality docs deduping at 10x the corpus rate — expected — vs
+    high-quality docs vanishing — a bug). All joins broadcast-sized
+    (removal set, bucket map); counts exact."""
+    from llm_data_pipeline_spark.functions.analysis import (
+        with_quality_score,
+    )
+    from llm_data_pipeline_spark.functions.intmath import rounded_div_col
+
+    aug_heavy = _augmented(spark, sf_dir, scatter=True)
+    aug = _augmented(spark, sf_dir)
+    edges = ngram_jaccard_pairs(aug_heavy, threshold=0.5, n=3).select("u", "v")
+    comps = connected_components(edges)
+    members = comps.join(aug, "doc_id").select(
+        "doc_id", "component", F.length("text").alias("length")
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("length"), F.desc("doc_id")
+    )
+    canon = (
+        members.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("component", F.col("doc_id").alias("canonical_doc_id"))
+    )
+    removals = (
+        members.join(canon, "component")
+        .where(F.col("doc_id") != F.col("canonical_doc_id"))
+        .select("doc_id", F.lit(True).alias("_removed"))
+    )
+    buckets = with_quality_score(_augmented(spark, sf_dir, scatter=True)).select(
+        "doc_id",
+        F.least(
+            F.floor(F.col("quality_score") * 10).cast("int"), F.lit(9)
+        ).alias("bucket"),
+    )
+    joined = buckets.join(F.broadcast(removals), "doc_id", "left")
+    return (
+        joined.groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.coalesce(F.sum(F.when(F.col("_removed"), 1)), F.lit(0))
+            .cast("long")
+            .alias("n_removed"),
+        )
+        .select(
+            F.col("bucket").cast("long").alias("quality_bucket"),
+            "n_docs",
+            "n_removed",
+            rounded_div_col(
+                F.col("n_removed") * 1_000_000, F.col("n_docs")
+            ).alias("removal_ppm"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("quality_bucket")
+    )
