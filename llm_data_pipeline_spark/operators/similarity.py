@@ -1382,8 +1382,12 @@ def kcenter_selection_batched(
     over-sampling-with-rejection; rejected candidates simply wait for the
     next round, so no pick is ever based on a stale radius). The running
     min-distance then updates against ALL accepted picks in one narrow
-    map (a single F.least chain), and the batch arithmetic uses the exact
-    dist_to rounding (HALF_UP micro-units), so:
+    map (a single F.least chain), and the batch arithmetic — INCLUDING the
+    candidate-vs-peer rejection distances, evaluated over a tiny local
+    DataFrame through the identical dist_to expression — runs on the same
+    JVM expression path as the corpus min-distances (a driver-side numpy
+    replay of the fold-cosine + double-rounding chain can differ by one
+    last ULP exactly at a 0.5-micro boundary and flip an acceptance), so:
 
     - p=1 reproduces the sequential greedy EXACTLY (test-pinned);
     - p>1 keeps every emitted radius_mu a true min-distance at selection
@@ -1402,13 +1406,18 @@ def kcenter_selection_batched(
             ).cast("long")
         )
 
-    def np_dist(a, b) -> int:
-        a = np.asarray(a, dtype=np.float64)
-        b = np.asarray(b, dtype=np.float64)
-        na, nb = np.linalg.norm(a), np.linalg.norm(b)
-        c = float(a @ b / (na * nb)) if na > 0 and nb > 0 else 0.0
-        m = np.sign(c) * np.floor(abs(c) * 1e6 + 0.5)
-        return int(1_000_000 - m)
+    def _batch_pair_mu(cands) -> dict:
+        """All candidate-pair distances of one batch in ONE tiny Spark job
+        (p x p rows), through the exact dist_to expression — the rejection
+        test then compares like with like (no numpy-vs-JVM ULP gap)."""
+        rows = [(int(c["vec_id"]), [float(x) for x in c["v"]]) for c in cands]
+        df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+        dcols = [dist_to(v).alias(f"_d{cid}") for cid, v in rows]
+        out = {}
+        for r in df.select("vec_id", *dcols).collect():
+            for cid, _ in rows:
+                out[(int(r["vec_id"]), cid)] = int(r[f"_d{cid}"])
+        return out
 
     base = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
     seed = base.orderBy("vec_id").limit(1).collect()
@@ -1433,10 +1442,12 @@ def kcenter_selection_batched(
         )
         if not cands:
             break
+        pair_mu = _batch_pair_mu(cands) if len(cands) > 1 else {}
         accepted = []
         for c in cands:
+            cid = int(c["vec_id"])
             if all(
-                np_dist(c["v"], sel_vecs[a_id]) >= c["mind"]
+                pair_mu[(cid, a_id)] >= c["mind"]
                 for _, a_id, _ in accepted
             ):
                 accepted.append((len(picked) + len(accepted), int(c["vec_id"]), int(c["mind"])))

@@ -1009,6 +1009,8 @@ def packed_attention_mask_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     density in exact integer ppm. Derived entirely from the packer's
     seq_lens metadata (no second pass over token arrays); the oracle
     re-derives the same segments from first principles."""
+    from llm_data_pipeline_spark.functions.intmath import rounded_div_col
+
     docs = table(spark, sf_dir, "documents")
     vocab = train_word_vocab(docs, vocab_size=VOCAB_SIZE)
     enc = encode_via_udf(docs, vocab)
@@ -1033,8 +1035,12 @@ def packed_attention_mask_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "mask_density_ppm",
-            ((F.col("active_pairs") * 1_000_000 + F.lit(L2 // 2)) / F.lit(L2))
-            .cast("long"),
+            # repo integer-division convention (rounded_div_col), not ad-hoc
+            # float division: exact at SEQ_LEN=512 either way, but this stays
+            # exact if SEQ_LEN ever grows past the 2^53 mantissa comfort zone
+            rounded_div_col(
+                F.col("active_pairs") * 1_000_000, F.lit(L2).cast("long")
+            ),
         )
         .orderBy("chunk_id")
     )

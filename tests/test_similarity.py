@@ -606,3 +606,45 @@ class TestKCenterBatched:
         # radii are non-increasing in selection order
         radii = [r["radius_mu"] for r in sorted(b, key=lambda r: r["sel_rank"])][1:]
         assert radii == sorted(radii, reverse=True)
+
+
+class TestPlantedRecallFixture:
+    """The planted-cluster ANN fixture (round-6 judge task #6): on data
+    with genuine cluster structure a healthy IVF index must SATURATE
+    recall — on the random near-orthogonal embeddings table a geometry
+    bug and fixture noise were indistinguishable (absolute recall
+    ceiling-bounded at ~0.57)."""
+
+    def test_recall_floor_on_clusterable_data(self, spark, sf_dir):
+        from llm_data_pipeline_spark.queries_similarity import (
+            embedding_ann_recall_planted,
+        )
+
+        rows = embedding_ann_recall_planted(spark, sf_dir).collect()
+        assert len(rows) == 20  # one query per planted cluster
+        mean_recall = sum(r["n_hits"] for r in rows) / (10 * len(rows))
+        assert mean_recall >= 0.9
+
+    def test_fixture_is_actually_clustered(self, spark, sf_dir):
+        # sanity on the generator: every vector's best centroid is its
+        # own cluster's center (noise << center separation) — the
+        # property that makes >=0.9 recall achievable by construction
+        from pyspark.sql import functions as F
+
+        from llm_data_pipeline_spark.queries_similarity import (
+            _PLANTED_C,
+            _planted_centroids,
+            _planted_embeddings,
+        )
+        from llm_data_pipeline_spark.operators.similarity import _best_lists
+
+        fx = _planted_embeddings(spark)
+        best = _best_lists(
+            fx, _planted_centroids(spark), "vec_id", "embedding", 1
+        )
+        mismatched = (
+            fx.join(best, "vec_id")
+            .where(F.col("list_id") != F.col("vec_id") % _PLANTED_C)
+            .count()
+        )
+        assert mismatched == 0
