@@ -215,6 +215,95 @@ def ivf_flat_topk(
     )
 
 
+def ivf_indexed_topk(
+    index_assigned: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-Flat SERVE against a PERSISTED inverted-list index — the ANN
+    twin of the persisted band-index dedup path: ``index_assigned`` is
+    the (list_id, vec_id, embedding) assignment table written ONCE,
+    bucketed by list_id (the nightly index build; see
+    queries_similarity._ensure_ivf_index), so at query time the corpus
+    vectors are never re-assigned and the index side never re-shuffles —
+    only each query's n_probe probe rows route into the stored lists.
+    Identical semantics (scoring, rounding, ties) to
+    :func:`ivf_flat_topk`'s search half, so it grades against the same
+    oracle."""
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
+    probes = _best_lists(
+        q.withColumnRenamed("_qvec", vec_col), centroids, query_id_col,
+        vec_col, n_probe,
+    )
+    cands = (
+        probes.join(q, query_id_col)
+        .join(index_assigned, "list_id")
+        .where(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            F.round(
+                cosine_arrow(F.col("_qvec"), F.col(vec_col)), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    return cands.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
+def pq_encode_errors(
+    corpus: DataFrame,
+    codebook: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-(vector, subspace) PQ quantization error in integer micro-units:
+    encode each sub-vector to its nearest sub-centroid (same fold identity
+    d2 = x.x - 2 x.y + y.y, HALF_UP micro rounding, (d, code) tie rule as
+    :func:`pq_adc_topk`) and keep the winning distance — which IS the
+    squared reconstruction error of that subspace. Returns
+    (vec_id, m, code, err_micro); aggregate for the codebook-quality audit
+    (a codebook drifting away from the corpus shows up as rising
+    err_micro long before recall visibly collapses)."""
+    n_sub = len(codebook)
+    dim_per = F.floor(F.size(vec_col) / n_sub).cast("int")
+    subs = corpus.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("m"),
+        F.col(vec_col),
+    ).select(
+        id_col,
+        "m",
+        F.slice(
+            to_double(F.col(vec_col)), F.col("m") * dim_per + 1, dim_per
+        ).alias("sv"),
+    )
+    cb = corpus.sparkSession.createDataFrame(
+        [
+            (int(c), int(m), [float(x) for x in codebook[m][c]])
+            for m in range(n_sub)
+            for c in range(len(codebook[m]))
+        ],
+        "code long, m int, cv array<double>",
+    )
+    scored = subs.join(F.broadcast(cb), "m").select(
+        id_col, "m", "code", _d2_micro(F.col("sv"), F.col("cv")).alias("_d")
+    )
+    return scored.groupBy(id_col, "m").agg(
+        F.min_by("code", F.struct("_d", "code")).alias("code"),
+        F.min(F.struct("_d", "code")).getField("_d").alias("err_micro"),
+    )
+
+
 def ivf_kmeans_codebook(
     corpus: DataFrame,
     n_lists: int = 16,

@@ -672,10 +672,10 @@ def lsh_band_stats(spark: SparkSession, sf_dir: str):
     )
 
 
-@query(
-    "simhash_near_dups",
-    oracle=f"""
-    WITH {AUG_SQL.strip()},
+# SimHash replay over the ``aug`` CTE: toks64 -> per-token portable 64-bit
+# hashes -> per-bit majority -> packed signed simhash (``sims``). Shared by
+# simhash_near_dups and dedup_method_agreement so the replay can't drift.
+SIMHASH_SIMS_SQL = f"""
     toks64 AS (
       SELECT doc_id,
              list_filter(string_split(trim(regexp_replace(lower(coalesce(text,'')),
@@ -705,6 +705,14 @@ def lsh_band_stats(spark: SparkSession, sf_dir: str):
                             ELSE p.u END)::BIGINT, 0) AS sim
       FROM toks64 t LEFT JOIN packed p ON p.doc_id = t.doc_id
     )
+"""
+
+
+@query(
+    "simhash_near_dups",
+    oracle=f"""
+    WITH {AUG_SQL.strip()},
+    {SIMHASH_SIMS_SQL.strip()}
     SELECT a.doc_id AS u, b.doc_id AS v,
            bit_count(xor(a.sim, b.sim))::INT AS hamming
     FROM sims a JOIN sims b ON a.doc_id < b.doc_id
@@ -2333,4 +2341,154 @@ def dedup_rate_by_quality_bucket(spark: SparkSession, sf_dir: str):
         )
         .coalesce(1)
         .sortWithinPartitions("quality_bucket")
+    )
+
+
+@query(
+    "dedup_method_agreement",
+    oracle=f"""
+    WITH {AUG_SQL.strip()},
+    {SHINGLE_SQL.strip()},
+    jp AS (SELECT u, v FROM jac WHERE jaccard >= 0.5),
+    {SIMHASH_SIMS_SQL.strip()},
+    sp AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sim, b.sim)) <= 3
+    ),
+    {_minhash_sig_sql("aug").strip()},
+    bandkey AS (
+      SELECT doc_id, (pos // 8)::INT AS band_id,
+             string_agg(sig_val::VARCHAR, ',' ORDER BY pos) AS bkey
+      FROM sig GROUP BY doc_id, (pos // 8)
+    ),
+    msized AS (
+      SELECT band_id, bkey, doc_id,
+             count(*) OVER (PARTITION BY band_id, bkey) AS n
+      FROM bandkey
+    ),
+    mp AS (
+      SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+      FROM (SELECT * FROM msized WHERE n >= 2 AND n <= 500) a
+      JOIN (SELECT * FROM msized WHERE n >= 2 AND n <= 500) b
+        ON a.band_id = b.band_id AND a.bkey = b.bkey
+       AND a.doc_id < b.doc_id
+    ),
+    allp AS (
+      SELECT 'jaccard' AS method, u, v FROM jp
+      UNION ALL SELECT 'minhash', u, v FROM mp
+      UNION ALL SELECT 'simhash', u, v FROM sp
+    ),
+    meths AS (SELECT unnest(['jaccard', 'minhash', 'simhash']) AS method),
+    msz AS (
+      SELECT m.method, coalesce(c.n, 0) AS n
+      FROM meths m LEFT JOIN
+           (SELECT method, count(*) AS n FROM allp GROUP BY 1) c
+        USING (method)
+    ),
+    prs AS (
+      SELECT a.method AS method_a, b.method AS method_b,
+             a.n AS n_a, b.n AS n_b
+      FROM msz a JOIN msz b ON a.method < b.method
+    ),
+    inter AS (
+      SELECT a.method AS method_a, b.method AS method_b,
+             count(*) AS n_common
+      FROM allp a JOIN allp b
+        ON a.u = b.u AND a.v = b.v AND a.method < b.method
+      GROUP BY 1, 2
+    )
+    SELECT p.method_a, p.method_b,
+           CAST(p.n_a AS BIGINT) AS n_a,
+           CAST(p.n_b AS BIGINT) AS n_b,
+           CAST(coalesce(i.n_common, 0) AS BIGINT) AS n_common,
+           CAST((coalesce(i.n_common, 0) * 1000000
+                 + (p.n_a + p.n_b - coalesce(i.n_common, 0)) // 2)
+                // (p.n_a + p.n_b - coalesce(i.n_common, 0)) AS BIGINT)
+             AS agreement_ppm
+    FROM prs p LEFT JOIN inter i USING (method_a, method_b)
+    ORDER BY method_a, method_b
+    """,
+    tags=("dedup", "audit", "agreement"),
+)
+def dedup_method_agreement(spark: SparkSession, sf_dir: str):
+    """Cross-method dedup agreement audit: the candidate-pair sets of the
+    three fuzzy screens — exact trigram Jaccard >= 0.5, MinHash-LSH band
+    co-occurrence (8-row bands, capped buckets), SimHash Hamming <= 3 —
+    compared pairwise as SETS (|A|, |B|, |A∩B|, Jaccard agreement in
+    exact ppm). This is the calibration table a 100-TB deployment uses
+    to pick its screen: if the cheap screens (minhash/simhash) diverge
+    from exact Jaccard beyond their tuned bounds, thresholds or band
+    geometry have drifted. All three pair sets are planted-variant-sized
+    (tiny), so the set algebra is broadcast-cheap; every count is exact
+    and hash-checked against a full three-method oracle replay."""
+    from llm_data_pipeline_spark.functions.hashing import portable_hash64
+    from llm_data_pipeline_spark.functions.intmath import rounded_div_col
+
+    aug = _augmented(spark, sf_dir, scatter=True)
+    jp = (
+        ngram_jaccard_pairs(aug, threshold=0.5, n=3)
+        .select("u", "v")
+        .withColumn("method", F.lit("jaccard"))
+    )
+    mp = (
+        candidate_pairs(
+            band_rows(add_minhash_md5(aug), rows_per_band=8), bucket_cap=500
+        )
+        .select("u", "v")
+        .withColumn("method", F.lit("minhash"))
+    )
+    sim = add_simhash(aug, hash_fn=portable_hash64).select(
+        "doc_id", "simhash"
+    )
+    sp = (
+        simhash_candidate_pairs(sim, max_hamming=3, bucket_cap=None)
+        .select("u", "v")
+        .withColumn("method", F.lit("simhash"))
+    )
+    allp = jp.unionByName(mp).unionByName(sp).localCheckpoint(eager=False)
+    meths = spark.createDataFrame(
+        [("jaccard",), ("minhash",), ("simhash",)], "method string"
+    )
+    msz = meths.join(
+        allp.groupBy("method").agg(F.count(F.lit(1)).alias("n")),
+        "method",
+        "left",
+    ).select("method", F.coalesce("n", F.lit(0)).alias("n"))
+    a, b = msz.alias("a"), msz.alias("b")
+    prs = a.join(b, F.col("a.method") < F.col("b.method")).select(
+        F.col("a.method").alias("method_a"),
+        F.col("b.method").alias("method_b"),
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+    )
+    pa, pb = allp.alias("pa"), allp.alias("pb")
+    inter = (
+        pa.join(
+            pb,
+            (F.col("pa.u") == F.col("pb.u"))
+            & (F.col("pa.v") == F.col("pb.v"))
+            & (F.col("pa.method") < F.col("pb.method")),
+        )
+        .groupBy(
+            F.col("pa.method").alias("method_a"),
+            F.col("pb.method").alias("method_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    joined = prs.join(inter, ["method_a", "method_b"], "left").select(
+        "method_a",
+        "method_b",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+    )
+    union_size = F.col("n_a") + F.col("n_b") - F.col("n_common")
+    return (
+        joined.withColumn(
+            "agreement_ppm",
+            rounded_div_col(F.col("n_common") * 1_000_000, union_size),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("method_a", "method_b")
     )

@@ -132,3 +132,135 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str):
         .orderBy(F.desc("score"), "doc_id")
         .limit(TOP_N)
     )
+
+
+_RRF_K = 60
+_RRF_TOP = 10
+_DENSE_ANCHOR = 0  # vec_id whose embedding is the dense twin of the query
+
+
+def _rrf_contrib_sql(rank: str) -> str:
+    """Integer-micro RRF contribution round(1e6 / (k + rank))."""
+    return f"(1000000 + ({_RRF_K} + {rank}) // 2) // ({_RRF_K} + {rank})"
+
+
+@query(
+    "hybrid_search_rrf",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, toks, len(toks) AS dl,
+             {', '.join(f"len(list_filter(toks, x -> x = '{t}')) AS tf_{t}" for t in TERMS)}
+      FROM (SELECT doc_id, {_NORM_TOKS} AS toks FROM documents)
+    ),
+    stats AS (
+      SELECT count(*) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+             {', '.join(f"sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}" for t in TERMS)}
+      FROM tf
+    ),
+    lex AS (
+      SELECT doc_id, rank FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        FROM (
+          SELECT doc_id,
+                 round({' + '.join(f"({_term_score_sql(t)})" for t in TERMS)},
+                       6) AS score
+          FROM tf, stats
+        ) WHERE score > 0
+      ) WHERE rank <= {TOP_N}
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    anchor AS (SELECT v AS av FROM e WHERE vec_id = {_DENSE_ANCHOR}),
+    dense AS (
+      SELECT vec_id AS doc_id, rank FROM (
+        SELECT e.vec_id,
+               row_number() OVER (
+                 ORDER BY round(CASE
+                   WHEN sqrt(list_dot_product(av, av)) > 0
+                    AND sqrt(list_dot_product(e.v, e.v)) > 0
+                   THEN list_dot_product(av, e.v)
+                        / (sqrt(list_dot_product(av, av))
+                           * sqrt(list_dot_product(e.v, e.v)))
+                   ELSE 0.0 END, 6) DESC, e.vec_id) AS rank
+        FROM e, anchor
+        WHERE e.vec_id <> {_DENSE_ANCHOR}
+      ) WHERE rank <= {TOP_N}
+    ),
+    contribs AS (
+      SELECT doc_id, {_rrf_contrib_sql('rank')} AS c FROM lex
+      UNION ALL
+      SELECT doc_id, {_rrf_contrib_sql('rank')} AS c FROM dense
+    ),
+    fused AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS rrf_micro,
+             CAST(count(*) AS BIGINT) AS n_lists
+      FROM contribs GROUP BY doc_id
+    )
+    SELECT doc_id, rrf_micro, n_lists, rank FROM (
+      SELECT doc_id, rrf_micro, n_lists,
+             CAST(row_number() OVER (ORDER BY rrf_micro DESC, doc_id)
+                  AS BIGINT) AS rank
+      FROM fused
+    ) WHERE rank <= {_RRF_TOP}
+    ORDER BY rank
+    """,
+    tags=("search", "ranking", "hybrid", "fusion"),
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str):
+    """Hybrid lexical + dense retrieval fused by reciprocal-rank fusion —
+    the standard two-tower serving pattern (BM25 posting scan and
+    embedding ANN each produce a top-N; RRF merges them rank-only, so no
+    score calibration between the incomparable scales is needed). The
+    lexical list is the graded BM25 query's top-25; the dense list is
+    exact cosine top-25 around a fixed anchor embedding (vec_id 0 — the
+    dense twin of the query, documents and embeddings share the id
+    space). Contributions are round(1e6/(60+rank)) summed as exact
+    BIGINTs (the float 1/(60+r) would be cross-engine-identical too, but
+    integer micro-units keep the repo's no-float-aggregation contract).
+    Both lists are TakeOrdered top-Ns and the fusion is a tiny union —
+    nothing wider than the two scans shuffles at any scale."""
+    from llm_data_pipeline_spark.functions.intmath import rounded_div_col
+    from llm_data_pipeline_spark.operators.similarity import brute_force_topk
+    from pyspark.sql.window import Window
+
+    lex = (
+        bm25_keyword_search(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+            .alias("rank"),
+        )
+    )
+    emb = table(spark, sf_dir, "embeddings", scatter=True)
+    anchor = emb.where(F.col("vec_id") == _DENSE_ANCHOR).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dense = brute_force_topk(emb, anchor, k=TOP_N).select(
+        F.col("vec_id").alias("doc_id"), "rank"
+    )
+    contribs = lex.unionByName(dense).select(
+        "doc_id",
+        rounded_div_col(
+            F.lit(1_000_000).cast("long"),
+            (F.lit(_RRF_K) + F.col("rank")).cast("long"),
+        ).alias("c"),
+    )
+    fused = contribs.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("rrf_micro"),
+        F.count(F.lit(1)).cast("long").alias("n_lists"),
+    )
+    return (
+        fused.select(
+            "doc_id",
+            "rrf_micro",
+            "n_lists",
+            F.row_number()
+            .over(Window.orderBy(F.desc("rrf_micro"), F.asc("doc_id")))
+            .cast("long")
+            .alias("rank"),
+        )
+        .where(F.col("rank") <= _RRF_TOP)
+        .orderBy("rank")
+    )

@@ -413,9 +413,10 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str):
     ).orderBy("u", "v")
 
 
-@query(
-    "embedding_ivf_flat_topk",
-    oracle=f"""
+# shared by embedding_ivf_flat_topk and its persisted-index twin
+# (identical semantics, different physical plan — the ANN analog of
+# minhash_incremental_dedup vs minhash_bucketed_index_dedup)
+_IVF_FLAT_ORACLE = f"""
     WITH {_PAIR_BASE.strip()},
     {_IVF_CB_SQL.strip()},
     assign AS (
@@ -452,7 +453,12 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str):
       FROM cands
     ) WHERE rank <= 10
     ORDER BY query_id, rank
-    """,
+    """
+
+
+@query(
+    "embedding_ivf_flat_topk",
+    oracle=_IVF_FLAT_ORACLE,
     tags=("similarity", "ann", "ivf"),
 )
 def embedding_ivf_flat_topk(spark: SparkSession, sf_dir: str):
@@ -1785,4 +1791,235 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str):
             F.lit(1).cast("int").alias("is_outlier"),
         )
         .orderBy("vec_id")
+    )
+
+
+_MATRYOSHKA_DIM = 16
+
+
+@query(
+    "embedding_matryoshka_recall",
+    oracle=f"""
+    WITH {_PAIR_BASE.strip()},
+    e16 AS (SELECT vec_id, v[1:{_MATRYOSHKA_DIM}] AS v16 FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+    q16 AS (SELECT vec_id AS query_id, v[1:{_MATRYOSHKA_DIM}] AS qv16
+            FROM e WHERE vec_id % 100 = 0),
+    exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {cos_sql('qv', 'e.v')} DESC,
+                                           e.vec_id) AS rank
+        FROM e CROSS JOIN q
+        WHERE e.vec_id <> q.query_id
+      ) WHERE rank <= 10
+    ),
+    approx AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e16.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {cos_sql('qv16', 'e16.v16')} DESC,
+                                           e16.vec_id) AS rank
+        FROM e16 CROSS JOIN q16 q
+        WHERE e16.vec_id <> q.query_id
+      ) WHERE rank <= 10
+    )
+    SELECT x.query_id,
+           CAST(coalesce(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 END), 0)
+                AS BIGINT) AS n_hits,
+           CAST(coalesce(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 END), 0)
+                * 100000 AS BIGINT) AS recall_ppm
+    FROM exact x
+    LEFT JOIN approx a ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+    GROUP BY x.query_id
+    ORDER BY x.query_id
+    """,
+    tags=("similarity", "ann", "recall", "matryoshka"),
+)
+def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str):
+    """Matryoshka / truncated-dimension retrieval audit: recall@10 of
+    exact search over the FIRST 16 of 64 embedding dimensions against
+    exact full-dimension search — the number that tells a 100-TB serving
+    stack how much shortlist quality a 4x cheaper prefix-dim scan buys
+    (the standard two-stage pattern: truncated-dim shortlist, full-dim
+    rerank — the prefix scan reads 1/4 the bytes and does 1/4 the FLOPs
+    per candidate). Both rankings are exact brute force, so the entire
+    number — truncation, both scorings, hit counting — is hash-checked.
+    On the near-orthogonal synthetic table this measures the information
+    loss of truncation directly (no index noise mixed in)."""
+    emb = table(spark, sf_dir, "embeddings", scatter=True)
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, queries, k=10).select("query_id", "vec_id")
+    emb16 = emb.select(
+        "vec_id", F.slice("embedding", 1, _MATRYOSHKA_DIM).alias("embedding")
+    )
+    q16 = queries.select(
+        "query_id", F.slice("embedding", 1, _MATRYOSHKA_DIM).alias("embedding")
+    )
+    approx = brute_force_topk(emb16, q16, k=10).select(
+        "query_id", F.col("vec_id").alias("a_vec_id")
+    )
+    hits = exact.join(
+        approx,
+        (exact.query_id == approx.query_id)
+        & (F.col("vec_id") == F.col("a_vec_id")),
+        "left",
+    ).select(exact.query_id, F.col("a_vec_id").isNotNull().alias("hit"))
+    return (
+        hits.groupBy("query_id")
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("hit"), 1)), F.lit(0))
+            .cast("long")
+            .alias("n_hits")
+        )
+        .select(
+            "query_id",
+            "n_hits",
+            (F.col("n_hits") * 100_000).cast("long").alias("recall_ppm"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _ensure_ivf_index(spark: SparkSession, sf_dir: str, books: dict) -> str:
+    """Build (once per process x sf_dir) the persisted IVF inverted-list
+    index: the corpus's (list_id, vec_id, embedding) assignment table
+    written bucketed by list_id — the nightly ANN index build. Serving
+    then never re-assigns the corpus and never shuffles the index side
+    (storage partitioning satisfies the probe join); the ANN twin of the
+    dedup band index. Returns the index table name."""
+    import os as _os
+
+    from llm_data_pipeline_spark.operators.similarity import _best_lists
+    from llm_data_pipeline_spark.operators.skew import write_bucketed
+    from llm_data_pipeline_spark.queries_sinks import SINK_BASE
+
+    sfx = f"{abs(hash(sf_dir)) % 10**8}_{_os.getpid()}"
+    t = f"bkt_ivf_index_{sfx}"
+    if not spark.catalog.tableExists(t):
+        emb = table(spark, sf_dir, "embeddings", scatter=True)
+        cents = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(books["ivf"])],
+            "list_id long, cvec array<double>",
+        )
+        assigned = emb.select("vec_id", "embedding").join(
+            _best_lists(emb, cents, "vec_id", "embedding", 1), "vec_id"
+        )
+        write_bucketed(
+            assigned.select("list_id", "vec_id", "embedding"),
+            t, "list_id", 8, path=f"{SINK_BASE}/{t}",
+        )
+    return t
+
+
+@query(
+    "embedding_ivf_indexed_topk",
+    oracle=_IVF_FLAT_ORACLE,
+    tags=("similarity", "ann", "ivf", "index", "scale"),
+)
+def embedding_ivf_indexed_topk(spark: SparkSession, sf_dir: str):
+    """IVF-Flat's PHYSICAL deployment — serve against the PERSISTED
+    inverted-list index (_ensure_ivf_index: the assignment table written
+    once, bucketed by list_id) instead of re-assigning the corpus per
+    query batch: at serve time only the n_probe probe rows per query
+    route into the stored lists; corpus vectors are never re-scored
+    against centroids and the index side never re-shuffles. Identical
+    scoring/tie semantics to embedding_ivf_flat_topk, so it grades
+    against the IDENTICAL oracle — the ANN twin of
+    minhash_bucketed_index_dedup (round-6's flagship pattern, extended
+    to similarity serving)."""
+    from llm_data_pipeline_spark.operators.similarity import ivf_indexed_topk
+
+    emb = table(spark, sf_dir, "embeddings", scatter=True)
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    books = _ann_books(emb)
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(books["ivf"])],
+        "list_id long, cvec array<double>",
+    )
+    t = _ensure_ivf_index(spark, sf_dir, books)
+    return (
+        ivf_indexed_topk(
+            spark.table(t), queries, cents, k=10,
+            n_probe=books["geo"]["n_probe_flat"],
+        )
+        .select("query_id", "vec_id", "score", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+from llm_data_pipeline_spark.functions.intmath import rounded_div_sql  # noqa: E402
+
+
+@query(
+    "pq_reconstruction_error",
+    oracle=f"""
+    WITH {_PAIR_BASE.strip()},
+    subs AS (
+      SELECT vec_id, m, v[m*16+1 : m*16+16] AS sv
+      FROM e, unnest(range(4)) t(m)
+    ),
+    {_PQ_CB_SQL.strip()},
+    enc AS (
+      SELECT s.vec_id, s.m, cb.code,
+             CAST(round((list_dot_product(s.sv, s.sv)
+                         - 2 * list_dot_product(s.sv, cb.cv)
+                         + list_dot_product(cb.cv, cb.cv)) * 1000000)
+                  AS BIGINT) AS d
+      FROM subs s JOIN cb ON cb.m = s.m
+    ),
+    best AS (
+      SELECT vec_id, m, d FROM (
+        SELECT vec_id, m, d,
+               row_number() OVER (PARTITION BY vec_id, m
+                                  ORDER BY d, code) AS rn
+        FROM enc
+      ) WHERE rn = 1
+    )
+    SELECT CAST(m AS BIGINT) AS m,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(d) AS BIGINT) AS total_err_micro,
+           {rounded_div_sql("sum(d)", "count(*)")} AS mean_err_micro
+    FROM best GROUP BY m
+    ORDER BY m
+    """,
+    tags=("similarity", "ann", "pq", "audit"),
+)
+def pq_reconstruction_error(spark: SparkSession, sf_dir: str):
+    """PQ codebook-quality audit: per-subspace squared reconstruction
+    error of the encoded corpus, in exact integer micro-units — the
+    leading indicator a 100-TB serving stack watches between retrains (a
+    codebook drifting away from the corpus shows rising err_micro long
+    before recall visibly collapses; bench.py's recall floors are the
+    lagging alarm). The winning encode distance IS the subspace's squared
+    reconstruction error, so this reuses the exact encode chain
+    (operators/similarity.py: pq_encode_errors — fold identity, HALF_UP
+    micro rounding, (d, code) ties) and the oracle replays it from the
+    committed codebook literals."""
+    from llm_data_pipeline_spark.functions.intmath import rounded_div_col
+    from llm_data_pipeline_spark.operators.similarity import pq_encode_errors
+
+    emb = table(spark, sf_dir, "embeddings", scatter=True)
+    errs = pq_encode_errors(emb, _ann_books(emb)["pq"])
+    return (
+        errs.groupBy("m")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("err_micro").cast("long").alias("total_err_micro"),
+        )
+        .select(
+            F.col("m").cast("long").alias("m"),
+            "n_vecs",
+            "total_err_micro",
+            rounded_div_col(
+                F.col("total_err_micro"), F.col("n_vecs")
+            ).alias("mean_err_micro"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("m")
     )

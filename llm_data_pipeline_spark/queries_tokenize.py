@@ -1044,3 +1044,95 @@ def packed_attention_mask_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("chunk_id")
     )
+
+
+_DECODE_VOCAB = 4096
+
+
+@query(
+    "tokenize_decode_roundtrip",
+    oracle=_SQL_PRELUDE.format(vocab_size=_DECODE_VOCAB) + """,
+dec AS (
+  SELECT e.doc_id, e.i, COALESCE(v.tok, '<unk>') AS tok
+  FROM enc e
+  LEFT JOIN (SELECT tok, id FROM vocab) v USING (id)
+),
+rb AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         count(*) FILTER (WHERE tok = '<unk>') AS n_unk,
+         string_agg(tok, ' ' ORDER BY i) AS decoded
+  FROM dec GROUP BY doc_id
+),
+orig AS (
+  SELECT doc_id,
+         array_to_string(regexp_extract_all(coalesce(text, ''),
+                                            '{pat}'), ' ') AS ot
+  FROM documents
+)
+SELECT o.doc_id,
+       CAST(coalesce(r.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(r.n_unk, 0) AS BIGINT) AS n_unk,
+       md5(coalesce(r.decoded, '')) AS decoded_md5,
+       (coalesce(r.decoded, '') = o.ot) AS roundtrip_exact
+FROM orig o LEFT JOIN rb r USING (doc_id)
+ORDER BY o.doc_id
+""".replace("{pat}", TOKEN_PATTERN),
+    tags=("tokenize", "decode", "roundtrip"),
+)
+def tokenize_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-side contract of the tokenizer: encode every document, map
+    the id sequence BACK to tokens through the same vocab, rebuild the
+    text, and grade the reconstruction (md5 of the decoded string + an
+    exact-roundtrip flag) against the tokenized original. A lossless
+    encode/decode pair is the property every downstream consumer of the
+    binary token sink silently assumes — this query makes it a graded
+    fact (at vocab 4096 the synthetic word pool is fully covered, so
+    roundtrip_exact must be TRUE everywhere; OOV would surface as n_unk
+    and a flipped flag, not a silent corruption). Decode is a broadcast
+    id->token join + one ordered per-doc rebuild — narrow at any scale."""
+    docs = table(spark, sf_dir, "documents")
+    vocab = train_word_vocab(docs, vocab_size=_DECODE_VOCAB)
+    enc = encode_via_join(docs, vocab)
+    ex = enc.select("doc_id", F.posexplode("input_ids").alias("i", "id"))
+    dec = ex.join(
+        F.broadcast(vocab.select("id", F.col("token").alias("tok"))),
+        "id",
+        "left",
+    ).select(
+        "doc_id", "i", F.coalesce("tok", F.lit("<unk>")).alias("tok")
+    )
+    rb = dec.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("tok") == "<unk>", 1).otherwise(0))
+        .cast("long")
+        .alias("n_unk"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("decoded"),
+    )
+    from llm_data_pipeline_spark.operators.tokenizer import tokenize_words
+
+    orig = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ", tokenize_words(F.coalesce(F.col("text"), F.lit("")))
+        ).alias("ot"),
+    )
+    return (
+        orig.join(rb, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_unk", F.lit(0)).cast("long").alias("n_unk"),
+            F.md5(F.coalesce("decoded", F.lit(""))).alias("decoded_md5"),
+            (F.coalesce("decoded", F.lit("")) == F.col("ot")).alias(
+                "roundtrip_exact"
+            ),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("doc_id")
+    )

@@ -340,3 +340,202 @@ def skipgram_training_pairs(spark: SparkSession, sf_dir: str):
         neg(0).alias("neg_0"),
         neg(1).alias("neg_1"),
     ).orderBy("doc_id", "center_pos", "context_pos")
+
+
+@query(
+    "fim_training_examples",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             len(toks) // 3 AS n1, (2 * len(toks)) // 3 AS n2
+      FROM base WHERE len(toks) >= 3
+    ),
+    parts AS (
+      SELECT doc_id, n, n1, n2,
+             array_to_string(list_slice(toks, 1, n1), ' ') AS pre,
+             array_to_string(list_slice(toks, n1 + 1, n2), ' ') AS mid,
+             array_to_string(list_slice(toks, n2 + 1, n), ' ') AS suf
+      FROM sized
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(n1 AS BIGINT) AS prefix_tokens,
+           CAST(n2 - n1 AS BIGINT) AS middle_tokens,
+           CAST(n - n2 AS BIGINT) AS suffix_tokens,
+           md5('<PRE>' || pre || '<SUF>' || suf || '<MID>' || mid)
+             AS psm_md5
+    FROM parts
+    ORDER BY doc_id
+    """,
+    tags=("trainprep", "fim"),
+)
+def fim_training_examples(spark: SparkSession, sf_dir: str):
+    """Fill-in-the-middle (FIM) training-example construction — the
+    code-model preprocessing step (prefix/middle/suffix split, rendered in
+    PSM order so the model learns to infill): deterministic split points
+    at n/3 and 2n/3 token boundaries, PSM text = <PRE>prefix<SUF>suffix
+    <MID>middle. Graded per doc by the exact rendered string's md5 plus
+    the three segment token counts, so the split arithmetic AND the
+    rendering are hash-checked. Pure narrow expressions — one pass over
+    the corpus, no shuffle, trivially 100-TB-parallel."""
+    toks = F.split(
+        F.trim(
+            F.regexp_replace(
+                F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+", " "
+            )
+        ),
+        " ",
+    )
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.filter(toks, lambda x: x != "").alias("toks")
+    )
+    sized = docs.select(
+        "doc_id",
+        "toks",
+        F.size("toks").alias("n"),
+        (F.floor(F.size("toks") / 3)).cast("int").alias("n1"),
+        (F.floor(F.size("toks") * 2 / 3)).cast("int").alias("n2"),
+    ).where(F.col("n") >= 3)
+    parts = sized.select(
+        "doc_id",
+        "n",
+        "n1",
+        "n2",
+        F.concat_ws(" ", F.slice("toks", 1, F.col("n1"))).alias("pre"),
+        F.concat_ws(
+            " ", F.slice("toks", F.col("n1") + 1, F.col("n2") - F.col("n1"))
+        ).alias("mid"),
+        F.concat_ws(
+            " ", F.slice("toks", F.col("n2") + 1, F.col("n") - F.col("n2"))
+        ).alias("suf"),
+    )
+    return (
+        parts.select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_tokens"),
+            F.col("n1").cast("long").alias("prefix_tokens"),
+            (F.col("n2") - F.col("n1")).cast("long").alias("middle_tokens"),
+            (F.col("n") - F.col("n2")).cast("long").alias("suffix_tokens"),
+            F.md5(
+                F.concat(
+                    F.lit("<PRE>"),
+                    F.col("pre"),
+                    F.lit("<SUF>"),
+                    F.col("suf"),
+                    F.lit("<MID>"),
+                    F.col("mid"),
+                )
+            ).alias("psm_md5"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("doc_id")
+    )
+
+
+_BATCH_BUDGET = 2048
+_LEN_BUCKETS = (16, 32, 64, 128, 256, 512, 1024)
+
+
+@query(
+    "length_bucketed_batching",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, len({_TOKS}) AS n FROM documents
+      WHERE len({_TOKS}) > 0
+    ),
+    bucketed AS (
+      SELECT doc_id, n,
+             CASE {' '.join(f'WHEN n <= {b} THEN {b}' for b in _LEN_BUCKETS)}
+                  ELSE {_LEN_BUCKETS[-1] * 2} END AS bucket_width
+      FROM base
+    ),
+    seq AS (
+      SELECT doc_id, n, bucket_width,
+             row_number() OVER (PARTITION BY bucket_width
+                                ORDER BY doc_id) - 1 AS rn,
+             greatest({_BATCH_BUDGET} // bucket_width, 1) AS cap
+      FROM bucketed
+    )
+    SELECT CAST(bucket_width AS BIGINT) AS bucket_width,
+           CAST(rn // cap AS BIGINT) AS batch_idx,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS real_tokens,
+           CAST(count(*) * bucket_width AS BIGINT) AS padded_tokens,
+           CAST(((count(*) * bucket_width - sum(n)) * 1000000
+                 + (count(*) * bucket_width) // 2)
+                // (count(*) * bucket_width) AS BIGINT) AS waste_ppm
+    FROM seq
+    GROUP BY bucket_width, rn // cap
+    ORDER BY bucket_width, batch_idx
+    """,
+    tags=("trainprep", "batching"),
+)
+def length_bucketed_batching(spark: SparkSession, sf_dir: str):
+    """Length-bucketed dynamic batching plan — the padding-waste killer
+    every training stack runs between packing strategies: docs route to
+    power-of-two length buckets (integer threshold CASE — no float log2,
+    whose cross-engine ulp at exact powers of two flips ceil()), each
+    bucket fills fixed-token-budget batches (capacity = budget // width)
+    in deterministic doc_id order, and every batch reports real vs padded
+    tokens and exact-ppm padding waste. The per-batch waste table is what
+    a 100-TB scheduler consumes to choose bucket boundaries; the whole
+    assignment is one narrow pass + one per-bucket window."""
+    toks = F.split(
+        F.trim(
+            F.regexp_replace(
+                F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+", " "
+            )
+        ),
+        " ",
+    )
+    base = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.size(F.filter(toks, lambda x: x != "")).alias("n"),
+        )
+        .where(F.col("n") > 0)
+    )
+    bucket = F.lit(_LEN_BUCKETS[-1] * 2)
+    for b in reversed(_LEN_BUCKETS):
+        bucket = F.when(F.col("n") <= b, F.lit(b)).otherwise(bucket)
+    bucketed = base.select("doc_id", "n", bucket.alias("bucket_width"))
+    w = Window.partitionBy("bucket_width").orderBy("doc_id")
+    seq = bucketed.select(
+        "doc_id",
+        "n",
+        "bucket_width",
+        (F.row_number().over(w) - 1).alias("rn"),
+        F.greatest(
+            F.floor(F.lit(_BATCH_BUDGET) / F.col("bucket_width")).cast("int"),
+            F.lit(1),
+        ).alias("cap"),
+    )
+    return (
+        seq.groupBy(
+            "bucket_width", F.floor(F.col("rn") / F.col("cap")).alias("batch_idx")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n").cast("long").alias("real_tokens"),
+        )
+        .select(
+            F.col("bucket_width").cast("long").alias("bucket_width"),
+            F.col("batch_idx").cast("long").alias("batch_idx"),
+            "n_docs",
+            "real_tokens",
+            (F.col("n_docs") * F.col("bucket_width"))
+            .cast("long")
+            .alias("padded_tokens"),
+            rounded_div_col(
+                (F.col("n_docs") * F.col("bucket_width") - F.col("real_tokens"))
+                * 1_000_000,
+                F.col("n_docs") * F.col("bucket_width"),
+            ).alias("waste_ppm"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("bucket_width", "batch_idx")
+    )
