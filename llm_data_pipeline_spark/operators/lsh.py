@@ -599,6 +599,46 @@ def minhash_incremental_dedup_indexed(
     return _incremental_keep(base_ids, new_sig, nb.unionByName(nn), id_col)
 
 
+def update_component_index(
+    old_map: DataFrame,
+    new_edges: DataFrame,
+    new_ids: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incrementally maintain a persisted near-dup COMPONENT MAP — the
+    governance artifact takedown serving reads — without re-pairing the
+    base corpus: connectivity of the old components is fully captured by
+    their STAR EDGES (member -> component label, one edge per base doc,
+    linear), so CC over (star edges ∪ today's new edges) equals CC over
+    (all historical edges ∪ new edges). Because the old labels are
+    component-minimum ids and min-label CC takes minima across merged
+    sets, the refreshed labels are IDENTICAL to a full recompute over
+    base ∪ increment — the daily map update costs O(|base| + |new edges|)
+    instead of the base x base pair graph.
+
+    ``new_edges``: today's (u, v) near-dup pairs touching the increment
+    (new x base + new x new — the incremental screen's output; base x
+    base pairs must NOT be regenerated, that is the point).
+    ``new_ids``: the increment's ids (isolated new docs still need a
+    singleton row). Returns the refreshed full map (doc_id, component).
+    """
+    star = old_map.where(F.col(id_col) != F.col("component")).select(
+        F.col(id_col).alias("u"), F.col("component").alias("v")
+    )
+    comps = connected_components(
+        star.unionByName(new_edges.select("u", "v"))
+    )
+    all_ids = (
+        old_map.select(id_col)
+        .unionByName(new_ids.select(id_col))
+        .dropDuplicates([id_col])
+    )
+    return all_ids.join(comps, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+    )
+
+
 def canonical_per_component(
     members: DataFrame,
 ) -> DataFrame:

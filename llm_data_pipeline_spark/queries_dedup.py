@@ -2492,3 +2492,69 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str):
         .coalesce(1)
         .sortWithinPartitions("method_a", "method_b")
     )
+
+
+@query(
+    "component_index_incremental",
+    oracle=f"""
+    WITH RECURSIVE {AUG_SQL.strip()},
+    {SHINGLE_SQL.strip()},
+    edges AS (SELECT u, v FROM jac WHERE jaccard >= 0.5),
+    sym AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+    walk(id, comp) AS (
+      SELECT DISTINCT u, u FROM sym
+      UNION
+      SELECT s.v, w.comp FROM walk w JOIN sym s ON s.u = w.id
+    ),
+    comps AS (SELECT id AS doc_id, min(comp) AS component FROM walk GROUP BY id)
+    SELECT a.doc_id, coalesce(c.component, a.doc_id) AS component
+    FROM aug a LEFT JOIN comps c USING (doc_id)
+    ORDER BY a.doc_id
+    """,
+    tags=("dedup", "governance", "incremental", "index", "scale"),
+)
+def component_index_incremental(spark: SparkSession, sf_dir: str):
+    """Daily MAINTENANCE of the persisted component map (the artifact
+    takedown_indexed serves from): yesterday's map contributes only its
+    STAR EDGES (member -> label, one edge per doc — linear), today's
+    increment contributes its screen edges (new x base + new x new), and
+    one CC over that union refreshes every label — the base x base pair
+    graph is NEVER regenerated (operators/lsh.py:update_component_index;
+    star edges preserve old connectivity and min-labels survive merging,
+    so the result is provably identical to a full recompute — which is
+    exactly what the oracle runs: full shingle/pair/CC over base ∪
+    increment). This closes the persisted-index lifecycle: build once
+    (fuzzy_dedup_components), serve takedowns (takedown_indexed), and
+    refresh daily (here) — at 100 TB the refresh costs O(corpus) star
+    edges + the day's pairs instead of the quadratic-prone full graph.
+    The new edges here reuse the graded screen's convention (pairs
+    touching the increment, incremental_dedup_new_vs_base); in deployment
+    they come from the banded index screen."""
+    base = table(spark, sf_dir, "documents", scatter=True).select(
+        "doc_id", "text"
+    )
+    aug = _augmented(spark, sf_dir, scatter=True)
+    inc_ids = aug.where(F.col("doc_id") >= VARIANT_OFFSET).select("doc_id")
+    # yesterday's batch run: components over the BASE-only pair graph
+    old_edges = ngram_jaccard_pairs(base, threshold=0.5, n=3).select("u", "v")
+    old_map = (
+        base.select("doc_id")
+        .join(connected_components(old_edges), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("component"),
+        )
+    )
+    # today's screen: only pairs touching the increment enter the update
+    new_edges = (
+        ngram_jaccard_pairs(aug, threshold=0.5, n=3)
+        .where(F.col("v") >= VARIANT_OFFSET)
+        .select("u", "v")
+    )
+    from llm_data_pipeline_spark.operators.lsh import update_component_index
+
+    return (
+        update_component_index(old_map, new_edges, inc_ids)
+        .coalesce(1)
+        .sortWithinPartitions("doc_id")
+    )

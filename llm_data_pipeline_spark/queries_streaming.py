@@ -542,3 +542,98 @@ def streaming_quality_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFra
         .withColumn("drift_flag", F.col("mad_len_micro") > 40_000_000)
         .orderBy("lang")
     )
+
+
+def _band_screen_oracle() -> str:
+    from llm_data_pipeline_spark.queries_dedup import (
+        VARIANT_OFFSET,
+        _minhash_sig_sql,
+    )
+
+    return f"""
+    WITH allc AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {VARIANT_OFFSET} AS doc_id,
+             array_to_string(list_slice(toks, 3, len(toks)), ' ') AS text
+      FROM (
+        SELECT doc_id,
+               list_filter(string_split(trim(regexp_replace(lower(coalesce(text,'')),
+                           '\\s+', ' ', 'g')), ' '), x -> x <> '') AS toks
+        FROM documents WHERE doc_id < 50
+      )
+    ),
+    {_minhash_sig_sql("allc").strip()},
+    bandkey AS (
+      SELECT doc_id, (pos // 8)::INT AS band_id,
+             string_agg(sig_val::VARCHAR, ',' ORDER BY pos) AS bkey
+      FROM sig GROUP BY doc_id, (pos // 8)
+    )
+    SELECT i.doc_id, CAST(count(b.doc_id) AS BIGINT) AS n_band_matches
+    FROM (SELECT * FROM bandkey WHERE doc_id >= {VARIANT_OFFSET}) i
+    LEFT JOIN (SELECT * FROM bandkey WHERE doc_id < {VARIANT_OFFSET}) b
+      ON b.band_id = i.band_id AND b.bkey = i.bkey
+    GROUP BY i.doc_id
+    ORDER BY i.doc_id
+    """
+
+
+@query(
+    "streaming_band_index_screen",
+    oracle=_band_screen_oracle(),
+    tags=("streaming", "dedup", "minhash", "index", "scale"),
+)
+def streaming_band_index_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS-ingest near-dup screening against the PERSISTED band
+    index — the streaming twin of minhash_bucketed_index_dedup's daily
+    batch: incoming documents (a real file-source stream of the 50
+    near-dup variants) are MinHash-signed and banded per micro-batch
+    (pure narrow expressions — no model, no UDF), then stream-static
+    LEFT-joined to the stored bucketed index (spark.table; built once by
+    _ensure_band_index — the same artifact the batch path serves from),
+    and each incoming doc reports how many (band, base-doc) bucket hits
+    it has — 0 means provably-novel at the LSH design point, >0 routes
+    to the verify stage. The index side never recomputes signatures at
+    any micro-batch; state is one counting aggregate keyed by incoming
+    doc. Oracle: the identical batch join — streaming == batch is the
+    contract."""
+    import os as _os
+
+    from llm_data_pipeline_spark.operators.lsh import band_index_rows
+    from llm_data_pipeline_spark.functions.hashing import portable_hash60
+    from llm_data_pipeline_spark.operators.minhash import add_minhash
+    from llm_data_pipeline_spark.queries_dedup import (
+        VARIANT_OFFSET,
+        _augmented,
+        _ensure_band_index,
+    )
+    from llm_data_pipeline_spark.queries_sinks import SINK_BASE
+
+    t_index, _ = _ensure_band_index(spark, sf_dir)
+    sfx = f"{abs(hash(sf_dir)) % 10**8}_{_os.getpid()}"
+    inc_path = f"{SINK_BASE}/stream_inc_{sfx}"
+    if not _os.path.exists(_os.path.join(inc_path, "_SUCCESS")):
+        _os.makedirs(SINK_BASE, exist_ok=True)
+        _augmented(spark, sf_dir).where(
+            F.col("doc_id") >= VARIANT_OFFSET
+        ).coalesce(1).write.mode("overwrite").parquet(inc_path)
+    sdf = read_parquet_stream(spark, inc_path, ts_col=None)
+    # add_minhash with the portable hash family and NO staging checkpoint
+    # (localCheckpoint is a batch-only op): bit-identical signatures to
+    # add_minhash_md5 (its docstring contract), streaming-safe
+    inc_bands = band_index_rows(
+        add_minhash(sdf, hash_fn=portable_hash60), rows_per_band=8
+    ).select(
+        "bh", F.col("doc_id").alias("inc_doc")
+    )
+    hits = inc_bands.join(
+        spark.table(t_index).select("bh", "doc_id"), "bh", "left"
+    )
+    agg = hits.groupBy("inc_doc").agg(
+        F.count("doc_id").cast("long").alias("n_band_matches")
+    )
+    return (
+        run_to_memory(agg, mode="complete", state_partitions=4)
+        .select(F.col("inc_doc").alias("doc_id"), "n_band_matches")
+        .orderBy("doc_id")
+    )
