@@ -116,6 +116,83 @@ def hll_sketch(df: DataFrame, value: Column) -> DataFrame:
     return hll_registers_to_estimate(regs)
 
 
+def hll_params(m: int) -> dict:
+    """HLL constants for register count ``m`` (canonical Flajolet et al.
+    bias corrections: alpha_16 = 0.673, alpha_32 = 0.697, the
+    0.7213/(1 + 1.079/m) formula from 64 up — m=64 reproduces the module
+    defaults exactly). Integer micro-unit forms, SQL-replayable."""
+    if m == 16:
+        alpha = 0.673
+    elif m == 32:
+        alpha = 0.697
+    else:
+        alpha = 0.7213 / (1 + 1.079 / m)
+    am = round(alpha * 1_000_000)
+    return {
+        "m": m,
+        "alpha_micro": am,
+        "alpha_num": am * m * m * W_MOD,
+        "small_range_micro": int(2.5 * m) * 1_000_000,
+    }
+
+
+def hll_sketch_m(df: DataFrame, value: Column, m: int) -> DataFrame:
+    """:func:`hll_sketch` with a caller-chosen register count — the
+    accuracy/state knob (std error ~ 1.04/sqrt(m)): one row
+    (m, register_sum, zero_registers, est_micro). Same portable hash
+    family, same scaled-integer harmonic mean, same small-range switch;
+    every constant comes from :func:`hll_params` so the DuckDB oracle
+    replays any m bit-for-bit."""
+    p = hll_params(m)
+    h = portable_hash60(value)
+    hashed = df.select((h % m).alias("bucket"), h.alias("_h")).withColumn(
+        "w", F.expr(f"(_h div {m}) % {W_MOD}")
+    )
+    rho = F.when(F.col("w") == 0, F.lit(W_BITS + 1)).otherwise(
+        F.lit(W_BITS + 1) - F.length(F.bin(F.col("w")))
+    )
+    regs = (
+        hashed.select("bucket", rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    agg = regs.groupBy().agg(
+        (
+            F.coalesce(
+                F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {W_BITS} - rho)")),
+                F.lit(0),
+            )
+            + (F.lit(m) - F.count(F.lit(1)))
+            * F.lit(1 << W_BITS).cast("long")
+        )
+        .cast("long")
+        .alias("register_sum"),
+        (F.lit(m) - F.count(F.lit(1))).cast("long").alias("zero_registers"),
+    )
+    # alpha_num = alpha_micro * m^2 * 2^30 exceeds int64 from m=256 up
+    # (5.05e19) — the division runs in DECIMAL(38,0) (DuckDB: HUGEINT
+    # literal) and only the bounded QUOTIENT casts back to BIGINT
+    raw = F.expr(
+        f"CAST(CAST({p['alpha_num']} AS DECIMAL(38,0)) div register_sum"
+        " AS BIGINT)"
+    )
+    linear = F.round(
+        F.lit(float(m))
+        * F.log(F.lit(float(m)) / F.col("zero_registers"))
+        * 1e6
+    ).cast("long")
+    est = F.when(
+        (raw <= p["small_range_micro"]) & (F.col("zero_registers") > 0),
+        linear,
+    ).otherwise(raw)
+    return agg.select(
+        F.lit(m).cast("long").alias("m"),
+        "register_sum",
+        "zero_registers",
+        est.alias("est_micro"),
+    )
+
+
 # --- Count-Min frequency sketch ---------------------------------------------
 
 CM_D = 4

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from llm_data_pipeline_spark.functions.hashing import DUCKDB_HASH60, portable_hash60
-from llm_data_pipeline_spark.functions.intmath import rounded_div_sql
+from llm_data_pipeline_spark.functions.intmath import rounded_div_col, rounded_div_sql
 from llm_data_pipeline_spark.queries import query, table
 
 # ---------------------------------------------------------------------------
@@ -1987,4 +1987,103 @@ def dedup_source_crosstab(spark: SparkSession, sf_dir: str):
             "intra_source", F.col("source_a") == F.col("source_b")
         )
         .orderBy("source_a", "source_b")
+    )
+
+
+def _hll_sweep_oracle() -> str:
+    from llm_data_pipeline_spark.operators.sketches import (
+        W_BITS,
+        W_MOD,
+        hll_params,
+    )
+
+    h = DUCKDB_HASH60.format(s="user_id::VARCHAR")
+    chains = []
+    for m in (16, 64, 256):
+        p = hll_params(m)
+        chains.append(f"""
+    SELECT CAST({m} AS BIGINT) AS m, register_sum, zero_registers,
+           CAST(CASE WHEN {p['alpha_num']} // register_sum
+                          <= {p['small_range_micro']}
+                          AND zero_registers > 0
+                THEN CAST(round({m} * ln({m}.0 / zero_registers) * 1000000)
+                          AS BIGINT)
+                ELSE {p['alpha_num']} // register_sum END AS BIGINT)
+             AS est_micro
+    FROM (
+      SELECT CAST(sum(1::BIGINT << ({W_BITS} - r0)) AS BIGINT)
+               AS register_sum,
+             CAST(sum(CASE WHEN r0 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS zero_registers
+      FROM (
+        SELECT coalesce(r.rho, 0) AS r0
+        FROM (SELECT unnest(range({m})) AS bucket) s
+        LEFT JOIN (
+          SELECT bucket,
+                 max(CASE WHEN w = 0 THEN {W_BITS + 1}
+                     ELSE {W_BITS + 1} - length(bin(w)) END) AS rho
+          FROM (SELECT {h} % {m} AS bucket,
+                       ({h} // {m}) % {W_MOD} AS w FROM events) b
+          GROUP BY bucket
+        ) r ON r.bucket = s.bucket
+      )
+    )""")
+    union = "\n    UNION ALL\n".join(chains)
+    return f"""
+    WITH ests AS (
+    {union}
+    ),
+    e AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+          FROM events)
+    SELECT m, register_sum, zero_registers, est_micro, exact_distinct,
+           CAST((abs(est_micro - exact_distinct * 1000000)
+                 + exact_distinct // 2) // exact_distinct AS BIGINT)
+             AS abs_err_ppm
+    FROM ests, e
+    ORDER BY m
+    """
+
+
+@query(
+    "hll_precision_sweep",
+    oracle=_hll_sweep_oracle(),
+    tags=("corpus", "sketch", "approx", "distinct", "sweep"),
+)
+def hll_precision_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL accuracy/state knob MEASURED: distinct users estimated at
+    m = 16 / 64 / 256 registers against the exact count, absolute
+    relative error in exact ppm per m — the table a 100-TB deployment
+    reads to pick its register budget (std error ~1.04/sqrt(m): 26% at
+    m=16, 6.5% at m=256; state is m bytes-ish per group however many
+    billions of rows stream through). Each sketch is one m-bounded
+    groupBy (operators/sketches.py:hll_sketch_m — same portable hash,
+    scaled-integer harmonic mean, small-range switch as the graded m=64
+    sketch, constants from hll_params so every m replays bit-for-bit)."""
+    from llm_data_pipeline_spark.operators.sketches import hll_sketch_m
+
+    ev = table(spark, sf_dir, "events", scatter=True)
+    val = F.col("user_id").cast("string")
+    sk = None
+    for m in (16, 64, 256):
+        s = hll_sketch_m(ev, val, m)
+        sk = s if sk is None else sk.unionByName(s)
+    exact = ev.agg(
+        F.count_distinct("user_id").cast("long").alias("exact_distinct")
+    )
+    out = sk.crossJoin(F.broadcast(exact))
+    err = rounded_div_col(
+        F.abs(F.col("est_micro") - F.col("exact_distinct") * 1_000_000),
+        F.col("exact_distinct"),
+    )
+    return (
+        out.select(
+            "m",
+            "register_sum",
+            "zero_registers",
+            "est_micro",
+            "exact_distinct",
+            err.alias("abs_err_ppm"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("m")
     )

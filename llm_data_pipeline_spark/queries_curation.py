@@ -761,3 +761,104 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("kind", "split_a", "split_b")
     )
+
+
+_LDIV_L = 3  # required distinct sensitive values per released group
+
+
+@query(
+    "l_diversity_release",
+    oracle=f"""
+    WITH rows0 AS (
+      SELECT lang, source, n_chars // 100 AS len_bucket FROM documents
+    ),
+    g0 AS (
+      SELECT source, len_bucket, CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_sensitive
+      FROM rows0 GROUP BY 1, 2
+    ),
+    ok0 AS (SELECT source, len_bucket, n, n_sensitive, 0 AS level FROM g0
+            WHERE n >= {_KANON_K} AND n_sensitive >= {_LDIV_L}),
+    fail0 AS (SELECT source, len_bucket FROM g0
+              WHERE NOT (n >= {_KANON_K} AND n_sensitive >= {_LDIV_L})),
+    r1 AS (SELECT r.* FROM rows0 r SEMI JOIN fail0 f
+             ON r.source = f.source AND r.len_bucket = f.len_bucket),
+    g1 AS (SELECT source, CAST(-1 AS BIGINT) AS len_bucket,
+                  CAST(count(*) AS BIGINT) AS n,
+                  CAST(count(DISTINCT lang) AS BIGINT) AS n_sensitive
+           FROM r1 GROUP BY source),
+    ok1 AS (SELECT source, len_bucket, n, n_sensitive, 1 AS level FROM g1
+            WHERE n >= {_KANON_K} AND n_sensitive >= {_LDIV_L}),
+    fail1 AS (SELECT source FROM g1
+              WHERE NOT (n >= {_KANON_K} AND n_sensitive >= {_LDIV_L})),
+    r2 AS (SELECT r.* FROM r1 r SEMI JOIN fail1 f ON r.source = f.source),
+    g2 AS (SELECT '*' AS source, CAST(-1 AS BIGINT) AS len_bucket,
+                  CAST(count(*) AS BIGINT) AS n,
+                  CAST(count(DISTINCT lang) AS BIGINT) AS n_sensitive,
+                  2 AS level
+           FROM r2
+           HAVING count(*) >= {_KANON_K}
+              AND count(DISTINCT lang) >= {_LDIV_L})
+    SELECT source, len_bucket, n, n_sensitive, CAST(level AS INT) AS level
+    FROM (SELECT * FROM ok0 UNION ALL SELECT * FROM ok1
+          UNION ALL SELECT * FROM g2)
+    ORDER BY level, source, len_bucket
+    """,
+    tags=("curation", "governance", "privacy"),
+)
+def l_diversity_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity on top of k-anonymity (k=5, l=3): a released
+    quasi-identifier group (source, 100-char length bucket) must hold
+    >= k rows AND >= l distinct values of the SENSITIVE attribute (lang)
+    — k-anonymity alone still leaks the sensitive value when a group is
+    homogeneous (the classic homogeneity attack). Failing groups
+    generalize the length bucket away (level 1 = per-source), then the
+    catch-all (level 2) — which is itself SUPPRESSED if it still fails,
+    never released under-diverse. Each ladder step re-aggregates only the
+    failing slice via a semi-join; the distinct-count per group is the
+    only non-summable piece, which is why the ladder re-reads rows
+    instead of rolling counts up."""
+    base = table(spark, sf_dir, "documents").select(
+        "lang", "source", F.expr("n_chars div 100").alias("len_bucket")
+    )
+
+    def agg(df, keys, bucket_lit=None):
+        g = df.groupBy(*keys).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.countDistinct("lang").cast("long").alias("n_sensitive"),
+        )
+        if bucket_lit is not None:
+            g = g.withColumn("len_bucket", F.lit(bucket_lit).cast("long"))
+        return g
+
+    passing = (F.col("n") >= _KANON_K) & (F.col("n_sensitive") >= _LDIV_L)
+    g0 = agg(base, ["source", "len_bucket"])
+    ok0 = g0.where(passing).withColumn("level", F.lit(0))
+    fail0 = g0.where(~passing).select("source", "len_bucket")
+    r1 = base.join(fail0, ["source", "len_bucket"], "left_semi")
+    g1 = agg(r1, ["source"], bucket_lit=-1)
+    ok1 = g1.where(passing).withColumn("level", F.lit(1))
+    fail1 = g1.where(~passing).select("source")
+    r2 = r1.join(fail1, ["source"], "left_semi")
+    g2 = (
+        agg(r2.withColumn("source", F.lit("*")), ["source"], bucket_lit=-1)
+        .where(passing)
+        .withColumn("level", F.lit(2))
+    )
+    cols = ["source", "len_bucket", "n", "n_sensitive", "level"]
+    out = (
+        ok0.select(*cols)
+        .unionByName(ok1.select(*cols))
+        .unionByName(g2.select(*cols))
+    )
+    return (
+        out.select(
+            "source",
+            F.col("len_bucket").cast("long").alias("len_bucket"),
+            "n",
+            "n_sensitive",
+            F.col("level").cast("int").alias("level"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("level", "source", "len_bucket")
+    )

@@ -539,3 +539,84 @@ def length_bucketed_batching(spark: SparkSession, sf_dir: str):
         .coalesce(1)
         .sortWithinPartitions("bucket_width", "batch_idx")
     )
+
+
+_N_EPOCHS = 3
+
+
+@query(
+    "epoch_shuffle_plan",
+    oracle=f"""
+    WITH d AS (SELECT doc_id FROM documents),
+    k AS (
+      SELECT doc_id, e AS epoch,
+             {DUCKDB_HASH60.format(s="doc_id::VARCHAR || ':' || e::VARCHAR")} AS k
+      FROM d, unnest(range({_N_EPOCHS})) t(e)
+    ),
+    r AS (
+      SELECT epoch, doc_id,
+             row_number() OVER (PARTITION BY epoch ORDER BY k, doc_id) AS rank
+      FROM k
+    ),
+    r0 AS (SELECT doc_id, rank AS rank0 FROM r WHERE epoch = 0)
+    SELECT CAST(r.epoch AS BIGINT) AS epoch,
+           CAST(sum(r.rank * r.doc_id) AS BIGINT) AS order_checksum,
+           CAST(sum(abs(r.rank - r0.rank0)) AS BIGINT) AS footrule_vs_epoch0,
+           CAST(min_by(r.doc_id, r.rank) AS BIGINT) AS first_doc_id
+    FROM r JOIN r0 USING (doc_id)
+    GROUP BY r.epoch ORDER BY epoch
+    """,
+    tags=("trainprep", "shuffle", "epochs"),
+)
+def epoch_shuffle_plan(spark: SparkSession, sf_dir: str):
+    """Deterministic per-epoch global shuffle plan — multi-epoch training
+    must visit the corpus in a DIFFERENT order each epoch (same-order
+    epochs correlate gradient noise) while staying reproducible and
+    cheap: order key = portable_hash(doc_id ':' epoch), so any worker can
+    recompute its slice without a stored permutation. Graded per epoch by
+    the full permutation's checksum (sum rank*doc_id — order-sensitive),
+    the Spearman footrule displacement vs epoch 0 (0 for epoch 0, large
+    for the rest — the 'orders actually differ' fact), and the stream
+    head. At 100 TB the rank window becomes sortWithinPartitions over
+    range-sharded output files (range_partitioned_shards); the hash-key
+    construction — the part that must be deterministic — is identical."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.range(_N_EPOCHS).select(F.col("id").alias("epoch"))
+    keyed = docs.crossJoin(epochs).withColumn(
+        "k",
+        portable_hash60(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.col("epoch").cast("string"),
+            )
+        ),
+    )
+    w = Window.partitionBy("epoch").orderBy("k", "doc_id")
+    ranked = keyed.select(
+        "epoch", "doc_id", F.row_number().over(w).alias("rank")
+    )
+    r0 = ranked.where(F.col("epoch") == 0).select(
+        "doc_id", F.col("rank").alias("rank0")
+    )
+    return (
+        ranked.join(r0, "doc_id")
+        .groupBy("epoch")
+        .agg(
+            F.sum(F.col("rank") * F.col("doc_id"))
+            .cast("long")
+            .alias("order_checksum"),
+            F.sum(F.abs(F.col("rank") - F.col("rank0")))
+            .cast("long")
+            .alias("footrule_vs_epoch0"),
+            F.min_by("doc_id", "rank").cast("long").alias("first_doc_id"),
+        )
+        .select(
+            F.col("epoch").cast("long").alias("epoch"),
+            "order_checksum",
+            "footrule_vs_epoch0",
+            "first_doc_id",
+        )
+        .coalesce(1)
+        .sortWithinPartitions("epoch")
+    )
