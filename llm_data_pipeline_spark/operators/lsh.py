@@ -621,6 +621,11 @@ def update_component_index(
     base pairs must NOT be regenerated, that is the point).
     ``new_ids``: the increment's ids (isolated new docs still need a
     singleton row). Returns the refreshed full map (doc_id, component).
+
+    Reference parity: the component/canonical semantics being maintained
+    are the reference's driver-side union-find labels
+    (dedup/dedup.py:103-130); this operator keeps those labels stable
+    under daily growth without the reference's full re-run.
     """
     star = old_map.where(F.col(id_col) != F.col("component")).select(
         F.col(id_col).alias("u"), F.col("component").alias("v")

@@ -718,3 +718,40 @@ def test_band_index_build_matches_serve_index(spark, sf_dir):
     k = next(iter(built))
     band_id, digest = k.split(":", 1)
     assert band_id.isdigit() and len(digest) == 32
+
+
+def test_update_component_index_matches_full_recompute(spark):
+    """Star-edge incremental map maintenance == full CC over all edges,
+    including label equality (min-id labels survive merging), isolated
+    new docs, and old components merged BY a new doc."""
+    from llm_data_pipeline_spark.operators.lsh import (
+        connected_components,
+        update_component_index,
+    )
+
+    # old graph: {1,2} and {3,4} connected, 5 singleton
+    old_edges = spark.createDataFrame([(1, 2), (3, 4)], "u long, v long")
+    old_ids = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 5)], "doc_id long")
+    old_map = (
+        old_ids.join(connected_components(old_edges), "doc_id", "left")
+        .selectExpr("doc_id", "coalesce(component, doc_id) AS component")
+    )
+    # increment: 10 bridges the two old components; 11 joins 5; 12 isolated
+    new_edges = spark.createDataFrame(
+        [(2, 10), (10, 3), (5, 11)], "u long, v long"
+    )
+    new_ids = spark.createDataFrame([(i,) for i in (10, 11, 12)], "doc_id long")
+    got = {
+        r["doc_id"]: r["component"]
+        for r in update_component_index(old_map, new_edges, new_ids).collect()
+    }
+    full = spark.createDataFrame(
+        [(1, 2), (3, 4), (2, 10), (10, 3), (5, 11)], "u long, v long"
+    )
+    want = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(full).collect()
+    }
+    want.setdefault(12, 12)
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 1, 5: 5, 11: 5, 12: 12}
+    assert got == want
