@@ -2087,3 +2087,114 @@ def hll_precision_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .sortWithinPartitions("m")
     )
+
+
+def _dataset_card_oracle() -> str:
+    from llm_data_pipeline_spark.queries_text import (
+        _H_COLS,
+        _QUALITY_SCORE,
+        RAW,
+        TOKS,
+    )
+
+    return f"""
+    WITH b0 AS (
+      SELECT doc_id, source, lang, n_chars, {RAW} AS raw, {TOKS} AS toks
+      FROM documents
+    ),
+    f0 AS (
+      SELECT doc_id, source, lang, n_chars, raw, len(toks) AS n_tok,
+             {_H_COLS}
+      FROM b0
+    ),
+    pd AS (
+      SELECT source, doc_id, lang, n_chars, n_tok,
+             md5(raw) AS digest,
+             CAST(round(({_QUALITY_SCORE}) * 1000000) AS BIGINT) AS q_mu
+      FROM f0
+    ),
+    tot AS (SELECT count(*) AS total_docs FROM documents)
+    SELECT pd.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(count(DISTINCT digest) AS BIGINT) AS n_unique_texts,
+           CAST(((count(*) - count(DISTINCT digest)) * 1000000
+                 + count(*) // 2) // count(*) AS BIGINT) AS exact_dup_ppm,
+           {rounded_div_sql('sum(q_mu)', 'count(*)')} AS mean_quality_micro,
+           CAST((count(*) * 1000000 + total_docs // 2) // total_docs
+                AS BIGINT) AS corpus_share_ppm
+    FROM pd, tot
+    GROUP BY pd.source, tot.total_docs
+    ORDER BY pd.source
+    """
+
+
+@query(
+    "dataset_card_per_source",
+    oracle=_dataset_card_oracle(),
+    tags=("corpus", "governance", "audit", "datasheet"),
+)
+def dataset_card_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source DATASHEET — the one-page card every released corpus
+    ships with (Datasheets for Datasets shape): per source, document and
+    token mass, language spread, exact-duplicate rate (1 - distinct
+    digests / docs, exact ppm), mean composite quality (micro-units,
+    imported from the text_quality_scores formula so the card can never
+    drift from the graded scorer), and corpus share. ONE wide pass: every
+    per-doc feature is a narrow projection over the scan; the card
+    aggregate groups by source (few keys) plus one 1-row total broadcast
+    back — at 100 TB this costs a single corpus scan."""
+    from llm_data_pipeline_spark.functions.analysis import with_quality_score
+    from llm_data_pipeline_spark.functions.text import norm_ws
+
+    docs = table(spark, sf_dir, "documents", scatter=True)
+    toks = F.filter(
+        F.split(norm_ws(F.col("text")), " "), lambda x: x != ""
+    )
+    pd_ = with_quality_score(docs).select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(toks).alias("n_tok"),
+        F.md5(F.coalesce("text", F.lit(""))).alias("digest"),
+        F.round(F.col("quality_score") * 1_000_000, 0)
+        .cast("long")
+        .alias("q_mu"),
+    )
+    tot = docs.agg(F.count(F.lit(1)).cast("long").alias("total_docs"))
+    card = (
+        pd_.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.countDistinct("digest").cast("long").alias("n_unique_texts"),
+            F.sum("q_mu").cast("long").alias("_q_sum"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    return (
+        card.select(
+            "source",
+            "n_docs",
+            "total_chars",
+            "total_tokens",
+            "n_langs",
+            "n_unique_texts",
+            rounded_div_col(
+                (F.col("n_docs") - F.col("n_unique_texts")) * 1_000_000,
+                F.col("n_docs"),
+            ).alias("exact_dup_ppm"),
+            rounded_div_col(F.col("_q_sum"), F.col("n_docs")).alias(
+                "mean_quality_micro"
+            ),
+            rounded_div_col(
+                F.col("n_docs") * 1_000_000, F.col("total_docs")
+            ).alias("corpus_share_ppm"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("source")
+    )

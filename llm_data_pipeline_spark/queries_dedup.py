@@ -2570,3 +2570,99 @@ def component_index_incremental(spark: SparkSession, sf_dir: str):
         .coalesce(1)
         .sortWithinPartitions("doc_id")
     )
+
+
+_OPTOUT_SOURCE = "src0"
+
+
+@query(
+    "source_optout_propagation",
+    oracle=f"""
+    WITH RECURSIVE {AUG_SQL.strip()},
+    {SHINGLE_SQL.strip()},
+    edges AS (SELECT u, v FROM jac WHERE jaccard >= 0.5),
+    sym AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+    walk(id, comp) AS (
+      SELECT DISTINCT u, u FROM sym
+      UNION
+      SELECT s.v, w.comp FROM walk w JOIN sym s ON s.u = w.id
+    ),
+    comps AS (SELECT id AS doc_id, min(comp) AS component FROM walk GROUP BY id),
+    srcmap AS (
+      SELECT a.doc_id, d.source
+      FROM aug a JOIN documents d
+        ON d.doc_id = CASE WHEN a.doc_id >= {VARIANT_OFFSET}
+                           THEN a.doc_id - {VARIANT_OFFSET}
+                           ELSE a.doc_id END
+    ),
+    req AS (SELECT doc_id FROM srcmap WHERE source = '{_OPTOUT_SOURCE}'),
+    hit_comps AS (
+      SELECT DISTINCT c.component FROM comps c SEMI JOIN req r
+        ON c.doc_id = r.doc_id
+    ),
+    cluster_deletes AS (
+      SELECT c.doc_id FROM comps c SEMI JOIN hit_comps h
+        ON c.component = h.component
+    ),
+    all_deletes AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_id FROM cluster_deletes
+        UNION ALL
+        SELECT doc_id FROM req
+      )
+    )
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id IN (SELECT doc_id FROM req)
+                THEN 'opted_out_source' ELSE 'near_dup_of_opted_out'
+           END AS reason
+    FROM all_deletes d
+    ORDER BY d.doc_id
+    """,
+    tags=("dedup", "governance", "optout", "index"),
+)
+def source_optout_propagation(spark: SparkSession, sf_dir: str):
+    """Publisher/source OPT-OUT enforcement with near-dup propagation —
+    the robots-style governance case: when a whole source opts out,
+    removing only its rows still leaves mirrors and re-crawls of the same
+    content ingested from OTHER sources, so the opt-out set expands
+    through the near-dup component graph exactly like a takedown. Serves
+    from the SAME persisted component map as takedown_indexed
+    (_ensure_component_index — one nightly artifact, every governance
+    consumer reads it); the only extra work is the source lookup (variant
+    docs inherit their parent's source). Labels opted_out_source vs
+    near_dup_of_opted_out; all expansion is semi-joins, never a driver
+    list."""
+    aug_ids = _augmented(spark, sf_dir).select("doc_id")
+    docs = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("_pid"), "source"
+    )
+    parent = F.when(
+        F.col("doc_id") >= VARIANT_OFFSET, F.col("doc_id") - VARIANT_OFFSET
+    ).otherwise(F.col("doc_id"))
+    srcmap = aug_ids.withColumn("_parent", parent).join(
+        F.broadcast(docs), F.col("_parent") == F.col("_pid")
+    )
+    req = srcmap.where(F.col("source") == _OPTOUT_SOURCE).select("doc_id")
+    comps = spark.read.parquet(_ensure_component_index(spark, sf_dir))
+    hit_comps = (
+        comps.join(req, "doc_id", "left_semi").select("component").distinct()
+    )
+    cluster_deletes = comps.join(
+        F.broadcast(hit_comps), "component", "left_semi"
+    ).select("doc_id")
+    all_deletes = cluster_deletes.unionByName(req).distinct()
+    return (
+        all_deletes.join(
+            req.select(F.col("doc_id").alias("_r")),
+            F.col("doc_id") == F.col("_r"),
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.when(F.col("_r").isNotNull(), F.lit("opted_out_source"))
+            .otherwise(F.lit("near_dup_of_opted_out"))
+            .alias("reason"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("doc_id")
+    )

@@ -2023,3 +2023,114 @@ def pq_reconstruction_error(spark: SparkSession, sf_dir: str):
         .coalesce(1)
         .sortWithinPartitions("m")
     )
+
+
+_IVF_INC_OFFSET = 10_000
+
+
+@query(
+    "embedding_ivf_index_append",
+    oracle=f"""
+    WITH eb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings),
+    einc AS (
+      SELECT vec_id + {_IVF_INC_OFFSET} AS vec_id,
+             list_concat(v[2:64], v[1:1]) AS v
+      FROM eb
+    ),
+    e AS (SELECT * FROM eb UNION ALL SELECT * FROM einc),
+    {_IVF_CB_SQL.strip()},
+    assign AS (
+      SELECT vec_id, list_id FROM (
+        SELECT e.vec_id, c.list_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos_sql('e.v', 'c.cvec')} DESC,
+                                           c.list_id) AS rn
+        FROM e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+    probes AS (
+      SELECT query_id, list_id FROM (
+        SELECT q.query_id, c.list_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {cos_sql('q.qv', 'c.cvec')} DESC,
+                                           c.list_id) AS rn
+        FROM q CROSS JOIN cents c
+      ) WHERE rn <= 4
+    ),
+    cands AS (
+      SELECT p.query_id, a.vec_id, {cos_sql('q.qv', 'e.v')} AS score
+      FROM probes p
+      JOIN q ON q.query_id = p.query_id
+      JOIN assign a ON a.list_id = p.list_id
+      JOIN e ON e.vec_id = a.vec_id
+      WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, vec_id, score, rank FROM (
+      SELECT query_id, vec_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, vec_id) AS rank
+      FROM cands
+    ) WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+    tags=("similarity", "ann", "ivf", "index", "incremental", "scale"),
+)
+def embedding_ivf_index_append(spark: SparkSession, sf_dir: str):
+    """Daily MAINTENANCE of the persisted IVF index — the ANN lifecycle's
+    third leg (build: _ensure_ivf_index; serve: embedding_ivf_indexed_topk;
+    refresh: here): a deterministic increment (rotated copies, distinct
+    content with the same norms) is assigned to lists with the SAME
+    committed centroids — per-vector independent, a pure narrow map over
+    the increment only — and UNIONED with the stored assignment table;
+    serving over the merged index must equal a from-scratch build over
+    base ∪ increment, which is exactly what the oracle replays (full
+    assignment + probe + rank over the union). The base corpus is never
+    re-assigned; at 100 TB the append is an increment-sized write into
+    the bucketed layout. Centroid DRIFT between retrains is the monitored
+    tradeoff — pq_reconstruction_error is the leading indicator that
+    triggers the rebuild."""
+    from llm_data_pipeline_spark.operators.similarity import (
+        _best_lists,
+        ivf_indexed_topk,
+    )
+
+    emb = table(spark, sf_dir, "embeddings", scatter=True)
+    inc = emb.select(
+        (F.col("vec_id") + _IVF_INC_OFFSET).alias("vec_id"),
+        F.concat(
+            F.slice("embedding", 2, 63), F.slice("embedding", 1, 1)
+        ).alias("embedding"),
+    )
+    books = _ann_books(emb)
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(books["ivf"])],
+        "list_id long, cvec array<double>",
+    )
+    t = _ensure_ivf_index(spark, sf_dir, books)
+    inc_assigned = inc.join(
+        _best_lists(inc, cents, "vec_id", "embedding", 1), "vec_id"
+    ).select("list_id", "vec_id", "embedding")
+    merged = spark.table(t).select(
+        "list_id", "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).unionByName(
+        inc_assigned.select(
+            "list_id", "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+    )
+    full = emb.select("vec_id", "embedding").unionByName(
+        inc.select("vec_id", "embedding")
+    )
+    queries = full.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return (
+        ivf_indexed_topk(
+            merged, queries, cents, k=10,
+            n_probe=books["geo"]["n_probe_flat"],
+        )
+        .select("query_id", "vec_id", "score", "rank")
+        .orderBy("query_id", "rank")
+    )

@@ -637,3 +637,80 @@ def streaming_band_index_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("inc_doc").alias("doc_id"), "n_band_matches")
         .orderBy("doc_id")
     )
+
+
+def _streaming_takedown_oracle() -> str:
+    from llm_data_pipeline_spark.queries_dedup import (
+        _TAKEDOWN_IDS,
+        AUG_SQL,
+        SHINGLE_SQL,
+    )
+
+    return f"""
+    WITH RECURSIVE {AUG_SQL.strip()},
+    {SHINGLE_SQL.strip()},
+    edges AS (SELECT u, v FROM jac WHERE jaccard >= 0.5),
+    sym AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+    walk(id, comp) AS (
+      SELECT DISTINCT u, u FROM sym
+      UNION
+      SELECT s.v, w.comp FROM walk w JOIN sym s ON s.u = w.id
+    ),
+    comps AS (SELECT id AS doc_id, min(comp) AS component FROM walk GROUP BY id),
+    req AS (SELECT unnest([{", ".join(str(i) for i in _TAKEDOWN_IDS)}])
+              AS req_doc_id)
+    SELECT r.req_doc_id, m.doc_id AS member_doc_id
+    FROM req r
+    JOIN comps c ON c.doc_id = r.req_doc_id
+    JOIN comps m ON m.component = c.component
+    ORDER BY req_doc_id, member_doc_id
+    """
+
+
+@query(
+    "streaming_takedown_feed",
+    oracle=_streaming_takedown_oracle(),
+    tags=("streaming", "governance", "takedown", "index"),
+)
+def streaming_takedown_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Takedown requests as a CONTINUOUS feed — the deployment shape of
+    governance at 100 TB (requests arrive all day; deletions must ship in
+    the next release, not the next batch job): a real file-source stream
+    of request ids is expanded per micro-batch through TWO stream-static
+    joins against the persisted component map (_ensure_component_index —
+    the same artifact takedown_indexed and source_optout_propagation
+    read): request -> its component -> every member. Both joins are
+    stateless (static side broadcast-able), output is append-mode
+    (request, member) pairs — no shuffle state accumulates however long
+    the feed runs. Oracle: the identical batch expansion."""
+    import os as _os
+
+    from llm_data_pipeline_spark.queries_dedup import (
+        _TAKEDOWN_IDS,
+        _ensure_component_index,
+    )
+    from llm_data_pipeline_spark.queries_sinks import SINK_BASE
+
+    comps_path = _ensure_component_index(spark, sf_dir)
+    sfx = f"{abs(hash(sf_dir)) % 10**8}_{_os.getpid()}"
+    req_path = f"{SINK_BASE}/stream_takedown_req_{sfx}"
+    if not _os.path.exists(_os.path.join(req_path, "_SUCCESS")):
+        _os.makedirs(SINK_BASE, exist_ok=True)
+        spark.createDataFrame(
+            [(i,) for i in _TAKEDOWN_IDS], "req_doc_id long"
+        ).coalesce(1).write.mode("overwrite").parquet(req_path)
+    sreq = read_parquet_stream(spark, req_path, ts_col=None)
+    comps = spark.read.parquet(comps_path)
+    hit = sreq.join(
+        comps.select(
+            F.col("doc_id").alias("req_doc_id"), "component"
+        ),
+        "req_doc_id",
+    )
+    members = hit.join(
+        comps.select("component", F.col("doc_id").alias("member_doc_id")),
+        "component",
+    ).select("req_doc_id", "member_doc_id")
+    return run_to_memory(members, mode="append").orderBy(
+        "req_doc_id", "member_doc_id"
+    )
