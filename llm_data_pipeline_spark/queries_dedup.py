@@ -2666,3 +2666,183 @@ def source_optout_propagation(spark: SparkSession, sf_dir: str):
         .coalesce(1)
         .sortWithinPartitions("doc_id")
     )
+
+
+_CASCADE_EXACT_OFFSET = 200_000
+
+
+@query(
+    "dedup_cascade_funnel",
+    oracle=f"""
+    WITH RECURSIVE corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {VARIANT_OFFSET} AS doc_id,
+             array_to_string(list_slice(toks, 3, len(toks)), ' ') AS text
+      FROM (
+        SELECT doc_id,
+               list_filter(string_split(trim(regexp_replace(lower(coalesce(text,'')),
+                           '\\s+', ' ', 'g')), ' '), x -> x <> '') AS toks
+        FROM documents WHERE doc_id < 50
+      )
+      UNION ALL
+      SELECT doc_id + {_CASCADE_EXACT_OFFSET} AS doc_id, text
+      FROM documents WHERE doc_id >= 50 AND doc_id < 80
+    ),
+    keepers AS (
+      SELECT min(doc_id) AS doc_id
+      FROM (SELECT doc_id,
+                   md5(trim(regexp_replace(lower(coalesce(text,'')),
+                       '\\s+', ' ', 'g'))) AS k
+            FROM corpus)
+      GROUP BY k
+    ),
+    aug AS (
+      SELECT c.doc_id, c.text FROM corpus c SEMI JOIN keepers k
+        ON c.doc_id = k.doc_id
+    ),
+    {SHINGLE_SQL.strip()},
+    edges AS (SELECT u, v FROM jac WHERE jaccard >= 0.5),
+    sym AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+    walk(id, comp) AS (
+      SELECT DISTINCT u, u FROM sym
+      UNION
+      SELECT s.v, w.comp FROM walk w JOIN sym s ON s.u = w.id
+    ),
+    comps AS (SELECT id AS doc_id, min(comp) AS component FROM walk GROUP BY id),
+    members AS (
+      SELECT c.doc_id, c.component, length(a.text) AS length
+      FROM comps c JOIN aug a ON a.doc_id = c.doc_id
+    ),
+    canon AS (
+      SELECT component, doc_id AS canonical_doc_id
+      FROM (
+        SELECT component, doc_id,
+               row_number() OVER (PARTITION BY component
+                                  ORDER BY length DESC, doc_id DESC) AS rk
+        FROM members
+      ) WHERE rk = 1
+    ),
+    fuzzy_removed AS (
+      SELECT m.doc_id FROM members m
+      JOIN canon c ON c.component = m.component
+       AND m.doc_id <> c.canonical_doc_id
+    ),
+    n0 AS (SELECT count(*) AS n FROM corpus),
+    n1 AS (SELECT count(*) AS n FROM aug),
+    n2 AS (SELECT count(*) AS n FROM fuzzy_removed)
+    SELECT stage, n_in, n_removed, n_in - n_removed AS n_out,
+           CAST((n_removed * 1000000 + n_in // 2) // n_in AS BIGINT)
+             AS removal_ppm
+    FROM (
+      SELECT 1 AS ord, 'stage1_exact' AS stage,
+             CAST(n0.n AS BIGINT) AS n_in,
+             CAST(n0.n - n1.n AS BIGINT) AS n_removed
+      FROM n0, n1
+      UNION ALL
+      SELECT 2, 'stage2_fuzzy', CAST(n1.n AS BIGINT),
+             CAST(n2.n AS BIGINT)
+      FROM n1, n2
+      UNION ALL
+      SELECT 3, 'total', CAST(n0.n AS BIGINT),
+             CAST((n0.n - n1.n) + n2.n AS BIGINT)
+      FROM n0, n1, n2
+    ) ORDER BY ord
+    """,
+    tags=("dedup", "cascade", "funnel", "audit"),
+)
+def dedup_cascade_funnel(spark: SparkSession, sf_dir: str):
+    """The production dedup CASCADE, cheapest stage first, with per-stage
+    retention graded: exact digest dedup (one groupBy on a 16-byte key —
+    pennies per row) runs BEFORE fuzzy MinHash/Jaccard dedup (shingling +
+    banding — 10-100x the per-row cost), so the expensive stage only sees
+    exact-survivors. The fixture plants both classes (30 byte-identical
+    re-ingests + 50 near-dup variants); the funnel reports n_in /
+    n_removed / n_out / removal_ppm per stage and in total — the
+    ordering-justification artifact every 100-TB dedup pipeline keeps
+    (run the stages in the other order and the fuzzy stage pays for the
+    exact dups too). Exact stage: keep min doc_id per normalized digest;
+    fuzzy stage: the fuzzy_dedup_kept chain (trigram Jaccard >= 0.5,
+    components, (length desc, doc_id desc) canonical)."""
+    from llm_data_pipeline_spark.functions.text import norm_ws
+
+    docs = table(spark, sf_dir, "documents", scatter=True).select(
+        "doc_id", "text"
+    )
+    corpus = _augmented(spark, sf_dir, scatter=True).unionByName(
+        docs.where((F.col("doc_id") >= 50) & (F.col("doc_id") < 80)).select(
+            (F.col("doc_id") + _CASCADE_EXACT_OFFSET).alias("doc_id"), "text"
+        )
+    )
+    keyed = corpus.withColumn("_k", F.md5(norm_ws(F.col("text"))))
+    keepers = keyed.groupBy("_k").agg(F.min("doc_id").alias("doc_id"))
+    survivors = corpus.join(
+        keepers.select("doc_id"), "doc_id", "left_semi"
+    ).localCheckpoint(eager=False)
+    edges = ngram_jaccard_pairs(survivors, threshold=0.5, n=3).select(
+        "u", "v"
+    )
+    comps = connected_components(edges)
+    members = comps.join(survivors, "doc_id").select(
+        "doc_id", "component", F.length("text").alias("length")
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("length"), F.desc("doc_id")
+    )
+    canon = (
+        members.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("component", F.col("doc_id").alias("canonical_doc_id"))
+    )
+    fuzzy_removed = (
+        members.join(canon, "component")
+        .where(F.col("doc_id") != F.col("canonical_doc_id"))
+        .select("doc_id")
+    )
+    n0 = corpus.agg(F.count(F.lit(1)).cast("long").alias("n0"))
+    n1 = survivors.agg(F.count(F.lit(1)).cast("long").alias("n1"))
+    n2 = fuzzy_removed.agg(F.count(F.lit(1)).cast("long").alias("n2"))
+    from llm_data_pipeline_spark.functions.intmath import rounded_div_col
+
+    base = n0.crossJoin(n1).crossJoin(n2)
+    rows = (
+        base.select(
+            F.lit(1).alias("_ord"),
+            F.lit("stage1_exact").alias("stage"),
+            F.col("n0").alias("n_in"),
+            (F.col("n0") - F.col("n1")).alias("n_removed"),
+        )
+        .unionByName(
+            base.select(
+                F.lit(2).alias("_ord"),
+                F.lit("stage2_fuzzy").alias("stage"),
+                F.col("n1").alias("n_in"),
+                F.col("n2").alias("n_removed"),
+            )
+        )
+        .unionByName(
+            base.select(
+                F.lit(3).alias("_ord"),
+                F.lit("total").alias("stage"),
+                F.col("n0").alias("n_in"),
+                (F.col("n0") - F.col("n1") + F.col("n2")).alias("n_removed"),
+            )
+        )
+    )
+    return (
+        rows.select(
+            "stage",
+            F.col("n_in").cast("long").alias("n_in"),
+            F.col("n_removed").cast("long").alias("n_removed"),
+            (F.col("n_in") - F.col("n_removed"))
+            .cast("long")
+            .alias("n_out"),
+            rounded_div_col(
+                F.col("n_removed") * 1_000_000, F.col("n_in")
+            ).alias("removal_ppm"),
+            F.col("_ord"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("_ord")
+        .drop("_ord")
+    )
