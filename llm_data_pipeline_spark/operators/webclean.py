@@ -295,3 +295,27 @@ def html_text_extract(html: Column) -> Column:
     for ent, rep in HTML_ENTITIES:
         t = F.replace(t, F.lit(ent), F.lit(rep))
     return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+_ROBOTS_NAME_FIRST = (
+    "(?i)<meta[^>]*name\\s*=\\s*[\"']robots[\"']"
+    "[^>]*content\\s*=\\s*[\"']([^\"']*)[\"']"
+)
+_ROBOTS_CONTENT_FIRST = (
+    "(?i)<meta[^>]*content\\s*=\\s*[\"']([^\"']*)[\"']"
+    "[^>]*name\\s*=\\s*[\"']robots[\"']"
+)
+
+
+def html_meta_robots(html: Column) -> Column:
+    """Contents of ``<meta name="robots" content="...">`` lowercased
+    ('' when absent). RE2-safe (no lookaround, so the oracle replays it):
+    attribute order is handled by TWO alternative patterns — name-first
+    and content-first — instead of a lookahead."""
+    first = F.nullif(
+        F.regexp_extract(html, _ROBOTS_NAME_FIRST, 1), F.lit("")
+    )
+    second = F.nullif(
+        F.regexp_extract(html, _ROBOTS_CONTENT_FIRST, 1), F.lit("")
+    )
+    return F.lower(F.coalesce(first, second, F.lit("")))

@@ -384,10 +384,10 @@ def _qcls_err_sql(m: str, y: str) -> str:
     )
 
 
-def _qcls_oracle(iters: int = _QCLS_ITERS) -> str:
-    """Unroll the full GD trajectory as CTE chains — the oracle replays
-    every weight of every iteration exactly (integer updates, algebraic
-    sigmoid), not just the final scores."""
+def _qcls_ctes(iters: int = _QCLS_ITERS) -> list[str]:
+    """The unrolled GD-trajectory CTE chain ending at ``mf(doc_id, m)``
+    (final per-doc margins) — shared by the train-and-score query and the
+    classifier-AUC audit."""
     ctes = [
         """toked AS (
       SELECT doc_id,
@@ -447,9 +447,16 @@ def _qcls_oracle(iters: int = _QCLS_ITERS) -> str:
       FROM dc f JOIN w{iters} w USING (bucket) GROUP BY 1
     )"""
     )
+    return ctes
+
+
+def _qcls_oracle(iters: int = _QCLS_ITERS) -> str:
+    """Unroll the full GD trajectory as CTE chains — the oracle replays
+    every weight of every iteration exactly (integer updates, algebraic
+    sigmoid), not just the final scores."""
     return (
         "WITH "
-        + ",\n    ".join(ctes)
+        + ",\n    ".join(_qcls_ctes(iters))
         + """
     SELECT d.source,
            CAST(count(*) AS BIGINT) AS n_docs,
@@ -2197,4 +2204,232 @@ def dataset_card_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .coalesce(1)
         .sortWithinPartitions("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private histogram release (geometric mechanism)
+# ---------------------------------------------------------------------------
+
+_DP_EPS_MICRO = 1_000_000  # epsilon = 1.0, sensitivity 1 (add/remove a doc)
+_DP_TRUNC = 8  # noise support [-8, 8]; P(|K|>8) ~ 1.8e-4 at eps=1
+_DP_SCALE = 1 << 30
+
+
+def _dp_thresholds() -> list[int]:
+    """Inverse-CDF breakpoints of the TRUNCATED two-sided geometric
+    distribution (alpha = e^-eps), scaled to [0, 2^30) and embedded as
+    integer literals in BOTH engines' expressions — the noise draw is a
+    pure integer comparison ladder, so no transcendental function ever
+    evaluates at query time (cross-engine exp/ln last-ULP drift cannot
+    flip a noise value). Computed once here from the same floats for both
+    sides; the table, not the math library, is the contract."""
+    import math
+
+    alpha = math.exp(-_DP_EPS_MICRO / 1_000_000)
+    ks = list(range(-_DP_TRUNC, _DP_TRUNC + 1))
+    weights = [alpha ** abs(k) for k in ks]
+    total = sum(weights)
+    cum = 0.0
+    out = []
+    for w in weights:
+        cum += w / total
+        out.append(min(int(round(cum * _DP_SCALE)), _DP_SCALE))
+    out[-1] = _DP_SCALE  # exact top
+    return out
+
+
+_DP_T = _dp_thresholds()
+_DP_HASH_SQL = DUCKDB_HASH60.format(s="('dp-v1:' || lang || '|' || source)")
+
+
+def _dp_noise_sql(u: str) -> str:
+    branches = "\n             ".join(
+        f"WHEN {u} < {t} THEN {k}"
+        for k, t in zip(range(-_DP_TRUNC, _DP_TRUNC), _DP_T[:-1])
+    )
+    return f"CASE {branches}\n             ELSE {_DP_TRUNC} END"
+
+
+@query(
+    "dp_noised_histogram",
+    oracle=f"""
+    WITH g AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1, 2
+    ),
+    noised AS (
+      SELECT lang, source, n,
+             ({_DP_HASH_SQL} % {_DP_SCALE}) AS u
+      FROM g
+    )
+    SELECT lang, source,
+           CAST(greatest(n + ({_dp_noise_sql("u")}), 0) AS BIGINT)
+             AS released_n_docs,
+           CAST({_DP_EPS_MICRO} AS BIGINT) AS eps_micro,
+           CAST({_DP_TRUNC} AS INT) AS trunc_k
+    FROM noised
+    ORDER BY lang, source
+    """,
+    tags=("corpus", "governance", "privacy", "dp"),
+)
+def dp_noised_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epsilon-differentially-private release of the (lang, source) doc
+    histogram via the geometric mechanism (Ghosh-Roughgarden-Sundararajan
+    2009 — the discrete, utility-optimal Laplace analog; eps=1,
+    sensitivity 1, support truncated at +-8 which costs ~2e-4 of the mass
+    and is the standard bounded-noise deployment form). The noise draw is
+    deterministic-by-seed: a portable-hash uniform in [0, 2^30) walked
+    through the inverse-CDF breakpoint ladder embedded as integer
+    literals (see _dp_thresholds — no exp/ln at query time), released
+    counts clamped at 0. Only the noised count is emitted — the true
+    count never leaves the aggregation, which is the whole point; the
+    oracle replays the identical mechanism. Shape at 100 TB: one groupBy
+    over the corpus, noise a per-group narrow map — the mechanism cost is
+    O(released cells), not O(rows)."""
+    g = (
+        table(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    u = portable_hash60(
+        F.concat(F.lit("dp-v1:"), F.col("lang"), F.lit("|"), F.col("source"))
+    ) % F.lit(_DP_SCALE)
+    noise = None
+    for k, t in zip(range(-_DP_TRUNC, _DP_TRUNC), _DP_T[:-1]):
+        cond = u < F.lit(t)
+        noise = (
+            F.when(cond, F.lit(k)) if noise is None else noise.when(cond, F.lit(k))
+        )
+    noise = noise.otherwise(F.lit(_DP_TRUNC))
+    return (
+        g.select(
+            "lang",
+            "source",
+            F.greatest(F.col("n") + noise.cast("long"), F.lit(0).cast("long"))
+            .cast("long")
+            .alias("released_n_docs"),
+            F.lit(_DP_EPS_MICRO).cast("long").alias("eps_micro"),
+            F.lit(_DP_TRUNC).cast("int").alias("trunc_k"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("lang", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Classifier eval: exact ROC-AUC via the rank-sum (Mann-Whitney) identity
+# ---------------------------------------------------------------------------
+
+
+def _qcls_auc_oracle() -> str:
+    auc = rounded_div_sql("(u2x * 1000000)", "(2 * n_pos * n_neg)")
+    return (
+        "WITH "
+        + ",\n    ".join(_qcls_ctes())
+        + f""",
+    sc AS (
+      SELECT l.doc_id, coalesce(mf.m, 0) AS s, l.y
+      FROM lab l LEFT JOIN mf ON mf.doc_id = l.doc_id
+    ),
+    g AS (
+      SELECT s, CAST(sum(y) AS BIGINT) AS pos_c,
+             CAST(sum(1 - y) AS BIGINT) AS neg_c
+      FROM sc GROUP BY s
+    ),
+    c AS (
+      SELECT s, pos_c, neg_c,
+             CAST(coalesce(sum(neg_c) OVER (ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS neg_below
+      FROM g
+    ),
+    u AS (
+      SELECT CAST(sum(pos_c * (2 * neg_below + neg_c)) AS BIGINT) AS u2x,
+             CAST(sum(pos_c) AS BIGINT) AS n_pos,
+             CAST(sum(neg_c) AS BIGINT) AS n_neg
+      FROM c
+    )
+    SELECT n_pos, n_neg, u2x, CAST({auc} AS BIGINT) AS auc_ppm
+    FROM u
+    """
+    )
+
+
+@query(
+    "quality_classifier_auc",
+    oracle=_qcls_auc_oracle(),
+    tags=("corpus", "quality", "classifier", "eval"),
+)
+def quality_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the in-engine trained LR quality classifier
+    against its training labels, by the rank-sum identity — AUC =
+    P(score_pos > score_neg) + P(tie)/2 = U/(n_pos*n_neg) — computed
+    distributed without ever materializing the O(n_pos*n_neg) pair set:
+    group scores to (score, pos_c, neg_c), one cumulative window over the
+    DISTINCT-SCORE table for negatives-below, then
+    u2x = sum(pos_c * (2*neg_below + neg_c)) counts every pair twice so
+    ties stay integral (no 0.5 ever touches the value; auc_ppm by rounded
+    integer division at the end). The oracle replays the ENTIRE chain —
+    the classifier's 3-iteration GD trajectory (shared _qcls_ctes) AND
+    the rank-sum — so the AUC number itself is hash-checked, the
+    eval-side twin of the hash-checked recall numbers in the ANN family.
+    At 100 TB the window runs over the distinct-margin table (bounded by
+    score resolution, not corpus rows); a range-partitioned two-pass
+    prefix sum is the drop-in if that table ever outgrows one executor
+    (same note as token_vocab_coverage_curve)."""
+    from llm_data_pipeline_spark.operators.lr_quality import (
+        quality_classifier_scores,
+        train_quality_classifier,
+    )
+
+    docs = table(spark, sf_dir, "documents", scatter=True).select(
+        "doc_id", "text", "source"
+    )
+    labeled = docs.withColumn(
+        "y", F.col("source").isin(*_QCLS_TARGETS).cast("int")
+    )
+    w = train_quality_classifier(
+        labeled, label_col="y", n_buckets=_QCLS_BUCKETS,
+        salt=_QCLS_SALT, iters=_QCLS_ITERS,
+    )
+    scored = quality_classifier_scores(
+        docs, w, n_buckets=_QCLS_BUCKETS, salt=_QCLS_SALT
+    ).select("doc_id", F.coalesce(F.col("score_micro"), F.lit(0)).alias("s"))
+    sc = labeled.select("doc_id", "y").join(scored, "doc_id", "left").select(
+        F.coalesce(F.col("s"), F.lit(0).cast("long")).alias("s"), "y"
+    )
+    g = sc.groupBy("s").agg(
+        F.sum("y").cast("long").alias("pos_c"),
+        F.sum(1 - F.col("y")).cast("long").alias("neg_c"),
+    )
+    wname = (
+        Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = g.select(
+        "pos_c",
+        "neg_c",
+        F.coalesce(F.sum("neg_c").over(wname), F.lit(0).cast("long")).alias(
+            "neg_below"
+        ),
+    )
+    u = c.agg(
+        F.sum(
+            F.col("pos_c") * (2 * F.col("neg_below") + F.col("neg_c"))
+        )
+        .cast("long")
+        .alias("u2x"),
+        F.sum("pos_c").cast("long").alias("n_pos"),
+        F.sum("neg_c").cast("long").alias("n_neg"),
+    )
+    return u.select(
+        "n_pos",
+        "n_neg",
+        "u2x",
+        rounded_div_col(
+            F.col("u2x") * F.lit(1_000_000),
+            2 * F.col("n_pos") * F.col("n_neg"),
+        )
+        .cast("long")
+        .alias("auc_ppm"),
     )

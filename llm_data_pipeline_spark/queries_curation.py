@@ -862,3 +862,147 @@ def l_diversity_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .sortWithinPartitions("level", "source", "len_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Priority sampling: weighted sample + unbiased subset-sum estimator
+# ---------------------------------------------------------------------------
+
+_PRIO_K = 50
+_PRIO_SCALE = 1 << 30  # uniform granularity: u = h / 2^30, h in [1, 2^30]
+_PRIO_HASH_SQL = DUCKDB_HASH60.format(s="(doc_id::VARCHAR || ':prio-v1')")
+
+
+def _prio_oracle() -> str:
+    from llm_data_pipeline_spark.functions.intmath import rounded_div_sql
+
+    err = rounded_div_sql(
+        "((e.est_total - o.exact_total) * 1000000)", "o.exact_total"
+    )
+    return f"""
+    WITH w AS (
+      SELECT doc_id, greatest(n_chars, 1) AS w_chars,
+             ({_PRIO_HASH_SQL} % {_PRIO_SCALE}) + 1 AS h
+      FROM documents
+    ),
+    q AS (SELECT doc_id, w_chars, (w_chars * {_PRIO_SCALE}) // h AS q FROM w),
+    r AS (
+      SELECT doc_id, w_chars, q,
+             row_number() OVER (ORDER BY q DESC, doc_id DESC) AS rank
+      FROM q
+    ),
+    tau AS (SELECT q AS tau FROM r WHERE rank = {_PRIO_K + 1}),
+    tot AS (SELECT CAST(sum(greatest(n_chars, 1)) AS BIGINT) AS exact_total
+            FROM documents),
+    samp AS (
+      SELECT r.rank, r.doc_id, r.w_chars, r.q, t.tau,
+             greatest(r.w_chars, t.tau) AS est_w
+      FROM r, tau t WHERE r.rank <= {_PRIO_K}
+    ),
+    est AS (SELECT CAST(sum(est_w) AS BIGINT) AS est_total FROM samp)
+    SELECT CAST(s.rank AS BIGINT) AS rank, s.doc_id,
+           CAST(s.w_chars AS BIGINT) AS w_chars,
+           CAST(s.q AS BIGINT) AS q,
+           CAST(s.tau AS BIGINT) AS tau,
+           CAST(s.est_w AS BIGINT) AS est_w,
+           e.est_total, o.exact_total,
+           CAST({err} AS BIGINT) AS err_ppm
+    FROM samp s, est e, tot o
+    ORDER BY rank
+    """
+
+
+@query(
+    "priority_weighted_sample",
+    oracle=_prio_oracle(),
+    tags=("curation", "sampling", "sketch"),
+)
+def priority_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (Duffield-Lund-Thorup 2007): a weight-proportional
+    sample WITHOUT replacement of k docs plus the unbiased Horvitz-
+    Thompson subset-sum estimator, all in exact integer arithmetic.
+    Priority q_i = floor(w_i * 2^30 / h_i) = floor(w_i / u_i) with
+    u_i = h_i/2^30 the portable-hash uniform — the classic float
+    formulation (w/u, or the Efraimidis-Spirakis u^(1/w) key) needs ln/pow
+    whose last-ULP behavior differs across engines, so the integer form IS
+    the operator, not an approximation of it. Take the k+1 largest
+    priorities (TakeOrderedAndProject — per-partition top-k then merge,
+    never a global sort), tau = the (k+1)-th, estimate
+    w_hat_i = max(w_i, tau): E[sum w_hat] = total weight exactly, so the
+    emitted err_ppm is the realized estimator error the audit watches.
+    At 100 TB this is THE eval-subset builder: length-weighted doc samples
+    whose token mass extrapolates unbiasedly to the corpus, k driver rows.
+    Weights here = doc char length (floor 1 so zero-length docs stay
+    sampleable)."""
+    from llm_data_pipeline_spark.functions.hashing import portable_hash60
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.greatest(F.col("n_chars"), F.lit(1)).alias("w_chars")
+    )
+    h = (
+        portable_hash60(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":prio-v1"))
+        )
+        % F.lit(_PRIO_SCALE)
+    ) + F.lit(1)
+    pri = docs.select(
+        "doc_id",
+        "w_chars",
+        (F.col("w_chars") * F.lit(_PRIO_SCALE)).alias("_scaled"),
+        h.alias("h"),
+    ).select(
+        "doc_id",
+        "w_chars",
+        F.expr("_scaled div h").cast("long").alias("q"),
+    )
+    # top-(k+1) by (q desc, doc_id desc): TakeOrderedAndProject, then the
+    # (k+2)-row frame is driver-tiny — single-partition window is exact.
+    topk1 = pri.orderBy(F.desc("q"), F.desc("doc_id")).limit(_PRIO_K + 1)
+    wname = Window.orderBy(F.desc("q"), F.desc("doc_id"))
+    ranked = topk1.select(
+        F.row_number().over(wname).alias("rank"), "doc_id", "w_chars", "q"
+    )
+    tau = ranked.where(F.col("rank") == _PRIO_K + 1).select(
+        F.col("q").alias("tau")
+    )
+    samp = (
+        ranked.where(F.col("rank") <= _PRIO_K)
+        .crossJoin(F.broadcast(tau))
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            "doc_id",
+            F.col("w_chars").cast("long").alias("w_chars"),
+            F.col("q").cast("long").alias("q"),
+            F.col("tau").cast("long").alias("tau"),
+            F.greatest("w_chars", "tau").cast("long").alias("est_w"),
+        )
+    )
+    tot = table(spark, sf_dir, "documents").agg(
+        F.sum(F.greatest(F.col("n_chars"), F.lit(1)))
+        .cast("long")
+        .alias("exact_total")
+    )
+    est = samp.agg(F.sum("est_w").cast("long").alias("est_total"))
+    from llm_data_pipeline_spark.functions.intmath import rounded_div_col
+
+    return (
+        samp.crossJoin(F.broadcast(est))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "rank",
+            "doc_id",
+            "w_chars",
+            "q",
+            "tau",
+            "est_w",
+            "est_total",
+            "exact_total",
+            rounded_div_col(
+                (F.col("est_total") - F.col("exact_total")) * F.lit(1_000_000),
+                F.col("exact_total"),
+            )
+            .cast("long")
+            .alias("err_ppm"),
+        )
+        .orderBy("rank")
+    )

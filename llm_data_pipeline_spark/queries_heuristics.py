@@ -207,7 +207,9 @@ _G_ELLIPSIS_MAX = 300_000  # Gopher: <=30% ellipsis-ending lines
 _G_ALPHA_RE = "[A-Za-z一-鿿]"
 
 
-def _gopher_oracle() -> str:
+def _gopher_ctes() -> str:
+    """The t/sig/feat CTE chain of the Gopher oracle, shared by the
+    per-doc filter query and the scorer-agreement audit."""
     bullet_num = (
         "(len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*\u2022]')))"
         " * 1000000)"
@@ -221,8 +223,7 @@ def _gopher_oracle() -> str:
     rd_sym = rounded_div_sql("(symbols * 1000000)", "greatest(n_words, 1)")
     rd_bullet = rounded_div_sql(bullet_num, "greatest(len(lines), 1)")
     rd_ell = rounded_div_sql(ell_num, "greatest(len(lines), 1)")
-    return f"""
-    WITH t AS (
+    return f"""t AS (
       SELECT doc_id, coalesce(text, '') AS raw, {_NORM_TOKS} AS toks
       FROM documents
     ),
@@ -252,16 +253,24 @@ def _gopher_oracle() -> str:
              CAST({rd_bullet} AS BIGINT) AS bullet_line_ppm,
              CAST({rd_ell} AS BIGINT) AS ellipsis_line_ppm
       FROM sig
-    )
-    SELECT doc_id, n_words, mean_word_chars_mu, alpha_word_ppm,
-           symbol_word_ppm, stop_hits, bullet_line_ppm, ellipsis_line_ppm,
-           CAST(CASE WHEN n_words BETWEEN {_G_MIN_WORDS} AND {_G_MAX_WORDS}
+    )"""
+
+
+_GOPHER_KEEP_COND_SQL = f"""n_words BETWEEN {_G_MIN_WORDS} AND {_G_MAX_WORDS}
                       AND mean_word_chars_mu BETWEEN {_G_MEANLEN_LO} AND {_G_MEANLEN_HI}
                       AND alpha_word_ppm >= {_G_ALPHA_MIN}
                       AND symbol_word_ppm <= {_G_SYMBOL_MAX}
                       AND stop_hits >= {_G_STOP_MIN}
                       AND bullet_line_ppm <= {_G_BULLET_MAX}
-                      AND ellipsis_line_ppm <= {_G_ELLIPSIS_MAX}
+                      AND ellipsis_line_ppm <= {_G_ELLIPSIS_MAX}"""
+
+
+def _gopher_oracle() -> str:
+    return f"""
+    WITH {_gopher_ctes()}
+    SELECT doc_id, n_words, mean_word_chars_mu, alpha_word_ppm,
+           symbol_word_ppm, stop_hits, bullet_line_ppm, ellipsis_line_ppm,
+           CAST(CASE WHEN {_GOPHER_KEEP_COND_SQL}
                 THEN 1 ELSE 0 END AS INT) AS keep
     FROM feat ORDER BY doc_id
     """
@@ -280,6 +289,12 @@ def gopher_doc_quality_filter(spark: SparkSession, sf_dir: str):
     via rounded division, the whole cascade inside the scan stage.
     Constants are Gopher's except the stopword cut (corpus-calibrated,
     documented above)."""
+    return _gopher_judged(spark, sf_dir).orderBy("doc_id")
+
+
+def _gopher_judged(spark: SparkSession, sf_dir: str):
+    """Per-doc Gopher signals + keep flag (shared with the scorer-
+    agreement audit; no ordering applied)."""
     from llm_data_pipeline_spark.functions.intmath import rounded_div_col
 
     docs = table(spark, sf_dir, "documents", scatter=True)
@@ -364,4 +379,111 @@ def gopher_doc_quality_filter(spark: SparkSession, sf_dir: str):
         & (F.col("bullet_line_ppm") <= _G_BULLET_MAX)
         & (F.col("ellipsis_line_ppm") <= _G_ELLIPSIS_MAX)
     )
-    return feat.withColumn("keep", keep.cast("int")).orderBy("doc_id")
+    return feat.withColumn("keep", keep.cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# Inter-judge agreement: heuristic quality keep vs Gopher keep
+# ---------------------------------------------------------------------------
+
+
+def _kappa_oracle() -> str:
+    from llm_data_pipeline_spark.queries_text import (
+        TEXT_BASE_SQL,
+        _LANG_SCORE,
+        _lang_case,
+    )
+
+    pe_raw = "((a + b) * (a + c) + (c + d) * (b + d))"
+    po_ppm = rounded_div_sql("((a + d) * 1000000)", "n")
+    pe_ppm = rounded_div_sql(f"({pe_raw} * 1000000)", "(n * n)")
+    kappa = rounded_div_sql(
+        f"((n * (a + d) - {pe_raw}) * 1000000)", f"(n * n - {pe_raw})"
+    )
+    return f"""
+    WITH {_gopher_ctes()},
+    gk AS (
+      SELECT doc_id,
+             CASE WHEN {_GOPHER_KEEP_COND_SQL} THEN 1 ELSE 0 END AS g
+      FROM feat
+    ),
+    {TEXT_BASE_SQL.strip().replace("base AS", "hbase AS").replace("feat AS", "hfeat AS").replace("FROM base", "FROM hbase")},
+    hk AS (
+      SELECT doc_id,
+             CASE WHEN ({_lang_case()}) IN ('zh', 'en')
+                   AND ({_LANG_SCORE}) >= 0.4 THEN 1 ELSE 0 END AS h
+      FROM hfeat
+    ),
+    cm AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(h * g) AS BIGINT) AS a,
+             CAST(sum(h * (1 - g)) AS BIGINT) AS b,
+             CAST(sum((1 - h) * g) AS BIGINT) AS c,
+             CAST(sum((1 - h) * (1 - g)) AS BIGINT) AS d
+      FROM hk JOIN gk USING (doc_id)
+    )
+    SELECT n, a AS both_keep, b AS heur_only, c AS gopher_only,
+           d AS both_drop,
+           CAST({po_ppm} AS BIGINT) AS po_ppm,
+           CAST({pe_ppm} AS BIGINT) AS pe_ppm,
+           CAST({kappa} AS BIGINT) AS kappa_ppm
+    FROM cm
+    """
+
+
+@query(
+    "scorer_agreement_kappa",
+    oracle=_kappa_oracle(),
+    tags=("heuristics", "quality", "agreement", "governance"),
+)
+def scorer_agreement_kappa(spark: SparkSession, sf_dir: str):
+    """Cohen's kappa between the pipeline's two independent rule judges —
+    the language-heuristic quality keep (lang in {zh,en} and
+    lang_score >= 0.4, the graded quality_keep_decision predicate) and
+    the Gopher document filter (the graded gopher_doc_quality_filter
+    predicate) — chance-corrected, in exact integer ppm (the raw kappa
+    algebra cleared of divisions: kappa = (n*(a+d) - pe_raw) /
+    (n^2 - pe_raw)). This is the calibration table a curation run reads
+    before composing filters: kappa near 1 means the second filter is
+    redundant, near 0 means it cuts an independent dimension, negative
+    means the judges systematically disagree. Both judges are imported
+    from their graded queries, so the audit can never drift from what
+    actually ships. One corpus scan per judge, a doc_id equi-join, a
+    1-row aggregate — nothing collected."""
+    from llm_data_pipeline_spark.functions.intmath import rounded_div_col
+    from llm_data_pipeline_spark.operators.quality import run_quality
+
+    docs = table(spark, sf_dir, "documents", scatter=True)
+    hk = run_quality(docs).select(
+        "doc_id", F.col("quality_keep").cast("int").alias("h")
+    )
+    gk = _gopher_judged(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("g")
+    )
+    cm = hk.join(gk, "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("h") * F.col("g")).cast("long").alias("a"),
+        F.sum(F.col("h") * (1 - F.col("g"))).cast("long").alias("b"),
+        F.sum((1 - F.col("h")) * F.col("g")).cast("long").alias("c"),
+        F.sum((1 - F.col("h")) * (1 - F.col("g"))).cast("long").alias("d"),
+    )
+    pe_raw = (F.col("a") + F.col("b")) * (F.col("a") + F.col("c")) + (
+        F.col("c") + F.col("d")
+    ) * (F.col("b") + F.col("d"))
+    return cm.select(
+        "n",
+        F.col("a").alias("both_keep"),
+        F.col("b").alias("heur_only"),
+        F.col("c").alias("gopher_only"),
+        F.col("d").alias("both_drop"),
+        rounded_div_col(
+            (F.col("a") + F.col("d")) * F.lit(1_000_000), F.col("n")
+        ).alias("po_ppm"),
+        rounded_div_col(pe_raw * F.lit(1_000_000), F.col("n") * F.col("n")).alias(
+            "pe_ppm"
+        ),
+        rounded_div_col(
+            (F.col("n") * (F.col("a") + F.col("d")) - pe_raw) * F.lit(1_000_000),
+            F.col("n") * F.col("n") - pe_raw,
+        ).alias("kappa_ppm"),
+    )

@@ -620,3 +620,123 @@ def epoch_shuffle_plan(spark: SparkSession, sf_dir: str):
         .coalesce(1)
         .sortWithinPartitions("epoch")
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-upsampling epoch plan (FineWeb/DeepSeek-style repeat manifest)
+# ---------------------------------------------------------------------------
+
+_UPS_BUDGET_TOKENS = 1_000_000  # global token budget the sampler scales into
+
+
+def _upsample_oracle() -> str:
+    from llm_data_pipeline_spark.functions.intmath import rounded_div_sql
+    from llm_data_pipeline_spark.queries_text import (
+        TEXT_BASE_SQL,
+        _QUALITY_SCORE,
+    )
+
+    scale = rounded_div_sql(
+        f"({_UPS_BUDGET_TOKENS}::BIGINT * 1000000)", "t.total_upsampled"
+    )
+    return f"""
+    WITH {TEXT_BASE_SQL.strip()},
+    q AS (
+      SELECT doc_id, n_tok,
+             least(CAST(floor(({_QUALITY_SCORE}) * 10) AS INT), 9) AS decile
+      FROM feat
+    ),
+    e AS (
+      SELECT decile, n_tok,
+             CASE WHEN decile >= 9 THEN 4 WHEN decile = 8 THEN 3
+                  WHEN decile = 7 THEN 2 ELSE 1 END AS epochs
+      FROM q
+    ),
+    g AS (
+      SELECT decile, CAST(epochs AS INT) AS epochs,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS base_tokens,
+             CAST(sum(n_tok) * epochs AS BIGINT) AS upsampled_tokens
+      FROM e GROUP BY decile, epochs
+    ),
+    t AS (SELECT CAST(sum(upsampled_tokens) AS BIGINT) AS total_upsampled
+          FROM g)
+    SELECT g.decile, g.epochs, g.n_docs, g.base_tokens, g.upsampled_tokens,
+           t.total_upsampled,
+           CAST(least(1000000, {scale}) AS BIGINT) AS budget_scale_ppm
+    FROM g, t
+    ORDER BY g.decile
+    """
+
+
+@query(
+    "quality_upsample_epochs",
+    oracle=_upsample_oracle(),
+    tags=("trainprep", "sampling", "quality", "mixing"),
+)
+def quality_upsample_epochs(spark: SparkSession, sf_dir: str):
+    """The epoch-upsampling manifest modern pretraining mixes run on
+    (FineWeb-Edu / DeepSeek recipe: repeat the highest-quality strata up
+    to 4 epochs, everything else once): per quality-score decile, doc and
+    token mass, the repeat factor (9th decile x4, 8th x3, 7th x2, else
+    x1), the upsampled token mass, and the uniform budget_scale_ppm a
+    sampler multiplies every stratum by so the plan lands exactly on the
+    global token budget (scale is capped at 1.0 — the plan never
+    up-scales beyond the policy). Quality score and decile are imported
+    from the graded scorer (queries_text._QUALITY_SCORE / the same
+    with_quality_score operator), so the plan can never drift from the
+    scorer it claims to stratify. One corpus scan, one 10-row groupBy —
+    at 100 TB the plan is a dashboard artifact, the sampler applies it
+    as a broadcast map."""
+    from llm_data_pipeline_spark.functions.analysis import tokens, with_quality_score
+    from llm_data_pipeline_spark.functions.intmath import rounded_div_col
+
+    docs = table(spark, sf_dir, "documents", scatter=True)
+    scored = with_quality_score(docs).select(
+        "doc_id",
+        F.size(tokens(F.coalesce(F.col("text"), F.lit("")))).cast("long")
+        .alias("n_tok"),
+        F.least(
+            F.floor(F.col("quality_score") * 10).cast("int"), F.lit(9)
+        ).alias("decile"),
+    )
+    e = scored.withColumn(
+        "epochs",
+        F.when(F.col("decile") >= 9, 4)
+        .when(F.col("decile") == 8, 3)
+        .when(F.col("decile") == 7, 2)
+        .otherwise(1)
+        .cast("int"),
+    )
+    g = e.groupBy("decile", "epochs").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("base_tokens"),
+        (F.sum("n_tok") * F.first("epochs")).cast("long").alias(
+            "upsampled_tokens"
+        ),
+    )
+    t = g.agg(
+        F.sum("upsampled_tokens").cast("long").alias("total_upsampled")
+    )
+    return (
+        g.crossJoin(F.broadcast(t))
+        .select(
+            "decile",
+            "epochs",
+            "n_docs",
+            "base_tokens",
+            "upsampled_tokens",
+            "total_upsampled",
+            F.least(
+                F.lit(1_000_000).cast("long"),
+                rounded_div_col(
+                    F.lit(_UPS_BUDGET_TOKENS * 1_000_000).cast("long"),
+                    F.col("total_upsampled"),
+                ),
+            )
+            .cast("long")
+            .alias("budget_scale_ppm"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("decile")
+    )

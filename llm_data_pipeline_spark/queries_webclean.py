@@ -889,3 +889,116 @@ def html_text_extraction(spark: SparkSession, sf_dir: str):
         html_title(F.col("html")).alias("title"),
         html_text_extract(F.col("html")).alias("text"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Robots-meta compliance (noindex/nofollow opt-out at crawl ingest)
+# ---------------------------------------------------------------------------
+
+_RB_NAME_FIRST_SQL = (
+    "(?i)<meta[^>]*name\\s*=\\s*[\"'']robots[\"'']"
+    "[^>]*content\\s*=\\s*[\"'']([^\"'']*)[\"'']"
+)
+_RB_CONTENT_FIRST_SQL = (
+    "(?i)<meta[^>]*content\\s*=\\s*[\"'']([^\"'']*)[\"'']"
+    "[^>]*name\\s*=\\s*[\"'']robots[\"'']"
+)
+
+# doc_id % 5 -> planted meta tag (attribute order, case, and absence all
+# exercised; 2 of 5 classes are noindex and must be dropped)
+_RB_META_SQL = """CASE doc_id % 5
+        WHEN 0 THEN '<meta name="robots" content="noindex, nofollow">'
+        WHEN 1 THEN '<meta name="robots" content="nofollow">'
+        WHEN 2 THEN '<meta content="NOINDEX" name="robots">'
+        WHEN 3 THEN ''
+        ELSE '<meta name="robots" content="index, follow">' END"""
+
+
+@query(
+    "html_meta_robots_filter",
+    oracle=f"""
+    WITH pages AS (
+      SELECT doc_id,
+             '<html><head>' || {_RB_META_SQL} ||
+             '<title>d</title></head><body><p>' ||
+             substr(coalesce(text, ''), 1, 40) || '</p></body></html>'
+               AS html
+      FROM documents
+    ),
+    ext AS (
+      SELECT doc_id,
+             lower(coalesce(
+               nullif(regexp_extract(html, '{_RB_NAME_FIRST_SQL}', 1), ''),
+               nullif(regexp_extract(html, '{_RB_CONTENT_FIRST_SQL}', 1), ''),
+               '')) AS robots_directive
+      FROM pages
+    )
+    SELECT doc_id, robots_directive,
+           CAST(CASE WHEN robots_directive LIKE '%noindex%'
+                THEN 1 ELSE 0 END AS INT) AS noindex,
+           CAST(CASE WHEN robots_directive LIKE '%nofollow%'
+                THEN 1 ELSE 0 END AS INT) AS nofollow,
+           CAST(CASE WHEN robots_directive LIKE '%noindex%'
+                THEN 0 ELSE 1 END AS INT) AS kept
+    FROM ext
+    ORDER BY doc_id
+    """,
+    tags=("webclean", "html", "governance", "ingest"),
+)
+def html_meta_robots_filter(spark: SparkSession, sf_dir: str):
+    """Robots-meta opt-out compliance at crawl ingest — the page-level
+    half of publisher consent (source_optout_propagation carries the
+    domain level): extract ``<meta name=robots>`` from raw HTML
+    (operators/webclean.py:html_meta_robots — RE2-safe dual-pattern
+    extraction, so attribute order and case both resolve without
+    lookaround) and drop noindex pages BEFORE they enter the corpus,
+    which is when compliance is cheap (after training it's a takedown).
+    The fixture plants all five classes — name-first, content-first,
+    uppercase, absent, index-allow — so both patterns, the lowercasing,
+    and the absent default are each load-bearing. Zero-shuffle narrow
+    map over the scan."""
+    from llm_data_pipeline_spark.operators.webclean import html_meta_robots
+
+    docs = table(spark, sf_dir, "documents", scatter=True)
+    meta = (
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.lit('<meta name="robots" content="noindex, nofollow">'),
+        )
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.lit('<meta name="robots" content="nofollow">'),
+        )
+        .when(
+            F.col("doc_id") % 5 == 2,
+            F.lit('<meta content="NOINDEX" name="robots">'),
+        )
+        .when(F.col("doc_id") % 5 == 3, F.lit(""))
+        .otherwise(F.lit('<meta name="robots" content="index, follow">'))
+    )
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head>"),
+            meta,
+            F.lit("<title>d</title></head><body><p>"),
+            F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 40),
+            F.lit("</p></body></html>"),
+        ).alias("html"),
+    )
+    ext = pages.select(
+        "doc_id", html_meta_robots(F.col("html")).alias("robots_directive")
+    )
+    return ext.select(
+        "doc_id",
+        "robots_directive",
+        F.col("robots_directive").contains("noindex").cast("int").alias(
+            "noindex"
+        ),
+        F.col("robots_directive").contains("nofollow").cast("int").alias(
+            "nofollow"
+        ),
+        (~F.col("robots_directive").contains("noindex")).cast("int").alias(
+            "kept"
+        ),
+    ).orderBy("doc_id")
