@@ -2433,3 +2433,259 @@ def quality_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("auc_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Classifier eval: reliability (calibration) table in exact integer ppm
+# ---------------------------------------------------------------------------
+
+
+def _qcls_calibration_oracle() -> str:
+    # p = 0.5 + (m/1e6) / (2*(1 + |m|/1e6))  ->  ppm: 500000 + m*500000/(1e6+|m|)
+    p_ppm = (
+        "500000 + "
+        + rounded_div_sql("(s.m * 500000)", "(1000000 + abs(s.m))")
+    )
+    mean_pred = rounded_div_sql("sum(p_ppm)", "count(*)")
+    emp_pos = rounded_div_sql("(sum(y) * 1000000)", "count(*)")
+    return (
+        "WITH "
+        + ",\n    ".join(_qcls_ctes())
+        + f""",
+    sc AS (
+      SELECT l.doc_id, coalesce(mf.m, 0) AS m, l.y
+      FROM lab l LEFT JOIN mf ON mf.doc_id = l.doc_id
+    ),
+    p AS (
+      SELECT CAST({p_ppm.replace('s.m', 'sc.m')} AS BIGINT) AS p_ppm, y
+      FROM sc
+    ),
+    b AS (
+      SELECT least(greatest(p_ppm, 0) // 100000, 9) AS bin, p_ppm, y FROM p
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST({mean_pred} AS BIGINT) AS mean_pred_ppm,
+           CAST({emp_pos} AS BIGINT) AS emp_pos_ppm,
+           CAST(({mean_pred}) - ({emp_pos}) AS BIGINT) AS gap_ppm
+    FROM b GROUP BY bin ORDER BY bin
+    """
+    )
+
+
+@query(
+    "quality_classifier_calibration",
+    oracle=_qcls_calibration_oracle(),
+    tags=("corpus", "quality", "classifier", "eval"),
+)
+def quality_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table of the trained LR quality classifier — per
+    predicted-probability decile, mean predicted probability vs the
+    empirical positive rate, all exact integer ppm (predicted p uses the
+    classifier's own algebraic sigmoid cleared of divisions:
+    p_ppm = 500000 + m*500000/(1e6+|m|), rounded integer division). The
+    companion to quality_classifier_auc: AUC says the RANKING works,
+    calibration says the SCORES can be thresholded as probabilities —
+    the number that decides whether "keep if p > 0.8" means what the
+    config thinks it means. The oracle replays the GD trajectory, the
+    sigmoid, the binning and both per-bin means. One corpus scan on top
+    of training, a 10-row groupBy."""
+    from llm_data_pipeline_spark.operators.lr_quality import (
+        quality_classifier_scores,
+        train_quality_classifier,
+    )
+
+    docs = table(spark, sf_dir, "documents", scatter=True).select(
+        "doc_id", "text", "source"
+    )
+    labeled = docs.withColumn(
+        "y", F.col("source").isin(*_QCLS_TARGETS).cast("int")
+    )
+    w = train_quality_classifier(
+        labeled, label_col="y", n_buckets=_QCLS_BUCKETS,
+        salt=_QCLS_SALT, iters=_QCLS_ITERS,
+    )
+    scored = quality_classifier_scores(
+        docs, w, n_buckets=_QCLS_BUCKETS, salt=_QCLS_SALT
+    ).select("doc_id", F.coalesce(F.col("score_micro"), F.lit(0)).alias("m"))
+    sc = labeled.select("doc_id", "y").join(scored, "doc_id", "left").select(
+        F.coalesce(F.col("m"), F.lit(0).cast("long")).alias("m"), "y"
+    )
+    p = sc.select(
+        (
+            F.lit(500_000).cast("long")
+            + rounded_div_col(
+                F.col("m") * F.lit(500_000),
+                F.lit(1_000_000).cast("long") + F.abs(F.col("m")),
+            )
+        ).alias("p_ppm"),
+        "y",
+    )
+    b = p.select(
+        F.least(
+            F.expr("greatest(p_ppm, 0) div 100000").cast("long"), F.lit(9).cast("long")
+        ).alias("bin"),
+        "p_ppm",
+        "y",
+    )
+    g = b.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        rounded_div_col(F.sum("p_ppm"), F.count(F.lit(1))).alias(
+            "mean_pred_ppm"
+        ),
+        rounded_div_col(
+            F.sum("y") * F.lit(1_000_000), F.count(F.lit(1))
+        ).alias("emp_pos_ppm"),
+    )
+    return (
+        g.select(
+            "bin",
+            "n_docs",
+            F.col("mean_pred_ppm").cast("long").alias("mean_pred_ppm"),
+            F.col("emp_pos_ppm").cast("long").alias("emp_pos_ppm"),
+            (F.col("mean_pred_ppm") - F.col("emp_pos_ppm"))
+            .cast("long")
+            .alias("gap_ppm"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# HLL intersection via inclusion-exclusion (cross-snapshot overlap)
+# ---------------------------------------------------------------------------
+
+
+def _hll_rho_cte(name: str, src: str) -> str:
+    from llm_data_pipeline_spark.operators.sketches import M, W_BITS, W_MOD
+
+    h = DUCKDB_HASH60.format(s="text")
+    return f"""{name} AS (
+      SELECT {h} % {M} AS bucket,
+             max(CASE WHEN ({h} // {M}) % {W_MOD} = 0 THEN {W_BITS + 1}
+                 ELSE {W_BITS + 1} - length(bin(({h} // {M}) % {W_MOD})) END)
+               AS rho
+      FROM {src} GROUP BY 1
+    )"""
+
+
+def _hll_est_cte(name: str, regs: str) -> str:
+    from llm_data_pipeline_spark.operators.sketches import (
+        ALPHA_NUM,
+        M,
+        SMALL_RANGE_MICRO,
+        W_BITS,
+    )
+
+    return f"""{name} AS (
+      SELECT CAST(CASE WHEN {ALPHA_NUM} // register_sum <= {SMALL_RANGE_MICRO}
+                            AND zero_registers > 0
+             THEN CAST(round({M} * ln({M}.0 / zero_registers) * 1000000)
+                       AS BIGINT)
+             ELSE {ALPHA_NUM} // register_sum END AS BIGINT) AS est_micro
+      FROM (
+        SELECT CAST(sum(1::BIGINT << ({W_BITS} - rho))
+                    + ({M} - count(*)) * {1 << W_BITS} AS BIGINT)
+                 AS register_sum,
+               CAST({M} - count(*) AS BIGINT) AS zero_registers
+        FROM {regs}
+      )
+    )"""
+
+
+def _hll_inter_oracle() -> str:
+    return f"""
+    WITH a AS (SELECT DISTINCT coalesce(text, '') AS text FROM documents
+               WHERE doc_id % 3 <> 0),
+    b AS (SELECT DISTINCT coalesce(text, '') AS text FROM documents
+          WHERE doc_id % 3 <> 1),
+    {_hll_rho_cte("ra", "a")},
+    {_hll_rho_cte("rb", "b")},
+    ru AS (
+      SELECT bucket, max(rho) AS rho
+      FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY bucket
+    ),
+    {_hll_est_cte("ea", "ra")},
+    {_hll_est_cte("eb", "rb")},
+    {_hll_est_cte("eu", "ru")},
+    x AS (SELECT CAST(count(*) AS BIGINT) AS exact_intersection
+          FROM (SELECT text FROM a INTERSECT SELECT text FROM b))
+    SELECT x.exact_intersection,
+           ea.est_micro AS est_a_micro,
+           eb.est_micro AS est_b_micro,
+           eu.est_micro AS est_union_micro,
+           CAST(greatest(ea.est_micro + eb.est_micro - eu.est_micro, 0)
+                AS BIGINT) AS est_inter_micro,
+           CAST(greatest(ea.est_micro + eb.est_micro - eu.est_micro, 0)
+                - x.exact_intersection * 1000000 AS BIGINT) AS err_micro
+    FROM ea, eb, eu, x
+    """
+
+
+@query(
+    "hll_intersection_overlap",
+    oracle=_hll_inter_oracle(),
+    tags=("corpus", "sketch", "distinct", "overlap"),
+)
+def hll_intersection_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot distinct-content OVERLAP from sketches alone —
+    inclusion-exclusion over mergeable HLLs (|A∩B| ~ |A|+|B|-|A∪B|,
+    union = per-bucket register max, which is the one set operation HLL
+    supports exactly): the cheap first answer to "how much of crawl B
+    have we already got?" before paying for an exact anti-join. Both
+    register sets, all three estimates, the clamped intersection estimate
+    AND its signed error vs the exact intersection are hash-checked.
+    The known caveat is graded into the artifact: inclusion-exclusion
+    error scales with |A∪B|, not |A∩B| (err_micro shows it) — at 100 TB
+    this picks which source pairs deserve the exact pass
+    (source_overlap_matrix), it doesn't replace it. Register state is
+    2 x m longs; nothing scales with corpus size."""
+    from llm_data_pipeline_spark.operators.sketches import (
+        hll_bucket_rho,
+        hll_registers_to_estimate,
+    )
+
+    docs = table(spark, sf_dir, "documents", scatter=True).select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    a = docs.where(F.col("doc_id") % 3 != 0).select("text").distinct()
+    b = docs.where(F.col("doc_id") % 3 != 1).select("text").distinct()
+    ra = hll_bucket_rho(a, F.col("text")).groupBy("bucket").agg(
+        F.max("rho").alias("rho")
+    )
+    rb = hll_bucket_rho(b, F.col("text")).groupBy("bucket").agg(
+        F.max("rho").alias("rho")
+    )
+    ru = ra.unionByName(rb).groupBy("bucket").agg(F.max("rho").alias("rho"))
+    ea = hll_registers_to_estimate(ra).select(
+        F.col("est_micro").alias("est_a_micro")
+    )
+    eb = hll_registers_to_estimate(rb).select(
+        F.col("est_micro").alias("est_b_micro")
+    )
+    eu = hll_registers_to_estimate(ru).select(
+        F.col("est_micro").alias("est_union_micro")
+    )
+    x = a.intersect(b).agg(
+        F.count(F.lit(1)).cast("long").alias("exact_intersection")
+    )
+    inter = F.greatest(
+        F.col("est_a_micro") + F.col("est_b_micro") - F.col("est_union_micro"),
+        F.lit(0).cast("long"),
+    )
+    return (
+        x.crossJoin(F.broadcast(ea))
+        .crossJoin(F.broadcast(eb))
+        .crossJoin(F.broadcast(eu))
+        .select(
+            "exact_intersection",
+            "est_a_micro",
+            "est_b_micro",
+            "est_union_micro",
+            inter.cast("long").alias("est_inter_micro"),
+            (inter - F.col("exact_intersection") * F.lit(1_000_000))
+            .cast("long")
+            .alias("err_micro"),
+        )
+    )

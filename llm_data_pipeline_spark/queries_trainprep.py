@@ -740,3 +740,101 @@ def quality_upsample_epochs(spark: SparkSession, sf_dir: str):
         .coalesce(1)
         .sortWithinPartitions("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# Window reconstruction: the losslessness contract of the window export
+# ---------------------------------------------------------------------------
+
+_W_OVL = _WIN - _STRIDE  # 64-char overlap between consecutive windows
+
+
+@query(
+    "window_overlap_reconstruct",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_NORM} AS t, length({_NORM}) AS len
+      FROM documents WHERE length({_NORM}) > 0
+    ),
+    wins AS (
+      SELECT doc_id, t, i AS win_id,
+             substr(t, i * {_STRIDE} + 1, {_WIN}) AS wt
+      FROM base,
+           unnest(range(CASE WHEN len <= {_WIN} THEN 1
+                        ELSE (len - {_WIN} + {_STRIDE} - 1) // {_STRIDE} + 1
+                        END)) u(i)
+    ),
+    recon AS (
+      SELECT doc_id, any_value(t) AS t,
+             CAST(count(*) AS BIGINT) AS n_windows,
+             string_agg(CASE WHEN win_id = 0 THEN wt
+                        ELSE substr(wt, {_W_OVL} + 1) END, ''
+                        ORDER BY win_id) AS rt
+      FROM wins GROUP BY doc_id
+    )
+    SELECT doc_id, n_windows,
+           md5(t) AS orig_md5, md5(rt) AS recon_md5,
+           CAST(CASE WHEN t = rt THEN 1 ELSE 0 END AS INT) AS lossless
+    FROM recon
+    ORDER BY doc_id
+    """,
+    tags=("trainprep", "windowing", "roundtrip"),
+)
+def window_overlap_reconstruct(spark: SparkSession, sf_dir: str):
+    """The losslessness contract of the sliding-window export, graded —
+    the windowing twin of tokenize_decode_roundtrip: rebuild every
+    document from its doc_sliding_windows output (window 0 verbatim, each
+    later window contributes only its chars past the {_W_OVL}-char
+    overlap) and pin recon == original by md5 per doc. Sound because the
+    tail window is always LONGER than the overlap (from the count formula
+    len - (n-1)*stride > win - stride), so no window is pure overlap —
+    the property this query makes a graded fact instead of a comment.
+    Any consumer that dedups, filters, or re-orders windows and then
+    reconstitutes documents (long-context packing, span-dedup rewrite
+    over windows) silently depends on this. One groupBy(doc_id) over the
+    window set; the rebuild is per-doc bounded."""
+    from llm_data_pipeline_spark.functions.text import norm_ws
+
+    docs = table(spark, sf_dir, "documents", scatter=True)
+    base = docs.select(
+        "doc_id", norm_ws(F.col("text")).alias("t")
+    ).withColumn("len", F.length("t")).where(F.col("len") > 0)
+    n_wins = F.when(F.col("len") <= _WIN, F.lit(1)).otherwise(
+        F.expr(f"(len - {_WIN} + {_STRIDE} - 1) div {_STRIDE}") + 1
+    )
+    wins = base.select(
+        "doc_id",
+        "t",
+        F.explode(F.sequence(F.lit(0), n_wins.cast("long") - 1)).alias(
+            "win_id"
+        ),
+    ).select(
+        "doc_id",
+        "t",
+        F.col("win_id").cast("long").alias("win_id"),
+        F.substring(
+            F.col("t"), (F.col("win_id") * _STRIDE + 1).cast("int"), _WIN
+        ).alias("wt"),
+    )
+    recon = wins.groupBy("doc_id").agg(
+        F.any_value(F.col("t")).alias("t"),
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("win_id", "wt"))
+                ),
+                lambda s: F.when(
+                    s["win_id"] == 0, s["wt"]
+                ).otherwise(F.substring(s["wt"], _W_OVL + 1, _WIN)),
+            ),
+            "",
+        ).alias("rt"),
+    )
+    return recon.select(
+        "doc_id",
+        "n_windows",
+        F.md5("t").alias("orig_md5"),
+        F.md5("rt").alias("recon_md5"),
+        (F.col("t") == F.col("rt")).cast("int").alias("lossless"),
+    ).orderBy("doc_id")

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from llm_data_pipeline_spark.functions.hashing import DUCKDB_HASH60
 from llm_data_pipeline_spark.functions.repetition import words_of
 from llm_data_pipeline_spark.queries import query, table
 
@@ -1001,4 +1002,97 @@ def html_meta_robots_filter(spark: SparkSession, sf_dir: str):
         (~F.col("robots_directive").contains("noindex")).cast("int").alias(
             "kept"
         ),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# robots.txt Disallow compliance (path-prefix rules per domain)
+# ---------------------------------------------------------------------------
+
+_RT_HASH_SQL = DUCKDB_HASH60.format(s="('rt-v1:' || domain)")
+
+
+@query(
+    "robots_txt_disallow_filter",
+    oracle=f"""
+    WITH {_DOMAIN_CTE},
+    urls AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
+    paths AS (
+      SELECT d.doc_id, d.domain,
+             regexp_extract(u.url, '^[a-z]+://[^/]+(/[^?#]*)', 1) AS path
+      FROM dom d JOIN urls u USING (doc_id)
+    ),
+    rules AS (
+      SELECT domain,
+             '/d/' || ({_RT_HASH_SQL} % 10)::VARCHAR AS rule1,
+             '/d/' || (({_RT_HASH_SQL} // 10) % 10)::VARCHAR || '0'
+               AS rule2
+      FROM (SELECT DISTINCT domain FROM paths)
+    )
+    SELECT p.doc_id, p.domain, p.path,
+           CASE WHEN starts_with(p.path, r.rule2) THEN r.rule2
+                WHEN starts_with(p.path, r.rule1) THEN r.rule1
+                ELSE '' END AS matched_rule,
+           CAST(CASE WHEN starts_with(p.path, r.rule1)
+                       OR starts_with(p.path, r.rule2)
+                THEN 1 ELSE 0 END AS INT) AS blocked
+    FROM paths p JOIN rules r USING (domain)
+    ORDER BY p.doc_id
+    """,
+    tags=("webclean", "governance", "ingest", "robots"),
+)
+def robots_txt_disallow_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt Disallow compliance at crawl ingest — the crawl-side
+    half of publisher consent (html_meta_robots_filter is the page-side,
+    source_optout_propagation the corpus-side): per registered domain a
+    deterministic two-rule Disallow set (path prefixes derived from the
+    domain hash, so every domain exercises matching), each URL's path
+    checked longest-rule-first (rule2 is strictly longer, so the
+    longest-match tie-break of the robots spec is load-bearing in the
+    output, not decorative). The rule table is domain-cardinality — at
+    100 TB it broadcasts (a few MB for millions of domains) and the check
+    is a narrow map over the scan; here the broadcast join is explicit.
+    URL/domain synthesis shared with the quota/PageRank family
+    (_DOMAIN_CTE / domain_documents)."""
+    from llm_data_pipeline_spark.functions.hashing import portable_hash60
+
+    docs = domain_documents(spark, sf_dir)
+    paths = docs.select(
+        "doc_id",
+        "domain",
+        F.regexp_extract(F.col("url"), r"^[a-z]+://[^/]+(/[^?#]*)", 1).alias(
+            "path"
+        ),
+    )
+    h = portable_hash60(F.concat(F.lit("rt-v1:"), F.col("domain")))
+    rules = (
+        paths.select("domain")
+        .distinct()
+        .select("domain", h.alias("_h"))
+        .select(
+            "domain",
+            F.concat(F.lit("/d/"), (F.col("_h") % 10).cast("string")).alias(
+                "rule1"
+            ),
+            F.concat(
+                F.lit("/d/"),
+                # integer div — h is up to 2^60, double division would
+                # lose the low digits this rule reads
+                (F.expr("_h div 10") % 10).cast("string"),
+                F.lit("0"),
+            ).alias("rule2"),
+        )
+    )
+    joined = paths.join(F.broadcast(rules), "domain")
+    m1 = F.col("path").startswith(F.col("rule1"))
+    m2 = F.col("path").startswith(F.col("rule2"))
+    return joined.select(
+        "doc_id",
+        "domain",
+        "path",
+        F.when(m2, F.col("rule2"))
+        .when(m1, F.col("rule1"))
+        .otherwise(F.lit(""))
+        .alias("matched_rule"),
+        (m1 | m2).cast("int").alias("blocked"),
     ).orderBy("doc_id")
