@@ -451,3 +451,52 @@ def test_ann_recall_graded_prunes_label(q):
     df = q("embedding_ann_recall_graded")
     schemas = I.scan_read_schemas(df)
     assert schemas and all("label" not in s for s in schemas)
+
+
+def test_robots_rules_join_broadcasts(q):
+    """The per-domain rule table is domain-bounded — it must ride a
+    broadcast, never shuffle the corpus on the domain key."""
+    df = q("robots_txt_disallow_filter")
+    assert I.broadcast_join_count(df) >= 1
+    I.assert_no_cartesian(df)
+
+
+def test_priority_sample_topk_never_global_sort(q):
+    """Top-(k+1) priorities must be TakeOrderedAndProject (per-partition
+    top-k + merge), not a full Exchange+Sort of the corpus."""
+    df = q("priority_weighted_sample")
+    plan = I.simple_plan(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dp_histogram_one_agg_no_join(q):
+    """The DP mechanism is a narrow map over the released cells — one
+    aggregation shuffle, no join anywhere."""
+    df = q("dp_noised_histogram")
+    I.assert_no_cartesian(df)
+    plan = I.simple_plan(df)
+    assert "Join" not in plan
+
+
+def test_kappa_single_docid_join(q):
+    """Two judge maps + one doc_id equi-join + a 1-row aggregate — no
+    cartesian, no second corpus shuffle family."""
+    df = q("scorer_agreement_kappa")
+    I.assert_no_cartesian(df)
+
+
+def test_meta_robots_zero_shuffle_narrow_map(q):
+    df = q("html_meta_robots_filter")
+    I.assert_no_cartesian(df)
+    plan = I.simple_plan(df)
+    assert "Join" not in plan
+    assert I.shuffle_count(df) <= 1
+
+
+def test_window_reconstruct_one_groupby(q):
+    """Rebuild is explode + one groupBy(doc_id) — no join (the original
+    text rides the window rows via any_value, never re-joined)."""
+    df = q("window_overlap_reconstruct")
+    I.assert_no_cartesian(df)
+    plan = I.simple_plan(df)
+    assert "Join" not in plan
