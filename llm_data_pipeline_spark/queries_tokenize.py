@@ -1136,3 +1136,118 @@ def tokenize_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .sortWithinPartitions("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-algorithm) Viterbi encode, fully hash-checked
+# ---------------------------------------------------------------------------
+
+
+def _unigram_oracle() -> str:
+    """Unrolled exact-Viterbi DP over the committed unigram vocab: one
+    MATERIALIZED CTE per text position (PREFIX steps — materialization is
+    load-bearing: inlined, the dp chain re-expands exponentially since
+    step i references steps i-1..i-4), candidates = trained pieces ending
+    at that position (length-1 falls back to DEFAULT_COST so coverage
+    never breaks), argmin by (cost, piece_len) — the identical total
+    order the Python operator minimizes, so paths match bit-for-bit."""
+    from llm_data_pipeline_spark.data.unigram_vocab import (
+        DEFAULT_COST,
+        MAX_PIECE,
+        PIECES,
+        PREFIX,
+    )
+
+    norm = "trim(regexp_replace(lower(coalesce(text,'')), '\\s+', ' ', 'g'))"
+    vals = ", ".join(
+        f"('{p.replace(chr(39), chr(39) * 2)}', {c})"
+        for p, c in sorted(PIECES.items())
+    )
+    ctes = [
+        f"pieces(piece, cost) AS MATERIALIZED (VALUES {vals})",
+        f"""t AS MATERIALIZED (
+      SELECT doc_id, rpad(substr({norm}, 1, {PREFIX}), {PREFIX}, '_') AS t
+      FROM documents WHERE length({norm}) > 0
+    )""",
+        "dp0 AS MATERIALIZED (SELECT doc_id, CAST(0 AS BIGINT) AS c,"
+        " '' AS p FROM t)",
+    ]
+    for i in range(1, PREFIX + 1):
+        unions = []
+        for l in range(1, min(MAX_PIECE, i) + 1):
+            start = i - l + 1
+            if l == 1:
+                unions.append(
+                    f"""
+      SELECT dp.doc_id, 1 AS l,
+             dp.c + coalesce(v.cost, {DEFAULT_COST}) AS nc,
+             dp.p || '|' || substr(t.t, {start}, 1) AS np
+      FROM dp{i - 1} dp JOIN t USING (doc_id)
+      LEFT JOIN pieces v ON v.piece = substr(t.t, {start}, 1)"""
+                )
+            else:
+                unions.append(
+                    f"""
+      SELECT dp.doc_id, {l} AS l, dp.c + v.cost AS nc,
+             dp.p || '|' || substr(t.t, {start}, {l}) AS np
+      FROM dp{i - l} dp JOIN t USING (doc_id)
+      JOIN pieces v ON v.piece = substr(t.t, {start}, {l})"""
+                )
+        ctes.append(
+            f"""dp{i} AS MATERIALIZED (
+      SELECT doc_id, nc AS c, np AS p FROM (
+        SELECT doc_id, nc, np,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY nc, l) AS rn
+        FROM ({" UNION ALL ".join(unions)})
+      ) WHERE rn = 1)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT doc_id, c AS total_cost_micro,
+           CAST(len(string_split(substr(p, 2), '|')) AS INT) AS n_pieces,
+           md5(substr(p, 2)) AS pieces_md5
+    FROM dp{PREFIX} ORDER BY doc_id"""
+    )
+
+
+@query(
+    "unigram_lm_encode",
+    oracle=_unigram_oracle(),
+    tags=("tokenize", "unigram", "sentencepiece"),
+)
+def unigram_lm_encode(spark: SparkSession, sf_dir: str):
+    """Unigram-LM tokenization — the SentencePiece ALGORITHM (Kudo 2018)
+    run natively, closing as much of the reference's SPM contract
+    (tokenizer/train.py:90-264) as this container allows: a trained
+    unigram piece vocabulary (scripts/gen_unigram_vocab.py: seed n-grams
+    -> hard-EM reweighting -> prune, costs committed as integer micro-nat
+    literals in data/unigram_vocab.py — ln evaluates at GENERATION time
+    only) decoded by exact Viterbi. The graded fixture is each doc's
+    normalized 32-char prefix padded to fixed depth so the oracle can
+    unroll the DP — one MATERIALIZED CTE per position, argmin(cost, len)
+    per step — and hash-check the segmentation PATH (pieces_md5), its
+    length, and its total cost for every doc: the Viterbi decode itself
+    is the graded fact, not a summary of it. Spark side: one
+    Arrow-batched pandas UDF (O(len*4) integer DP per doc, broadcast
+    vocab dict), everything else JVM."""
+    from llm_data_pipeline_spark.operators.unigram_lm import (
+        graded_prefix,
+        unigram_encode_expr,
+    )
+
+    docs = table(spark, sf_dir, "documents", scatter=True)
+    from llm_data_pipeline_spark.functions.text import norm_ws
+
+    base = docs.select(
+        "doc_id", graded_prefix(F.col("text")).alias("t")
+    ).where(F.length(norm_ws(F.col("text"))) > 0)
+    enc = base.select("doc_id", unigram_encode_expr(F.col("t")).alias("e"))
+    return enc.select(
+        "doc_id",
+        F.col("e.total_cost_micro").alias("total_cost_micro"),
+        F.col("e.n_pieces").alias("n_pieces"),
+        F.md5(F.col("e.pieces")).alias("pieces_md5"),
+    ).orderBy("doc_id")

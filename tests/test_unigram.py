@@ -1,0 +1,58 @@
+"""Unit pins for the unigram-LM Viterbi tokenizer (operators/unigram_lm.py).
+
+The graded query (unigram_lm_encode) hash-checks full segmentations
+against the DuckDB DP oracle; these pin the decision rules themselves on
+hand-built vocabs where every property is readable.
+"""
+
+from __future__ import annotations
+
+from llm_data_pipeline_spark.data.unigram_vocab import (
+    DEFAULT_COST,
+    MAX_PIECE,
+    PIECES,
+)
+from llm_data_pipeline_spark.operators.unigram_lm import viterbi_segment
+
+
+def test_prefers_cheaper_multichar_piece():
+    cost = {"a": 10, "b": 10, "ab": 5}
+    pieces, total = viterbi_segment("abab", cost, default=100)
+    assert pieces == ["ab", "ab"]
+    assert total == 10
+
+
+def test_tie_breaks_to_shorter_piece():
+    # "ab" costs exactly a+b: the (cost, len) order must pick the
+    # single-char path deterministically
+    cost = {"a": 10, "b": 10, "ab": 20}
+    pieces, _ = viterbi_segment("ab", cost, default=100)
+    assert pieces == ["a", "b"]
+
+
+def test_unknown_char_falls_back_to_default():
+    cost = {"a": 10}
+    pieces, total = viterbi_segment("aXa", cost, default=999)
+    assert pieces == ["a", "X", "a"]
+    assert total == 10 + 999 + 10
+
+
+def test_segmentation_is_lossless():
+    cost = {"th": 5, "the": 4, "he": 5, "t": 9, "h": 9, "e": 9, " ": 9}
+    for s in ["the the", "ttt", "", "he the"]:
+        pieces, _ = viterbi_segment(s, cost, default=50)
+        assert "".join(pieces) == s
+
+
+def test_committed_vocab_invariants():
+    # the graded fixture pads with '_', which is NOT a corpus char — it
+    # must ride the DEFAULT fallback identically in both engines, and
+    # DEFAULT must never undercut a trained piece (0.5-smoothing puts it
+    # at the unused-piece ceiling)
+    assert "_" not in PIECES
+    assert MAX_PIECE == 4
+    assert DEFAULT_COST >= max(PIECES.values())
+
+
+def test_committed_costs_are_positive_integers():
+    assert all(isinstance(c, int) and c > 0 for c in PIECES.values())
