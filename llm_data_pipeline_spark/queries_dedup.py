@@ -2846,3 +2846,164 @@ def dedup_cascade_funnel(spark: SparkSession, sf_dir: str):
         .sortWithinPartitions("_ord")
         .drop("_ord")
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH S-curve calibration: empirical capture per true-Jaccard bin vs the
+# analytic 1-(1-j^r)^b curve (r=8 rows/band, b=16 bands, k=128)
+# ---------------------------------------------------------------------------
+
+
+def _scurve_analytic() -> dict[int, int]:
+    """Analytic capture probability at each 0.1-wide Jaccard bin midpoint,
+    in ppm — computed HERE once and embedded as identical integer
+    literals on both engines (the pow chain never evaluates at query
+    time; same literal-plane rule as the DP-noise breakpoints)."""
+    out = {}
+    for k in range(10):
+        m = (k + 0.5) / 10
+        out[k] = round(1_000_000 * (1 - (1 - m**8) ** 16))
+    out[10] = 1_000_000  # the j == 1.0 bin (exact duplicates)
+    return out
+
+
+_SCURVE = _scurve_analytic()
+_SCURVE_VALS = ", ".join(f"({k}, {v})" for k, v in sorted(_SCURVE.items()))
+
+
+@query(
+    "lsh_scurve_calibration",
+    oracle=f"""
+    WITH {AUG_SQL.strip()},
+    {_minhash_sig_sql("aug").strip()},
+    bandkey AS (
+      SELECT doc_id, (pos // 8)::INT AS band_id,
+             string_agg(sig_val::VARCHAR, ',' ORDER BY pos) AS bkey
+      FROM sig GROUP BY doc_id, (pos // 8)
+    ),
+    sized AS (
+      SELECT band_id, bkey, doc_id,
+             count(*) OVER (PARTITION BY band_id, bkey) AS n
+      FROM bandkey
+    ),
+    edges AS (
+      SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+      FROM sized a JOIN sized b
+        ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+      WHERE a.n <= 500
+    ),
+    planted AS (
+      SELECT doc_id AS u, doc_id + {VARIANT_OFFSET} AS v
+      FROM documents WHERE doc_id < 50
+    ),
+    szs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+            FROM sh5 GROUP BY doc_id),
+    common AS (
+      SELECT p.u, p.v, CAST(count(*) AS BIGINT) AS c
+      FROM planted p
+      JOIN sh5 a ON a.doc_id = p.u
+      JOIN sh5 b ON b.doc_id = p.v AND b.s = a.s
+      GROUP BY p.u, p.v
+    ),
+    binned AS (
+      SELECT p.u, p.v,
+             (coalesce(cm.c, 0) * 10)
+               // (su.n + sv.n - coalesce(cm.c, 0)) AS bin,
+             CASE WHEN e.u IS NOT NULL THEN 1 ELSE 0 END AS is_cand
+      FROM planted p
+      JOIN szs su ON su.doc_id = p.u
+      JOIN szs sv ON sv.doc_id = p.v
+      LEFT JOIN common cm ON cm.u = p.u AND cm.v = p.v
+      LEFT JOIN edges e ON e.u = p.u AND e.v = p.v
+    ),
+    curve(bin, analytic_ppm) AS (VALUES {_SCURVE_VALS})
+    SELECT b.bin,
+           CAST(count(*) AS BIGINT) AS n_planted,
+           CAST(sum(b.is_cand) AS BIGINT) AS n_caught,
+           CAST({rounded_div_sql("(sum(b.is_cand) * 1000000)", "count(*)")}
+                AS BIGINT) AS capture_ppm,
+           CAST(min(c.analytic_ppm) AS BIGINT) AS analytic_ppm
+    FROM binned b JOIN curve c ON c.bin = b.bin
+    GROUP BY b.bin ORDER BY b.bin
+    """,
+    tags=("dedup", "minhash", "evaluation", "calibration"),
+)
+def lsh_scurve_calibration(spark: SparkSession, sf_dir: str):
+    """The LSH design curve MEASURED: planted near-dup pairs bucketed by
+    exact char-5-gram Jaccard (integer binning, (10c) div union — no
+    float ever touches the bin), per-bin empirical capture rate of the
+    production 8-rows x 16-bands banding vs the analytic S-curve
+    1-(1-j^8)^16 at the bin midpoint (committed ppm literals — the pow
+    chain evaluates at generation time, not per engine). This is the
+    table that justifies a banding choice to a reviewer: where the curve
+    says 0.5 capture, does the engine actually capture half? Exact
+    Jaccard only over the 50 planted pairs (O(pairs), never O(n^2));
+    the LSH chain, the truth, and the comparison all hash-checked."""
+    from llm_data_pipeline_spark.functions.intmath import rounded_div_col
+    from llm_data_pipeline_spark.operators.lsh import band_rows, candidate_pairs
+    from llm_data_pipeline_spark.operators.minhash import (
+        add_minhash_md5,
+        shingle_array,
+    )
+
+    aug = _augmented(spark, sf_dir, scatter=True)
+    sigs = add_minhash_md5(aug)
+    cands = candidate_pairs(band_rows(sigs, rows_per_band=8))
+    planted = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 50)
+        .select(
+            F.col("doc_id").alias("u"),
+            (F.col("doc_id") + VARIANT_OFFSET).alias("v"),
+        )
+    )
+    text = F.coalesce(F.col("text"), F.lit(""))
+    sets = aug.where(F.length(F.trim(text)) > 0).select(
+        "doc_id", shingle_array(text).alias("sh")
+    )
+    su = sets.select(F.col("doc_id").alias("u"), F.col("sh").alias("sh_u"))
+    sv = sets.select(F.col("doc_id").alias("v"), F.col("sh").alias("sh_v"))
+    c = F.size(F.array_intersect("sh_u", "sh_v")).cast("long")
+    union = (
+        F.size("sh_u").cast("long") + F.size("sh_v").cast("long") - c
+    )
+    binned = (
+        planted.join(su, "u")
+        .join(sv, "v")
+        .join(
+            cands.select("u", "v").withColumn("_ic", F.lit(1)),
+            ["u", "v"],
+            "left",
+        )
+        .select(
+            union.alias("_den"),
+            (c * 10).alias("_c10"),
+            F.coalesce(F.col("_ic"), F.lit(0)).alias("is_cand"),
+        )
+        .select(
+            F.expr("_c10 div _den").cast("long").alias("bin"),
+            "is_cand",
+        )
+    )
+    curve = spark.createDataFrame(
+        sorted(_SCURVE.items()), "bin long, analytic_ppm long"
+    )
+    g = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_planted"),
+        F.sum("is_cand").cast("long").alias("n_caught"),
+    )
+    return (
+        g.join(F.broadcast(curve), "bin")
+        .select(
+            "bin",
+            "n_planted",
+            "n_caught",
+            rounded_div_col(
+                F.col("n_caught") * F.lit(1_000_000), F.col("n_planted")
+            )
+            .cast("long")
+            .alias("capture_ppm"),
+            F.col("analytic_ppm").cast("long").alias("analytic_ppm"),
+        )
+        .orderBy("bin")
+    )
