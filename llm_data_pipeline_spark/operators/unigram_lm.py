@@ -24,7 +24,7 @@ vocab dict (a few KB here; a few MB at vocab 32k, still broadcast-sized).
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from llm_data_pipeline_spark.data.unigram_vocab import (
