@@ -98,8 +98,11 @@ def unigram_encode_expr(text: Column) -> Column:
 
 def graded_prefix(text: Column) -> Column:
     """The graded-fixture text: norm_ws prefix padded to exactly PREFIX
-    chars ('_' pad, a trained single-char piece) so every doc's DP has
-    the same depth — which is what lets the oracle unroll it."""
+    chars so every doc's DP has the same depth — which is what lets the
+    oracle unroll it. The '_' pad char is deliberately NOT a corpus char
+    (tests pin this): it rides the DEFAULT_COST length-1 fallback, which
+    both engines apply identically, so the pad also exercises the
+    unknown-char path on every document."""
     from llm_data_pipeline_spark.functions.text import norm_ws
 
     return F.rpad(F.substring(norm_ws(text), 1, PREFIX), PREFIX, "_")

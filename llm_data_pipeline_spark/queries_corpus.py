@@ -2345,7 +2345,13 @@ def dp_noised_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _qcls_auc_oracle() -> str:
-    auc = rounded_div_sql("(u2x * 1000000)", "(2 * n_pos * n_neg)")
+    # one-class corpora (n_pos or n_neg = 0) leave AUC undefined — define
+    # it as chance (500000 ppm) instead of dividing by zero
+    auc = (
+        "CASE WHEN n_pos = 0 OR n_neg = 0 THEN 500000 ELSE "
+        + rounded_div_sql("(u2x * 1000000)", "(2 * n_pos * n_neg)")
+        + " END"
+    )
     return (
         "WITH "
         + ",\n    ".join(_qcls_ctes())
@@ -2413,7 +2419,9 @@ def quality_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = _qcls_weights(spark, sf_dir)
     scored = quality_classifier_scores(
         docs, w, n_buckets=_QCLS_BUCKETS, salt=_QCLS_SALT
-    ).select("doc_id", F.coalesce(F.col("score_micro"), F.lit(0)).alias("s"))
+    ).select("doc_id", F.col("score_micro").alias("s"))
+    # one coalesce, at the join (mirrors the oracle's coalesce(mf.m, 0));
+    # the scorer itself never emits null score_micro
     sc = labeled.select("doc_id", "y").join(scored, "doc_id", "left").select(
         F.coalesce(F.col("s"), F.lit(0).cast("long")).alias("s"), "y"
     )
@@ -2440,16 +2448,18 @@ def quality_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pos_c").cast("long").alias("n_pos"),
         F.sum("neg_c").cast("long").alias("n_neg"),
     )
+    # exact int64 `div` (u2x*1e6 outgrows the double-mediated 2^53 window
+    # around 1e5 labeled docs; integer division holds to ~3e6) + the
+    # one-class guard (AUC undefined -> chance)
     return u.select(
         "n_pos",
         "n_neg",
         "u2x",
-        rounded_div_col(
-            F.col("u2x") * F.lit(1_000_000),
-            2 * F.col("n_pos") * F.col("n_neg"),
-        )
-        .cast("long")
-        .alias("auc_ppm"),
+        F.expr(
+            "CASE WHEN n_pos = 0 OR n_neg = 0 THEN CAST(500000 AS BIGINT)"
+            " ELSE (u2x * 1000000 + n_pos * n_neg)"
+            " div (2 * n_pos * n_neg) END"
+        ).alias("auc_ppm"),
     )
 
 
@@ -2521,7 +2531,7 @@ def quality_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFram
     w = _qcls_weights(spark, sf_dir)
     scored = quality_classifier_scores(
         docs, w, n_buckets=_QCLS_BUCKETS, salt=_QCLS_SALT
-    ).select("doc_id", F.coalesce(F.col("score_micro"), F.lit(0)).alias("m"))
+    ).select("doc_id", F.col("score_micro").alias("m"))
     sc = labeled.select("doc_id", "y").join(scored, "doc_id", "left").select(
         F.coalesce(F.col("m"), F.lit(0).cast("long")).alias("m"), "y"
     )

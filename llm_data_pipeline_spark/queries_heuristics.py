@@ -397,8 +397,16 @@ def _kappa_oracle() -> str:
     pe_raw = "((a + b) * (a + c) + (c + d) * (b + d))"
     po_ppm = rounded_div_sql("((a + d) * 1000000)", "n")
     pe_ppm = rounded_div_sql(f"({pe_raw} * 1000000)", "(n * n)")
-    kappa = rounded_div_sql(
-        f"((n * (a + d) - {pe_raw}) * 1000000)", f"(n * n - {pe_raw})"
+    # pe_raw == n*n only when both judges are unanimous in the same
+    # direction (then po == 1 necessarily): kappa is 0/0 — define it as
+    # 1.0 (trivially perfect agreement) instead of dividing by zero,
+    # which DuckDB NULLs and Spark overflows.
+    kappa = (
+        f"CASE WHEN n * n - {pe_raw} = 0 THEN 1000000 ELSE "
+        + rounded_div_sql(
+            f"((n * (a + d) - {pe_raw}) * 1000000)", f"(n * n - {pe_raw})"
+        )
+        + " END"
     )
     return f"""
     WITH {_gopher_ctes()},
@@ -450,7 +458,6 @@ def scorer_agreement_kappa(spark: SparkSession, sf_dir: str):
     from their graded queries, so the audit can never drift from what
     actually ships. One corpus scan per judge, a doc_id equi-join, a
     1-row aggregate — nothing collected."""
-    from llm_data_pipeline_spark.functions.intmath import rounded_div_col
     from llm_data_pipeline_spark.operators.quality import run_quality
 
     docs = table(spark, sf_dir, "documents", scatter=True)
@@ -467,23 +474,28 @@ def scorer_agreement_kappa(spark: SparkSession, sf_dir: str):
         F.sum((1 - F.col("h")) * F.col("g")).cast("long").alias("c"),
         F.sum((1 - F.col("h")) * (1 - F.col("g"))).cast("long").alias("d"),
     )
-    pe_raw = (F.col("a") + F.col("b")) * (F.col("a") + F.col("c")) + (
-        F.col("c") + F.col("d")
-    ) * (F.col("b") + F.col("d"))
+    # exact int64 `div` arithmetic throughout: the ppm numerators scale as
+    # n^2 * 1e6, which outgrows rounded_div_col's double-mediated 2^53
+    # exactness window around 1e5 docs — integer division keeps the
+    # oracle contract to the int64 bound (~3e6 labeled docs, documented)
+    pe_raw = "((a + b) * (a + c) + (c + d) * (b + d))"
+    num = f"((n * (a + d) - {pe_raw}) * 1000000)"
+    den = f"(n * n - {pe_raw})"
     return cm.select(
         "n",
         F.col("a").alias("both_keep"),
         F.col("b").alias("heur_only"),
         F.col("c").alias("gopher_only"),
         F.col("d").alias("both_drop"),
-        rounded_div_col(
-            (F.col("a") + F.col("d")) * F.lit(1_000_000), F.col("n")
-        ).alias("po_ppm"),
-        rounded_div_col(pe_raw * F.lit(1_000_000), F.col("n") * F.col("n")).alias(
-            "pe_ppm"
-        ),
-        rounded_div_col(
-            (F.col("n") * (F.col("a") + F.col("d")) - pe_raw) * F.lit(1_000_000),
-            F.col("n") * F.col("n") - pe_raw,
+        F.expr("((a + d) * 1000000 + n div 2) div n").alias("po_ppm"),
+        F.expr(
+            f"({pe_raw} * 1000000 + (n * n) div 2) div (n * n)"
+        ).alias("pe_ppm"),
+        # den == 0 iff both judges unanimous in the same direction (po = 1
+        # follows): define kappa = 1.0 rather than divide by zero
+        F.expr(
+            f"CASE WHEN {den} = 0 THEN CAST(1000000 AS BIGINT)"
+            f" WHEN {num} >= 0 THEN ({num} + {den} div 2) div {den}"
+            f" ELSE -((-{num} + {den} div 2) div {den}) END"
         ).alias("kappa_ppm"),
     )

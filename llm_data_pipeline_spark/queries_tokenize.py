@@ -1170,7 +1170,7 @@ def _unigram_oracle() -> str:
       FROM documents WHERE length({norm}) > 0
     )""",
         "dp0 AS MATERIALIZED (SELECT doc_id, CAST(0 AS BIGINT) AS c,"
-        " '' AS p FROM t)",
+        " '' AS p, CAST(0 AS INT) AS n FROM t)",
     ]
     for i in range(1, PREFIX + 1):
         unions = []
@@ -1181,7 +1181,8 @@ def _unigram_oracle() -> str:
                     f"""
       SELECT dp.doc_id, 1 AS l,
              dp.c + coalesce(v.cost, {DEFAULT_COST}) AS nc,
-             dp.p || '|' || substr(t.t, {start}, 1) AS np
+             dp.p || '|' || substr(t.t, {start}, 1) AS np,
+             dp.n + 1 AS nn
       FROM dp{i - 1} dp JOIN t USING (doc_id)
       LEFT JOIN pieces v ON v.piece = substr(t.t, {start}, 1)"""
                 )
@@ -1189,14 +1190,15 @@ def _unigram_oracle() -> str:
                 unions.append(
                     f"""
       SELECT dp.doc_id, {l} AS l, dp.c + v.cost AS nc,
-             dp.p || '|' || substr(t.t, {start}, {l}) AS np
+             dp.p || '|' || substr(t.t, {start}, {l}) AS np,
+             dp.n + 1 AS nn
       FROM dp{i - l} dp JOIN t USING (doc_id)
       JOIN pieces v ON v.piece = substr(t.t, {start}, {l})"""
                 )
         ctes.append(
             f"""dp{i} AS MATERIALIZED (
-      SELECT doc_id, nc AS c, np AS p FROM (
-        SELECT doc_id, nc, np,
+      SELECT doc_id, nc AS c, np AS p, nn AS n FROM (
+        SELECT doc_id, nc, np, nn,
                row_number() OVER (PARTITION BY doc_id
                                   ORDER BY nc, l) AS rn
         FROM ({" UNION ALL ".join(unions)})
@@ -1207,7 +1209,9 @@ def _unigram_oracle() -> str:
         + ",\n    ".join(ctes)
         + f"""
     SELECT doc_id, c AS total_cost_micro,
-           CAST(len(string_split(substr(p, 2), '|')) AS INT) AS n_pieces,
+           -- n is carried through the DP, NOT re-derived by splitting the
+           -- '|'-joined path: a piece that IS '|' would miscount there
+           CAST(n AS INT) AS n_pieces,
            md5(substr(p, 2)) AS pieces_md5
     FROM dp{PREFIX} ORDER BY doc_id"""
     )

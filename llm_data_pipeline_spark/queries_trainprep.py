@@ -26,6 +26,20 @@ _TOKS = f"list_filter(string_split({_NORM}, ' '), x -> x <> '')"
 
 _WIN = 256
 _STRIDE = 192
+# window count = ceil((len - W)/S) + 1 in floor-div form — ONE definition
+# shared by the export (doc_sliding_windows) and the reconstruction audit
+# (window_overlap_reconstruct), so the two can never validate different
+# windowings
+_WIN_COUNT_SQL = (
+    f"CASE WHEN len <= {_WIN} THEN 1 "
+    f"ELSE (len - {_WIN} + {_STRIDE} - 1) // {_STRIDE} + 1 END"
+)
+
+
+def _n_wins_col():
+    return F.when(F.col("len") <= _WIN, F.lit(1)).otherwise(
+        F.expr(f"(len - {_WIN} + {_STRIDE} - 1) div {_STRIDE}") + 1
+    )
 
 
 @query(
@@ -39,9 +53,7 @@ _STRIDE = 192
       SELECT doc_id, i AS win_id, (i * {_STRIDE})::BIGINT AS win_start,
              substr(t, i * {_STRIDE} + 1, {_WIN}) AS wt
       FROM base,
-           unnest(range(CASE WHEN len <= {_WIN} THEN 1
-                        ELSE (len - {_WIN} + {_STRIDE} - 1) // {_STRIDE} + 1
-                        END)) u(i)
+           unnest(range({_WIN_COUNT_SQL})) u(i)
     )
     SELECT doc_id, CAST(win_id AS BIGINT) AS win_id, win_start,
            CAST(length(wt) AS BIGINT) AS win_len,
@@ -67,9 +79,7 @@ def doc_sliding_windows(spark: SparkSession, sf_dir: str):
     base = docs.select(
         "doc_id", norm_ws(F.col("text")).alias("t")
     ).withColumn("len", F.length("t")).where(F.col("len") > 0)
-    n_wins = F.when(F.col("len") <= _WIN, F.lit(1)).otherwise(
-        F.expr(f"(len - {_WIN} + {_STRIDE} - 1) div {_STRIDE}") + 1
-    )
+    n_wins = _n_wins_col()
     wins = base.select(
         "doc_id",
         "t",
@@ -711,7 +721,7 @@ def quality_upsample_epochs(spark: SparkSession, sf_dir: str):
     g = e.groupBy("decile", "epochs").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tok").cast("long").alias("base_tokens"),
-        (F.sum("n_tok") * F.first("epochs")).cast("long").alias(
+        (F.sum("n_tok") * F.col("epochs")).cast("long").alias(
             "upsampled_tokens"
         ),
     )
@@ -760,9 +770,7 @@ _W_OVL = _WIN - _STRIDE  # 64-char overlap between consecutive windows
       SELECT doc_id, t, i AS win_id,
              substr(t, i * {_STRIDE} + 1, {_WIN}) AS wt
       FROM base,
-           unnest(range(CASE WHEN len <= {_WIN} THEN 1
-                        ELSE (len - {_WIN} + {_STRIDE} - 1) // {_STRIDE} + 1
-                        END)) u(i)
+           unnest(range({_WIN_COUNT_SQL})) u(i)
     ),
     recon AS (
       SELECT doc_id, any_value(t) AS t,
@@ -799,9 +807,7 @@ def window_overlap_reconstruct(spark: SparkSession, sf_dir: str):
     base = docs.select(
         "doc_id", norm_ws(F.col("text")).alias("t")
     ).withColumn("len", F.length("t")).where(F.col("len") > 0)
-    n_wins = F.when(F.col("len") <= _WIN, F.lit(1)).otherwise(
-        F.expr(f"(len - {_WIN} + {_STRIDE} - 1) div {_STRIDE}") + 1
-    )
+    n_wins = _n_wins_col()
     wins = base.select(
         "doc_id",
         "t",
