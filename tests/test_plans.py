@@ -500,3 +500,12 @@ def test_window_reconstruct_one_groupby(q):
     I.assert_no_cartesian(df)
     plan = I.simple_plan(df)
     assert "Join" not in plan
+
+
+def test_scurve_planted_filter_pushes_down(q):
+    """doc_id < 50 must reach the planted-side scans; exact Jaccard is
+    pair-restricted so no cartesian may appear."""
+    df = q("lsh_scurve_calibration")
+    I.assert_no_cartesian(df)
+    pushed = " ".join(I.pushed_filters(df))
+    assert "doc_id" in pushed and "50" in pushed
