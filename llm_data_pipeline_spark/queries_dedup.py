@@ -1780,7 +1780,7 @@ def minhash_lsh_recall_eval(spark: SparkSession, sf_dir: str):
     truth replay in SQL, so the recall/precision numbers themselves are
     oracle-checked, not self-reported."""
     from llm_data_pipeline_spark.functions.intmath import rounded_div_col
-    from llm_data_pipeline_spark.operators.lsh import band_rows, candidate_pairs
+    from llm_data_pipeline_spark.operators.lsh import band_rows
     from llm_data_pipeline_spark.operators.minhash import (
         add_minhash_md5,
         shingle_array,
@@ -1788,7 +1788,33 @@ def minhash_lsh_recall_eval(spark: SparkSession, sf_dir: str):
 
     aug = _augmented(spark, sf_dir, scatter=True)
     sigs = add_minhash_md5(aug)
-    cands = candidate_pairs(band_rows(sigs, rows_per_band=8))
+    # capture membership for the 50 PLANTED pairs only: a pair is caught
+    # iff some band bucket holds both sides AND that bucket survives the
+    # production cap — semantically identical to membership in
+    # candidate_pairs' output, WITHOUT enumerating the corpus-wide pair
+    # set (which made this the slowest steady query at 9.9 s; at 100 TB
+    # a calibration run must never pay the full self-join for 50 probes).
+    # Bucket sizes still count over the FULL corpus, so the cap decision
+    # is exactly the production one.
+    bands = band_rows(sigs, rows_per_band=8)
+    bsz = bands.groupBy("band_id", "band_hash").agg(
+        F.count(F.lit(1)).alias("bn")
+    )
+    pl_u = bands.where(F.col("doc_id") < 50).select(
+        "band_id", "band_hash", F.col("doc_id").alias("u")
+    )
+    pl_v = bands.where(
+        (F.col("doc_id") >= VARIANT_OFFSET)
+        & (F.col("doc_id") < VARIANT_OFFSET + 50)
+    ).select("band_id", "band_hash", F.col("doc_id").alias("v"))
+    cands = (
+        pl_u.join(pl_v, ["band_id", "band_hash"])
+        .where(F.col("v") - F.col("u") == VARIANT_OFFSET)
+        .join(bsz, ["band_id", "band_hash"])
+        .where(F.col("bn") <= 500)
+        .select("u", "v")
+        .distinct()
+    )
     planted = (
         table(spark, sf_dir, "documents")
         .where(F.col("doc_id") < 50)
@@ -2881,16 +2907,16 @@ _SCURVE_VALS = ", ".join(f"({k}, {v})" for k, v in sorted(_SCURVE.items()))
              string_agg(sig_val::VARCHAR, ',' ORDER BY pos) AS bkey
       FROM sig GROUP BY doc_id, (pos // 8)
     ),
-    sized AS (
-      SELECT band_id, bkey, doc_id,
-             count(*) OVER (PARTITION BY band_id, bkey) AS n
-      FROM bandkey
+    bsz AS (
+      SELECT band_id, bkey, count(*) AS n FROM bandkey GROUP BY 1, 2
     ),
-    edges AS (
+    caught AS (
       SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
-      FROM sized a JOIN sized b
-        ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-      WHERE a.n <= 500
+      FROM bandkey a
+      JOIN bandkey b ON a.band_id = b.band_id AND a.bkey = b.bkey
+       AND b.doc_id = a.doc_id + {VARIANT_OFFSET}
+      JOIN bsz s ON s.band_id = a.band_id AND s.bkey = a.bkey
+      WHERE a.doc_id < 50 AND s.n <= 500
     ),
     planted AS (
       SELECT doc_id AS u, doc_id + {VARIANT_OFFSET} AS v
@@ -2914,7 +2940,7 @@ _SCURVE_VALS = ", ".join(f"({k}, {v})" for k, v in sorted(_SCURVE.items()))
       JOIN szs su ON su.doc_id = p.u
       JOIN szs sv ON sv.doc_id = p.v
       LEFT JOIN common cm ON cm.u = p.u AND cm.v = p.v
-      LEFT JOIN edges e ON e.u = p.u AND e.v = p.v
+      LEFT JOIN caught e ON e.u = p.u AND e.v = p.v
     ),
     curve(bin, analytic_ppm) AS (VALUES {_SCURVE_VALS})
     SELECT b.bin,
@@ -2940,7 +2966,7 @@ def lsh_scurve_calibration(spark: SparkSession, sf_dir: str):
     Jaccard only over the 50 planted pairs (O(pairs), never O(n^2));
     the LSH chain, the truth, and the comparison all hash-checked."""
     from llm_data_pipeline_spark.functions.intmath import rounded_div_col
-    from llm_data_pipeline_spark.operators.lsh import band_rows, candidate_pairs
+    from llm_data_pipeline_spark.operators.lsh import band_rows
     from llm_data_pipeline_spark.operators.minhash import (
         add_minhash_md5,
         shingle_array,
@@ -2948,7 +2974,33 @@ def lsh_scurve_calibration(spark: SparkSession, sf_dir: str):
 
     aug = _augmented(spark, sf_dir, scatter=True)
     sigs = add_minhash_md5(aug)
-    cands = candidate_pairs(band_rows(sigs, rows_per_band=8))
+    # capture membership for the 50 PLANTED pairs only: a pair is caught
+    # iff some band bucket holds both sides AND that bucket survives the
+    # production cap — semantically identical to membership in
+    # candidate_pairs' output, WITHOUT enumerating the corpus-wide pair
+    # set (which made this the slowest steady query at 9.9 s; at 100 TB
+    # a calibration run must never pay the full self-join for 50 probes).
+    # Bucket sizes still count over the FULL corpus, so the cap decision
+    # is exactly the production one.
+    bands = band_rows(sigs, rows_per_band=8)
+    bsz = bands.groupBy("band_id", "band_hash").agg(
+        F.count(F.lit(1)).alias("bn")
+    )
+    pl_u = bands.where(F.col("doc_id") < 50).select(
+        "band_id", "band_hash", F.col("doc_id").alias("u")
+    )
+    pl_v = bands.where(
+        (F.col("doc_id") >= VARIANT_OFFSET)
+        & (F.col("doc_id") < VARIANT_OFFSET + 50)
+    ).select("band_id", "band_hash", F.col("doc_id").alias("v"))
+    cands = (
+        pl_u.join(pl_v, ["band_id", "band_hash"])
+        .where(F.col("v") - F.col("u") == VARIANT_OFFSET)
+        .join(bsz, ["band_id", "band_hash"])
+        .where(F.col("bn") <= 500)
+        .select("u", "v")
+        .distinct()
+    )
     planted = (
         table(spark, sf_dir, "documents")
         .where(F.col("doc_id") < 50)
