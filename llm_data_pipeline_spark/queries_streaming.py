@@ -714,3 +714,56 @@ def streaming_takedown_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(members, mode="append").orderBy(
         "req_doc_id", "member_doc_id"
     )
+
+
+@query(
+    "streaming_unigram_encode",
+    # identical oracle chain to unigram_lm_encode (the contract IS
+    # streaming == batch), built by the same generator
+    oracle=None,  # set below after import to avoid a circular import
+    tags=("streaming", "tokenize", "unigram"),
+)
+def streaming_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unigram-LM tokenizer on a CONTINUOUS stream — the ingest-time
+    tokenize path (docs tokenized as they arrive, not in a nightly
+    batch): the identical Arrow-batched Viterbi UDF runs per micro-batch
+    (stateless — piece costs are a broadcast constant, so the stream
+    needs no state store at all), append-mode memory sink, graded by the
+    SAME unrolled-DP oracle as the batch query. Proving the tokenizer is
+    stream-safe matters because SPM-style tokenizers often hide
+    process-level state; this one's only state is the committed vocab
+    literal."""
+    from llm_data_pipeline_spark.functions.text import norm_ws
+    from llm_data_pipeline_spark.operators.unigram_lm import (
+        graded_prefix,
+        unigram_encode_expr,
+    )
+    from llm_data_pipeline_spark.streaming.stream import (
+        read_parquet_stream,
+        run_to_memory,
+    )
+
+    sdf = read_parquet_stream(
+        spark, f"{sf_dir}/documents.parquet", ts_col=None
+    )
+    base = sdf.select(
+        "doc_id", graded_prefix(F.col("text")).alias("t")
+    ).where(F.length(norm_ws(F.col("text"))) > 0)
+    enc = base.select("doc_id", unigram_encode_expr(F.col("t")).alias("e"))
+    out = enc.select(
+        "doc_id",
+        F.col("e.total_cost_micro").alias("total_cost_micro"),
+        F.col("e.n_pieces").alias("n_pieces"),
+        F.md5(F.col("e.pieces")).alias("pieces_md5"),
+    )
+    return run_to_memory(out, mode="append").orderBy("doc_id")
+
+
+def _wire_streaming_unigram_oracle() -> None:
+    from llm_data_pipeline_spark.queries import REGISTRY
+    from llm_data_pipeline_spark.queries_tokenize import _unigram_oracle
+
+    REGISTRY["streaming_unigram_encode"].oracle = _unigram_oracle()
+
+
+_wire_streaming_unigram_oracle()

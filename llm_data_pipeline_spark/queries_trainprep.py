@@ -844,3 +844,159 @@ def window_overlap_reconstruct(spark: SparkSession, sf_dir: str):
         F.md5("rt").alias("recon_md5"),
         (F.col("t") == F.col("rt")).cast("int").alias("lossless"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# T5-style span corruption (deterministic block-scheme masking)
+# ---------------------------------------------------------------------------
+
+_T5_BLOCK = 20  # positions per block
+_T5_START_MOD = 16  # span start offset in [0, 16)
+_T5_HASH = DUCKDB_HASH60.format(
+    s="('t5v1:' || doc_id::VARCHAR || ':' || (i // 20)::VARCHAR)"
+)
+
+
+@query(
+    "t5_span_corruption",
+    oracle=f"""
+    WITH toked AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+      WHERE len({_TOKS}) > 0
+    ),
+    marked AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             list_transform(range(len(toks)), i -> struct_pack(
+               tok := toks[i + 1],
+               off := i % {_T5_BLOCK},
+               b := i // {_T5_BLOCK},
+               strt := {_T5_HASH} % {_T5_START_MOD},
+               ln := 2 + (({_T5_HASH} // {_T5_START_MOD}) % 3)
+             )) AS m
+      FROM toked
+    ),
+    rendered AS (
+      SELECT doc_id, n_tokens,
+             CAST(len(list_filter(m, x ->
+               x.off >= x.strt AND x.off < x.strt + x.ln)) AS BIGINT)
+               AS n_masked,
+             array_to_string(list_filter(list_transform(m, x ->
+               CASE WHEN x.off = x.strt
+                      THEN '<extra_id_' || x.b::VARCHAR || '>'
+                    WHEN x.off > x.strt AND x.off < x.strt + x.ln
+                      THEN NULL
+                    ELSE x.tok END), x -> x IS NOT NULL), ' ')
+               AS input_text,
+             array_to_string(list_filter(list_transform(m, x ->
+               CASE WHEN x.off = x.strt
+                      THEN '<extra_id_' || x.b::VARCHAR || '> ' || x.tok
+                    WHEN x.off > x.strt AND x.off < x.strt + x.ln
+                      THEN x.tok
+                    ELSE NULL END), x -> x IS NOT NULL), ' ')
+               AS target_text
+      FROM marked
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, n_masked,
+           CAST({rounded_div_sql("(n_masked * 1000000)", "n_tokens")}
+                AS BIGINT) AS mask_ppm,
+           -- DuckDB array_to_string([]) is NULL where Spark's is ''
+           md5(coalesce(input_text, '')) AS input_md5,
+           md5(coalesce(target_text, '')) AS target_md5
+    FROM rendered
+    ORDER BY doc_id
+    """,
+    tags=("trainprep", "masking", "seq2seq"),
+)
+def t5_span_corruption(spark: SparkSession, sf_dir: str):
+    """T5/UL2-style span corruption (Raffel et al. 2020) as a
+    deterministic, replayable block scheme: positions partition into
+    {_T5_BLOCK}-token blocks; each (doc, block) hash picks a span start
+    in [0,{_T5_START_MOD}) and length in {{2,3,4}} (mean 3/{_T5_BLOCK} =
+    the paper's ~15% corruption rate); the span becomes one
+    '<extra_id_b>' sentinel in the INPUT and 'sentinel + dropped tokens'
+    in the TARGET — the seq2seq denoising twin of fim_training_examples.
+    Block-local spans are non-overlapping by construction (start+len <=
+    {_T5_BLOCK}), so no iterative conflict resolution exists to diverge
+    between engines; both full rendered texts are graded by md5, plus
+    the realized mask_ppm. Zero-shuffle narrow map (higher-order array
+    fns; the per-position hash is md5 inside the lambda, JVM-side)."""
+    from llm_data_pipeline_spark.functions.analysis import tokens
+
+    docs = table(spark, sf_dir, "documents", scatter=True)
+    toked = docs.select(
+        "doc_id", tokens(F.coalesce(F.col("text"), F.lit(""))).alias("toks")
+    ).where(F.size("toks") > 0)
+
+    def pos_struct(i):
+        b = F.floor(i / _T5_BLOCK).cast("long")
+        h = portable_hash60(
+            F.concat(
+                F.lit("t5v1:"),
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                b.cast("string"),
+            )
+        )
+        return F.struct(
+            F.element_at(F.col("toks"), (i + 1).cast("int")).alias("tok"),
+            (i % _T5_BLOCK).cast("long").alias("off"),
+            b.alias("b"),
+            (h % _T5_START_MOD).alias("strt"),
+            # h div 16 as an exact bit shift (h is a 60-bit non-negative
+            # long; double division would round above 2^53)
+            (F.lit(2).cast("long") + F.shiftright(h, 4) % 3).alias("ln"),
+        )
+
+    marked = toked.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - 1), pos_struct
+        ).alias("m"),
+    )
+    masked = lambda x: (x["off"] >= x["strt"]) & (x["off"] < x["strt"] + x["ln"])
+    sentinel = lambda x: F.concat(
+        F.lit("<extra_id_"), x["b"].cast("string"), F.lit(">")
+    )
+    input_tok = lambda x: (
+        F.when(x["off"] == x["strt"], sentinel(x))
+        .when(masked(x), F.lit(None).cast("string"))
+        .otherwise(x["tok"])
+    )
+    target_tok = lambda x: (
+        F.when(
+            x["off"] == x["strt"],
+            F.concat(sentinel(x), F.lit(" "), x["tok"]),
+        )
+        .when(masked(x), x["tok"])
+        .otherwise(F.lit(None).cast("string"))
+    )
+    rendered = marked.select(
+        "doc_id",
+        "n_tokens",
+        F.size(F.filter(F.col("m"), masked)).cast("long").alias("n_masked"),
+        F.array_join(
+            F.filter(
+                F.transform(F.col("m"), input_tok), lambda x: x.isNotNull()
+            ),
+            " ",
+        ).alias("input_text"),
+        F.array_join(
+            F.filter(
+                F.transform(F.col("m"), target_tok), lambda x: x.isNotNull()
+            ),
+            " ",
+        ).alias("target_text"),
+    )
+    return rendered.select(
+        "doc_id",
+        "n_tokens",
+        "n_masked",
+        rounded_div_col(
+            F.col("n_masked") * F.lit(1_000_000), F.col("n_tokens")
+        )
+        .cast("long")
+        .alias("mask_ppm"),
+        F.md5("input_text").alias("input_md5"),
+        F.md5("target_text").alias("target_md5"),
+    ).orderBy("doc_id")

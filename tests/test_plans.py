@@ -509,3 +509,11 @@ def test_scurve_planted_filter_pushes_down(q):
     I.assert_no_cartesian(df)
     pushed = " ".join(I.pushed_filters(df))
     assert "doc_id" in pushed and "50" in pushed
+
+
+def test_t5_corruption_zero_shuffle_narrow_map(q):
+    df = q("t5_span_corruption")
+    I.assert_no_cartesian(df)
+    plan = I.simple_plan(df)
+    assert "Join" not in plan
+    assert I.shuffle_count(df) <= 1
