@@ -1000,3 +1000,104 @@ def t5_span_corruption(spark: SparkSession, sf_dir: str):
         F.md5("input_text").alias("input_md5"),
         F.md5("target_text").alias("target_md5"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Contrastive crop pairs (SimCSE/CLIP-style positive view construction)
+# ---------------------------------------------------------------------------
+
+_CROP_MIN_LEN = 80
+_CROP_HASH = DUCKDB_HASH60.format(s="('crop-v1:' || doc_id::VARCHAR)")
+
+
+@query(
+    "contrastive_crop_pairs",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_NORM} AS t, length({_NORM}) AS len,
+             {_CROP_HASH} AS h
+      FROM documents WHERE length({_NORM}) >= {_CROP_MIN_LEN}
+    ),
+    crops AS (
+      SELECT doc_id, len,
+             1 + (h % 8) AS a_start,
+             48 + ((h // 8) % 16) AS a_len,
+             1 + ((h // 128) % 8) + 16 AS b_start,
+             48 + ((h // 1024) % 16) AS b_len,
+             t
+      FROM base
+    ),
+    rendered AS (
+      SELECT doc_id,
+             substr(t, a_start, a_len) AS view_a,
+             substr(t, b_start, b_len) AS view_b,
+             a_start, a_len, b_start, b_len
+      FROM crops
+    )
+    SELECT doc_id,
+           md5(view_a) AS view_a_md5,
+           md5(view_b) AS view_b_md5,
+           CAST(length(view_a) AS BIGINT) AS a_chars,
+           CAST(length(view_b) AS BIGINT) AS b_chars,
+           CAST(greatest(least(a_start + a_len, b_start + b_len)
+                         - greatest(a_start, b_start), 0) AS BIGINT)
+             AS overlap_chars
+    FROM rendered
+    ORDER BY doc_id
+    """,
+    tags=("trainprep", "contrastive", "augmentation"),
+)
+def contrastive_crop_pairs(spark: SparkSession, sf_dir: str):
+    """Positive-pair construction for contrastive embedding pretraining
+    (SimCSE/CLIP-style random-crop views, deterministic-by-seed): per
+    sufficiently long doc, two hash-derived crops — view A from the doc
+    head (start 1-8, length 48-63), view B shifted right (start 17-24) so
+    the pair shares SOME content but not all — plus the exact character
+    overlap of the two ranges, the signal dataset builders watch (too
+    much overlap = trivial positives, zero overlap = false positives).
+    Both view texts md5-graded; crop geometry pure integer arithmetic off
+    one portable hash (bit-sliced with integer // — never double
+    division). Zero-shuffle narrow map."""
+    docs = table(spark, sf_dir, "documents", scatter=True)
+    from llm_data_pipeline_spark.functions.text import norm_ws
+
+    base = docs.select(
+        "doc_id", norm_ws(F.col("text")).alias("t")
+    ).where(F.length("t") >= _CROP_MIN_LEN)
+    h = portable_hash60(
+        F.concat(F.lit("crop-v1:"), F.col("doc_id").cast("string"))
+    )
+    crops = base.select(
+        "doc_id",
+        "t",
+        (F.lit(1) + h % 8).cast("int").alias("a_start"),
+        (F.lit(48) + F.shiftright(h, 3) % 16).cast("int").alias("a_len"),
+        (F.lit(17) + F.shiftright(h, 7) % 8).cast("int").alias("b_start"),
+        (F.lit(48) + F.shiftright(h, 10) % 16).cast("int").alias("b_len"),
+    )
+    rendered = crops.select(
+        "doc_id",
+        F.expr("substr(t, a_start, a_len)").alias("view_a"),
+        F.expr("substr(t, b_start, b_len)").alias("view_b"),
+        "a_start",
+        "a_len",
+        "b_start",
+        "b_len",
+    )
+    return rendered.select(
+        "doc_id",
+        F.md5("view_a").alias("view_a_md5"),
+        F.md5("view_b").alias("view_b_md5"),
+        F.length("view_a").cast("long").alias("a_chars"),
+        F.length("view_b").cast("long").alias("b_chars"),
+        F.greatest(
+            F.least(
+                F.col("a_start") + F.col("a_len"),
+                F.col("b_start") + F.col("b_len"),
+            )
+            - F.greatest(F.col("a_start"), F.col("b_start")),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("overlap_chars"),
+    ).orderBy("doc_id")

@@ -517,3 +517,11 @@ def test_t5_corruption_zero_shuffle_narrow_map(q):
     plan = I.simple_plan(df)
     assert "Join" not in plan
     assert I.shuffle_count(df) <= 1
+
+
+def test_crop_pairs_zero_shuffle_narrow_map(q):
+    df = q("contrastive_crop_pairs")
+    I.assert_no_cartesian(df)
+    plan = I.simple_plan(df)
+    assert "Join" not in plan
+    assert I.shuffle_count(df) <= 1
