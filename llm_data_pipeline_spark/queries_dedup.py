@@ -1780,7 +1780,7 @@ def minhash_lsh_recall_eval(spark: SparkSession, sf_dir: str):
     truth replay in SQL, so the recall/precision numbers themselves are
     oracle-checked, not self-reported."""
     from llm_data_pipeline_spark.functions.intmath import rounded_div_col
-    from llm_data_pipeline_spark.operators.lsh import band_rows
+    from llm_data_pipeline_spark.operators.lsh import band_rows, candidate_pairs
     from llm_data_pipeline_spark.operators.minhash import (
         add_minhash_md5,
         shingle_array,
@@ -1788,33 +1788,7 @@ def minhash_lsh_recall_eval(spark: SparkSession, sf_dir: str):
 
     aug = _augmented(spark, sf_dir, scatter=True)
     sigs = add_minhash_md5(aug)
-    # capture membership for the 50 PLANTED pairs only: a pair is caught
-    # iff some band bucket holds both sides AND that bucket survives the
-    # production cap — semantically identical to membership in
-    # candidate_pairs' output, WITHOUT enumerating the corpus-wide pair
-    # set (which made this the slowest steady query at 9.9 s; at 100 TB
-    # a calibration run must never pay the full self-join for 50 probes).
-    # Bucket sizes still count over the FULL corpus, so the cap decision
-    # is exactly the production one.
-    bands = band_rows(sigs, rows_per_band=8)
-    bsz = bands.groupBy("band_id", "band_hash").agg(
-        F.count(F.lit(1)).alias("bn")
-    )
-    pl_u = bands.where(F.col("doc_id") < 50).select(
-        "band_id", "band_hash", F.col("doc_id").alias("u")
-    )
-    pl_v = bands.where(
-        (F.col("doc_id") >= VARIANT_OFFSET)
-        & (F.col("doc_id") < VARIANT_OFFSET + 50)
-    ).select("band_id", "band_hash", F.col("doc_id").alias("v"))
-    cands = (
-        pl_u.join(pl_v, ["band_id", "band_hash"])
-        .where(F.col("v") - F.col("u") == VARIANT_OFFSET)
-        .join(bsz, ["band_id", "band_hash"])
-        .where(F.col("bn") <= 500)
-        .select("u", "v")
-        .distinct()
-    )
+    cands = candidate_pairs(band_rows(sigs, rows_per_band=8))
     planted = (
         table(spark, sf_dir, "documents")
         .where(F.col("doc_id") < 50)
