@@ -216,6 +216,69 @@ def with_quality_score(df, text_col: str = "text", out_col: str = "quality_score
     )
 
 
+def with_quality_ppm(df, text_col: str = "text", out_col: str = "q_ppm"):
+    """Integer-ppm quality score — the BINNING form of the composite
+    quality heuristic. Same four terms as quality_score (non-ws ratio,
+    alpha+CJK ratio, inverted punct ratio, capped stopword ratio), each
+    computed as an exact ROUNDED INTEGER DIVISION scaled to 250,000 ppm
+    (rounded_div_col), summed to a BIGINT in [0, 1,000,000]. Use this —
+    never floor(float_score * 10) — wherever the score feeds a bin
+    boundary (deciles): the float composite is computed independently by
+    Spark's codegen and DuckDB's evaluator, and a value one ULP either
+    side of a decile edge floors to DIFFERENT bins across engines,
+    flipping hash-checked per-bin aggregates. Integer ppm makes the edge
+    exact on both. Decile = least(q_ppm div 100000, 9); the SQL twin is
+    queries_text.QUALITY_DECILE_SQL."""
+    from llm_data_pipeline_spark.functions.intmath import rounded_div_col
+    from llm_data_pipeline_spark.functions.text import (
+        ALPHA_CLASS,
+        CJK_CLASS,
+        NON_WS_CLASS,
+        PUNCT_CLASS,
+        count_matches,
+    )
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    staged = df.withColumn("_qp_toks", tokens(t))
+    staged = staged.select(
+        "*",
+        F.size("_qp_toks").alias("_qp_n_tok"),
+        *[
+            _hit_count(F.col("_qp_toks"), lang).alias(f"_qp_h_{lang}")
+            for lang in LANG_ORDER
+        ],
+    )
+    n = F.length(t).cast("long")
+    c_nws = count_matches(t, NON_WS_CLASS).cast("long")
+    c_ac = (
+        count_matches(t, ALPHA_CLASS) + count_matches(t, CJK_CLASS)
+    ).cast("long")
+    c_punct = count_matches(t, PUNCT_CLASS).cast("long")
+    sw_total = None
+    for lang in LANG_ORDER:
+        h = F.col(f"_qp_h_{lang}")
+        sw_total = h if sw_total is None else sw_total + h
+    n_tok = F.col("_qp_n_tok").cast("long")
+    q = F.lit(250_000).cast("long")
+    t1 = F.when(n > 0, rounded_div_col(c_nws * 250_000, n)).otherwise(
+        F.lit(0).cast("long")
+    )
+    t2 = F.when(n > 0, rounded_div_col(c_ac * 250_000, n)).otherwise(
+        F.lit(0).cast("long")
+    )
+    t3 = F.when(
+        n > 0,
+        q - F.least(rounded_div_col(c_punct * 1_000_000, n), q),
+    ).otherwise(q)
+    t4 = F.when(
+        n_tok > 0,
+        F.least(rounded_div_col(sw_total.cast("long") * 1_000_000, n_tok), q),
+    ).otherwise(F.lit(0).cast("long"))
+    return staged.withColumn(out_col, (t1 + t2 + t3 + t4).cast("long")).drop(
+        "_qp_toks", "_qp_n_tok", *[f"_qp_h_{lang}" for lang in LANG_ORDER]
+    )
+
+
 WINNOW_BASE = 131
 WINNOW_MOD = 1_000_003
 

@@ -297,25 +297,45 @@ def html_text_extract(html: Column) -> Column:
     return F.trim(F.regexp_replace(t, r"\s+", " "))
 
 
+# The name attribute accepts quoted OR unquoted "robots" (["']? is
+# RE2-safe and tolerates both <meta name="robots"> and <meta name=robots>);
+# the content value gets one quoted pattern and one unquoted pattern per
+# attribute order — 4 patterns total, coalesced quoted-first.
 _ROBOTS_NAME_FIRST = (
-    "(?i)<meta[^>]*name\\s*=\\s*[\"']robots[\"']"
+    "(?i)<meta[^>]*name\\s*=\\s*[\"']?robots[\"']?"
     "[^>]*content\\s*=\\s*[\"']([^\"']*)[\"']"
+)
+_ROBOTS_NAME_FIRST_UNQ = (
+    "(?i)<meta[^>]*name\\s*=\\s*[\"']?robots[\"']?"
+    "[^>]*content\\s*=\\s*([^\\s\"'>]+)"
 )
 _ROBOTS_CONTENT_FIRST = (
     "(?i)<meta[^>]*content\\s*=\\s*[\"']([^\"']*)[\"']"
-    "[^>]*name\\s*=\\s*[\"']robots[\"']"
+    "[^>]*name\\s*=\\s*[\"']?robots[\"']?"
+)
+_ROBOTS_CONTENT_FIRST_UNQ = (
+    "(?i)<meta[^>]*content\\s*=\\s*([^\\s\"'>]+)"
+    "[^>]*name\\s*=\\s*[\"']?robots[\"']?"
 )
 
 
 def html_meta_robots(html: Column) -> Column:
     """Contents of ``<meta name="robots" content="...">`` lowercased
     ('' when absent). RE2-safe (no lookaround, so the oracle replays it):
-    attribute order is handled by TWO alternative patterns — name-first
-    and content-first — instead of a lookahead."""
-    first = F.nullif(
-        F.regexp_extract(html, _ROBOTS_NAME_FIRST, 1), F.lit("")
-    )
-    second = F.nullif(
-        F.regexp_extract(html, _ROBOTS_CONTENT_FIRST, 1), F.lit("")
-    )
-    return F.lower(F.coalesce(first, second, F.lit("")))
+    attribute order is handled by alternative patterns — name-first and
+    content-first — instead of a lookahead, and each order has a quoted
+    and an unquoted content-value variant (valid HTML allows
+    ``<meta name=robots content=noindex>``). Known conflation, by
+    design: an explicitly EMPTY content attribute (content="") returns
+    '' just like an absent tag — both mean "no restriction", so the
+    downstream filter keeps the page either way."""
+    parts = [
+        F.nullif(F.regexp_extract(html, pat, 1), F.lit(""))
+        for pat in (
+            _ROBOTS_NAME_FIRST,
+            _ROBOTS_NAME_FIRST_UNQ,
+            _ROBOTS_CONTENT_FIRST,
+            _ROBOTS_CONTENT_FIRST_UNQ,
+        )
+    ]
+    return F.lower(F.coalesce(*parts, F.lit("")))

@@ -2296,19 +2296,26 @@ def _dp_noise_sql(u: str) -> str:
     tags=("corpus", "governance", "privacy", "dp"),
 )
 def dp_noised_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Epsilon-differentially-private release of the (lang, source) doc
-    histogram via the geometric mechanism (Ghosh-Roughgarden-Sundararajan
-    2009 — the discrete, utility-optimal Laplace analog; eps=1,
-    sensitivity 1, support truncated at +-8 which costs ~2e-4 of the mass
-    and is the standard bounded-noise deployment form). The noise draw is
-    deterministic-by-seed: a portable-hash uniform in [0, 2^30) walked
-    through the inverse-CDF breakpoint ladder embedded as integer
-    literals (see _dp_thresholds — no exp/ln at query time), released
-    counts clamped at 0. Only the noised count is emitted — the true
-    count never leaves the aggregation, which is the whole point; the
-    oracle replays the identical mechanism. Shape at 100 TB: one groupBy
-    over the corpus, noise a per-group narrow map — the mechanism cost is
-    O(released cells), not O(rows)."""
+    """Deterministic, REPLAYABLE SIMULATION of a geometric-mechanism DP
+    release of the (lang, source) doc histogram (Ghosh-Roughgarden-
+    Sundararajan 2009 — the discrete, utility-optimal Laplace analog;
+    eps=1, sensitivity 1, support truncated at +-8 which costs ~2e-4 of
+    the mass). IMPORTANT — what this query is and is not: the noise here
+    is a hash of the public cell key with a salt COMMITTED IN THIS REPO
+    ('dp-v1:'), so anyone with the code can recompute the noise and
+    invert released_n_docs back to the exact count — the committed form
+    provides NO differential privacy and exists so the DuckDB oracle can
+    hash-check the mechanism's exact arithmetic (noise ladder, clamping,
+    truncation). A production deployment MUST derive the per-release
+    noise from a secret, out-of-repo salt (or a true RNG whose draws are
+    logged privately); with a secret salt the released values follow the
+    truncated-geometric distribution this query implements. Mechanism
+    shape: a portable-hash uniform in [0, 2^30) walked through the
+    inverse-CDF breakpoint ladder embedded as integer literals (see
+    _dp_thresholds — no exp/ln at query time), released counts clamped
+    at 0. Shape at 100 TB: one groupBy over the corpus, noise a
+    per-group narrow map — the mechanism cost is O(released cells), not
+    O(rows)."""
     g = (
         table(spark, sf_dir, "documents")
         .groupBy("lang", "source")

@@ -891,7 +891,11 @@ def _prio_oracle() -> str:
              row_number() OVER (ORDER BY q DESC, doc_id DESC) AS rank
       FROM q
     ),
-    tau AS (SELECT q AS tau FROM r WHERE rank = {_PRIO_K + 1}),
+    tau AS (
+      SELECT coalesce(max(CASE WHEN rank = {_PRIO_K + 1} THEN q END), 0)
+               AS tau
+      FROM r
+    ),
     tot AS (SELECT CAST(sum(greatest(n_chars, 1)) AS BIGINT) AS exact_total
             FROM documents),
     samp AS (
@@ -962,8 +966,15 @@ def priority_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = topk1.select(
         F.row_number().over(wname).alias("rank"), "doc_id", "w_chars", "q"
     )
-    tau = ranked.where(F.col("rank") == _PRIO_K + 1).select(
-        F.col("q").alias("tau")
+    # 1-row aggregate (never empty): when the corpus has <= K docs the
+    # (k+1)-th priority does not exist and tau coalesces to 0, so
+    # est_w = max(w, 0) = w — "take everything" is the correct estimate,
+    # not an empty result.
+    tau = ranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("rank") == _PRIO_K + 1, F.col("q"))),
+            F.lit(0).cast("long"),
+        ).alias("tau")
     )
     samp = (
         ranked.where(F.col("rank") <= _PRIO_K)

@@ -11,6 +11,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from llm_data_pipeline_spark.operators.unigram_lm import (
+    unigram_oracle_sql as _unigram_oracle_sql,
+)
 from llm_data_pipeline_spark.queries import query
 from llm_data_pipeline_spark.queries_pipeline import CLEAN_METRICS_SQL
 from llm_data_pipeline_spark.streaming.state import user_running_totals
@@ -719,8 +722,9 @@ def streaming_takedown_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "streaming_unigram_encode",
     # identical oracle chain to unigram_lm_encode (the contract IS
-    # streaming == batch), built by the same generator
-    oracle=None,  # set below after import to avoid a circular import
+    # streaming == batch), built by the same LEAF-module generator —
+    # passed directly so the oracle can never be import-order-dependent
+    oracle=_unigram_oracle_sql(),
     tags=("streaming", "tokenize", "unigram"),
 )
 def streaming_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -757,13 +761,3 @@ def streaming_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("e.pieces")).alias("pieces_md5"),
     )
     return run_to_memory(out, mode="append").orderBy("doc_id")
-
-
-def _wire_streaming_unigram_oracle() -> None:
-    from llm_data_pipeline_spark.queries import REGISTRY
-    from llm_data_pipeline_spark.queries_tokenize import _unigram_oracle
-
-    REGISTRY["streaming_unigram_encode"].oracle = _unigram_oracle()
-
-
-_wire_streaming_unigram_oracle()

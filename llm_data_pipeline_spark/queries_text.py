@@ -85,6 +85,35 @@ _QUALITY_SCORE = (
 )
 
 
+def _rdiv_nn(s: str, n: str) -> str:
+    """Rounded integer division for NON-NEGATIVE operands (SQL twin of
+    rounded_div for the quality-ppm terms — all counts, so no sign
+    branch)."""
+    return f"((({s}) + ({n}) // 2) // ({n}))"
+
+
+# Integer-ppm quality score over the `feat` CTE — the BINNING form
+# (Spark twin: functions/analysis.with_quality_ppm). floor(float*10) can
+# flip a decile across engines within one ULP; the four terms here are
+# exact rounded integer divisions scaled to 250,000 ppm each.
+QUALITY_PPM_SQL = (
+    f"(CASE WHEN length(raw) > 0 THEN "
+    f"{_rdiv_nn(_cnt('raw', T.NON_WS_CLASS) + ' * 250000', 'length(raw)')} "
+    f"ELSE 0 END "
+    f"+ CASE WHEN length(raw) > 0 THEN "
+    f"{_rdiv_nn('(' + _cnt('raw', T.ALPHA_CLASS) + ' + ' + _cnt('raw', T.CJK_CLASS) + ') * 250000', 'length(raw)')} "
+    f"ELSE 0 END "
+    f"+ CASE WHEN length(raw) > 0 THEN 250000 - least("
+    f"{_rdiv_nn(_cnt('raw', T.PUNCT_CLASS) + ' * 1000000', 'length(raw)')}, 250000) "
+    f"ELSE 250000 END "
+    f"+ CASE WHEN n_tok > 0 THEN least("
+    f"{_rdiv_nn('(' + _SW_SUM + ') * 1000000', 'n_tok')}, 250000) "
+    f"ELSE 0 END)"
+)
+
+QUALITY_DECILE_SQL = f"least(CAST(({QUALITY_PPM_SQL}) // 100000 AS INT), 9)"
+
+
 @query(
     "text_language_detect",
     oracle=f"""

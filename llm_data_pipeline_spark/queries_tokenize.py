@@ -1143,78 +1143,13 @@ def tokenize_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _unigram_oracle() -> str:
-    """Unrolled exact-Viterbi DP over the committed unigram vocab: one
-    MATERIALIZED CTE per text position (PREFIX steps — materialization is
-    load-bearing: inlined, the dp chain re-expands exponentially since
-    step i references steps i-1..i-4), candidates = trained pieces ending
-    at that position (length-1 falls back to DEFAULT_COST so coverage
-    never breaks), argmin by (cost, piece_len) — the identical total
-    order the Python operator minimizes, so paths match bit-for-bit."""
-    from llm_data_pipeline_spark.data.unigram_vocab import (
-        DEFAULT_COST,
-        MAX_PIECE,
-        PIECES,
-        PREFIX,
-    )
-
-    norm = "trim(regexp_replace(lower(coalesce(text,'')), '\\s+', ' ', 'g'))"
-    vals = ", ".join(
-        f"('{p.replace(chr(39), chr(39) * 2)}', {c})"
-        for p, c in sorted(PIECES.items())
-    )
-    ctes = [
-        f"pieces(piece, cost) AS MATERIALIZED (VALUES {vals})",
-        f"""t AS MATERIALIZED (
-      SELECT doc_id, rpad(substr({norm}, 1, {PREFIX}), {PREFIX}, '_') AS t
-      FROM documents WHERE length({norm}) > 0
-    )""",
-        "dp0 AS MATERIALIZED (SELECT doc_id, CAST(0 AS BIGINT) AS c,"
-        " '' AS p, CAST(0 AS INT) AS n FROM t)",
-    ]
-    for i in range(1, PREFIX + 1):
-        unions = []
-        for l in range(1, min(MAX_PIECE, i) + 1):
-            start = i - l + 1
-            if l == 1:
-                unions.append(
-                    f"""
-      SELECT dp.doc_id, 1 AS l,
-             dp.c + coalesce(v.cost, {DEFAULT_COST}) AS nc,
-             dp.p || '|' || substr(t.t, {start}, 1) AS np,
-             dp.n + 1 AS nn
-      FROM dp{i - 1} dp JOIN t USING (doc_id)
-      LEFT JOIN pieces v ON v.piece = substr(t.t, {start}, 1)"""
-                )
-            else:
-                unions.append(
-                    f"""
-      SELECT dp.doc_id, {l} AS l, dp.c + v.cost AS nc,
-             dp.p || '|' || substr(t.t, {start}, {l}) AS np,
-             dp.n + 1 AS nn
-      FROM dp{i - l} dp JOIN t USING (doc_id)
-      JOIN pieces v ON v.piece = substr(t.t, {start}, {l})"""
-                )
-        ctes.append(
-            f"""dp{i} AS MATERIALIZED (
-      SELECT doc_id, nc AS c, np AS p, nn AS n FROM (
-        SELECT doc_id, nc, np, nn,
-               row_number() OVER (PARTITION BY doc_id
-                                  ORDER BY nc, l) AS rn
-        FROM ({" UNION ALL ".join(unions)})
-      ) WHERE rn = 1)"""
-        )
-    return (
-        "WITH "
-        + ",\n    ".join(ctes)
-        + f"""
-    SELECT doc_id, c AS total_cost_micro,
-           -- n is carried through the DP, NOT re-derived by splitting the
-           -- '|'-joined path: a piece that IS '|' would miscount there
-           CAST(n AS INT) AS n_pieces,
-           md5(substr(p, 2)) AS pieces_md5
-    FROM dp{PREFIX} ORDER BY doc_id"""
-    )
+# The shared Viterbi-DP oracle lives in the LEAF module
+# operators/unigram_lm.py (unigram_oracle_sql) because the streaming
+# twin grades against the identical chain — importing it from a leaf
+# keeps the oracle independent of query-module import order.
+from llm_data_pipeline_spark.operators.unigram_lm import (  # noqa: E402
+    unigram_oracle_sql as _unigram_oracle,
+)
 
 
 @query(

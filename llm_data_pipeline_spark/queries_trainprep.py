@@ -642,8 +642,8 @@ _UPS_BUDGET_TOKENS = 1_000_000  # global token budget the sampler scales into
 def _upsample_oracle() -> str:
     from llm_data_pipeline_spark.functions.intmath import rounded_div_sql
     from llm_data_pipeline_spark.queries_text import (
+        QUALITY_DECILE_SQL,
         TEXT_BASE_SQL,
-        _QUALITY_SCORE,
     )
 
     scale = rounded_div_sql(
@@ -653,7 +653,7 @@ def _upsample_oracle() -> str:
     WITH {TEXT_BASE_SQL.strip()},
     q AS (
       SELECT doc_id, n_tok,
-             least(CAST(floor(({_QUALITY_SCORE}) * 10) AS INT), 9) AS decile
+             {QUALITY_DECILE_SQL} AS decile
       FROM feat
     ),
     e AS (
@@ -692,22 +692,27 @@ def quality_upsample_epochs(spark: SparkSession, sf_dir: str):
     x1), the upsampled token mass, and the uniform budget_scale_ppm a
     sampler multiplies every stratum by so the plan lands exactly on the
     global token budget (scale is capped at 1.0 — the plan never
-    up-scales beyond the policy). Quality score and decile are imported
-    from the graded scorer (queries_text._QUALITY_SCORE / the same
-    with_quality_score operator), so the plan can never drift from the
-    scorer it claims to stratify. One corpus scan, one 10-row groupBy —
+    up-scales beyond the policy). Deciles come from the INTEGER-ppm form
+    of the graded scorer (with_quality_ppm / queries_text.
+    QUALITY_DECILE_SQL — same four terms as text_quality_scores, each an
+    exact rounded integer division), so bin edges are cross-engine exact
+    and the plan can never drift from the scorer it claims to stratify.
+    One corpus scan, one 10-row groupBy —
     at 100 TB the plan is a dashboard artifact, the sampler applies it
     as a broadcast map."""
-    from llm_data_pipeline_spark.functions.analysis import tokens, with_quality_score
+    from llm_data_pipeline_spark.functions.analysis import tokens, with_quality_ppm
     from llm_data_pipeline_spark.functions.intmath import rounded_div_col
 
     docs = table(spark, sf_dir, "documents", scatter=True)
-    scored = with_quality_score(docs).select(
+    # decile from the INTEGER-ppm score (with_quality_ppm) — the float
+    # composite floors to different deciles across engines within one ULP
+    # of a bin edge; q_ppm div 100000 is exact on both
+    scored = with_quality_ppm(docs).select(
         "doc_id",
         F.size(tokens(F.coalesce(F.col("text"), F.lit("")))).cast("long")
         .alias("n_tok"),
         F.least(
-            F.floor(F.col("quality_score") * 10).cast("int"), F.lit(9)
+            F.expr("q_ppm div 100000").cast("int"), F.lit(9)
         ).alias("decile"),
     )
     e = scored.withColumn(

@@ -897,21 +897,31 @@ def html_text_extraction(spark: SparkSession, sf_dir: str):
 # ---------------------------------------------------------------------------
 
 _RB_NAME_FIRST_SQL = (
-    "(?i)<meta[^>]*name\\s*=\\s*[\"'']robots[\"'']"
+    "(?i)<meta[^>]*name\\s*=\\s*[\"'']?robots[\"'']?"
     "[^>]*content\\s*=\\s*[\"'']([^\"'']*)[\"'']"
+)
+_RB_NAME_FIRST_UNQ_SQL = (
+    "(?i)<meta[^>]*name\\s*=\\s*[\"'']?robots[\"'']?"
+    "[^>]*content\\s*=\\s*([^\\s\"''>]+)"
 )
 _RB_CONTENT_FIRST_SQL = (
     "(?i)<meta[^>]*content\\s*=\\s*[\"'']([^\"'']*)[\"'']"
-    "[^>]*name\\s*=\\s*[\"'']robots[\"'']"
+    "[^>]*name\\s*=\\s*[\"'']?robots[\"'']?"
+)
+_RB_CONTENT_FIRST_UNQ_SQL = (
+    "(?i)<meta[^>]*content\\s*=\\s*([^\\s\"''>]+)"
+    "[^>]*name\\s*=\\s*[\"'']?robots[\"'']?"
 )
 
-# doc_id % 5 -> planted meta tag (attribute order, case, and absence all
-# exercised; 2 of 5 classes are noindex and must be dropped)
-_RB_META_SQL = """CASE doc_id % 5
+# doc_id % 6 -> planted meta tag (attribute order, case, absence, AND the
+# valid-HTML unquoted form all exercised; 3 of 6 classes are noindex and
+# must be dropped — class 5 is only caught by the unquoted-value pattern)
+_RB_META_SQL = """CASE doc_id % 6
         WHEN 0 THEN '<meta name="robots" content="noindex, nofollow">'
         WHEN 1 THEN '<meta name="robots" content="nofollow">'
         WHEN 2 THEN '<meta content="NOINDEX" name="robots">'
         WHEN 3 THEN ''
+        WHEN 5 THEN '<meta name=robots content=noindex>'
         ELSE '<meta name="robots" content="index, follow">' END"""
 
 
@@ -930,7 +940,9 @@ _RB_META_SQL = """CASE doc_id % 5
       SELECT doc_id,
              lower(coalesce(
                nullif(regexp_extract(html, '{_RB_NAME_FIRST_SQL}', 1), ''),
+               nullif(regexp_extract(html, '{_RB_NAME_FIRST_UNQ_SQL}', 1), ''),
                nullif(regexp_extract(html, '{_RB_CONTENT_FIRST_SQL}', 1), ''),
+               nullif(regexp_extract(html, '{_RB_CONTENT_FIRST_UNQ_SQL}', 1), ''),
                '')) AS robots_directive
       FROM pages
     )
@@ -950,31 +962,36 @@ def html_meta_robots_filter(spark: SparkSession, sf_dir: str):
     """Robots-meta opt-out compliance at crawl ingest — the page-level
     half of publisher consent (source_optout_propagation carries the
     domain level): extract ``<meta name=robots>`` from raw HTML
-    (operators/webclean.py:html_meta_robots — RE2-safe dual-pattern
-    extraction, so attribute order and case both resolve without
-    lookaround) and drop noindex pages BEFORE they enter the corpus,
-    which is when compliance is cheap (after training it's a takedown).
-    The fixture plants all five classes — name-first, content-first,
-    uppercase, absent, index-allow — so both patterns, the lowercasing,
-    and the absent default are each load-bearing. Zero-shuffle narrow
-    map over the scan."""
+    (operators/webclean.py:html_meta_robots — RE2-safe quad-pattern
+    extraction, so attribute order, case, AND quoted-vs-unquoted
+    attribute values all resolve without lookaround) and drop noindex
+    pages BEFORE they enter the corpus, which is when compliance is
+    cheap (after training it's a takedown). The fixture plants all six
+    classes — name-first, content-first, uppercase, absent, index-allow,
+    and the valid-HTML unquoted form <meta name=robots content=noindex>
+    — so every pattern, the lowercasing, and the absent default are
+    each load-bearing. Zero-shuffle narrow map over the scan."""
     from llm_data_pipeline_spark.operators.webclean import html_meta_robots
 
     docs = table(spark, sf_dir, "documents", scatter=True)
     meta = (
         F.when(
-            F.col("doc_id") % 5 == 0,
+            F.col("doc_id") % 6 == 0,
             F.lit('<meta name="robots" content="noindex, nofollow">'),
         )
         .when(
-            F.col("doc_id") % 5 == 1,
+            F.col("doc_id") % 6 == 1,
             F.lit('<meta name="robots" content="nofollow">'),
         )
         .when(
-            F.col("doc_id") % 5 == 2,
+            F.col("doc_id") % 6 == 2,
             F.lit('<meta content="NOINDEX" name="robots">'),
         )
-        .when(F.col("doc_id") % 5 == 3, F.lit(""))
+        .when(F.col("doc_id") % 6 == 3, F.lit(""))
+        .when(
+            F.col("doc_id") % 6 == 5,
+            F.lit("<meta name=robots content=noindex>"),
+        )
         .otherwise(F.lit('<meta name="robots" content="index, follow">'))
     )
     pages = docs.select(
