@@ -272,6 +272,40 @@ def main() -> None:
                     file=sys.stderr,
                 )
 
+    # ------------------------------------------------------------------
+    # LATE RE-PASS over the HEADLINE set (round-7 judge task #3): the
+    # residual ±10-18% spread after min-of-2 was ACROSS-gauntlet — host
+    # noise drifting over the ~35-min window hits each query's first and
+    # steady passes together because they run back-to-back. A third timed
+    # sample per headline query at the END of the gauntlet is temporally
+    # decorrelated from the first two (up to ~30 min apart), so the
+    # per-query min(first, steady, late) samples two independent noise
+    # windows inside ONE bench.py invocation — the committed headline no
+    # longer depends on picking a clean capture window by hand.
+    # ------------------------------------------------------------------
+    late: dict[str, float] = {}
+    if run_steady and not extra and os.environ.get("BENCH_LATE", "1") != "0":
+        import gc
+
+        for name in [n for n in HEADLINE if n in times]:
+            spark.catalog.clearCache()
+            drop_persistent_rdds()
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(0.3)
+            fn = Q.REGISTRY[name].fn
+            t0 = time.perf_counter()
+            try:
+                df = fn(spark, sf_dir)
+                _ = df.count() if len(df.columns) > 8 else len(df.collect())
+                late[name] = round(time.perf_counter() - t0, 3)
+            except Exception as e:  # noqa: BLE001
+                print(
+                    f"bench: late pass {name} failed: {type(e).__name__}: {e}",
+                    file=sys.stderr,
+                )
+            drop_persistent_rdds()
+
     # Second fixed-position throughput measurement, after the gauntlet.
     if run_throughput:
         try:
@@ -298,6 +332,10 @@ def main() -> None:
             scale["bpe_train_curve"] = bpe_train_curve()
         except Exception as e:  # noqa: BLE001
             print(f"bench: bpe curve failed: {type(e).__name__}: {e}", file=sys.stderr)
+        try:
+            scale["unigram_train_curve"] = unigram_train_curve(sf_dir)
+        except Exception as e:  # noqa: BLE001
+            print(f"bench: unigram curve failed: {type(e).__name__}: {e}", file=sys.stderr)
         try:
             scale["ann_recall_at_10"] = ann_recall(spark, sf_dir)
         except Exception as e:  # noqa: BLE001
@@ -328,16 +366,20 @@ def main() -> None:
             print(f"bench: takedown scale check failed: {type(e).__name__}: {e}", file=sys.stderr)
 
     # Headline value: sum over the curated HEADLINE set of the PER-QUERY
-    # MIN across the gauntlet's two passes (round-6 judge task #2 — the
-    # first-pass-only headline swung ±15% on host state: min-of-N inside
-    # one gauntlet is the variance hardening; the first-pass sum is kept
-    # alongside for round-over-round continuity with r1-r6 captures).
-    # Under a BENCH_QUERIES override, sum what ran.
+    # MIN across THREE samples — first pass, steady pass (back-to-back),
+    # and the late re-pass at the end of the gauntlet (temporally
+    # decorrelated; see above). min-of-2 (r7's definition) is kept
+    # alongside for round-over-round continuity. Under a BENCH_QUERIES
+    # override, sum what ran.
     headline = set(HEADLINE) if not extra else set(times)
     min2 = {
         k: min(v, steady[k]) if k in steady else v for k, v in times.items()
     }
-    total = round(sum(v for k, v in min2.items() if k in headline), 3)
+    min3 = {
+        k: min(v, late[k]) if k in late else v for k, v in min2.items()
+    }
+    total = round(sum(v for k, v in min3.items() if k in headline), 3)
+    min2_total = round(sum(v for k, v in min2.items() if k in headline), 3)
     first_pass_total = round(
         sum(v for k, v in times.items() if k in headline), 3
     )
@@ -350,10 +392,12 @@ def main() -> None:
         **({"steady_state": steady} if steady else {}),
         **({"failures": failures} if failures else {}),
         **(scale if scale else {}),
+        **({"late_pass": late} if late else {}),
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
-        "headline_definition": "sum over HEADLINE of per-query min(first_pass, steady) — min-of-2 inside one gauntlet",
+        "headline_definition": "sum over HEADLINE of per-query min(first_pass, steady, late re-pass) — three samples spanning the capture window inside one gauntlet; no manual window selection",
+        "headline_min2_total": min2_total,
         "headline_first_pass_total": first_pass_total,
         **(
             {
@@ -590,6 +634,48 @@ def bpe_train_curve() -> dict:
             "sec": round(_time.perf_counter() - t0, 3),
             "merges": len(m),
         }
+    return curve
+
+
+def unigram_train_curve(sf_dir: str) -> dict:
+    """Trainer wall-time vs VOCAB SIZE for the in-engine unigram-LM
+    (hard-EM) trainer — the second trainer family's twin of
+    bpe_train_curve (round-7 judge task #6). The sweep's scale claim:
+    hard-EM cost is dominated by the E-step Viterbi sweep over the
+    corpus sample, O(sum_len * max_piece) per iteration with O(1) dict
+    probes — INDEPENDENT of the prune target — so wall time vs vocab
+    size must be flat/sublinear (asserted: the largest vocab may cost at
+    most 2x the smallest while the vocab grows 8x; superlinear growth
+    here would mean the trainer is probing the vocab per position, the
+    failure mode that makes vocab-32000 training intractable). Corpus =
+    the sf0.01 documents sample, same bounded-driver-artifact model as
+    the reference's input_sentence_size cap
+    (/root/reference/src/llm_data_pipeline/tokenizer/train.py:111-134)."""
+    import time as _time
+
+    import duckdb
+
+    from llm_data_pipeline_spark.operators.unigram_lm import train_unigram
+
+    small = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
+    base_dir = small if os.path.isdir(small) else sf_dir
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT trim(regexp_replace(lower(coalesce(text,'')), '\\s+', ' ', 'g'))"
+        f" FROM read_parquet('{base_dir}/documents.parquet')"
+    ).fetchall()
+    texts = [t for (t,) in rows if t]
+    curve: dict = {}
+    sizes = (150, 300, 600, 1200)
+    for n in sizes:
+        t0 = _time.perf_counter()
+        cost, _default = train_unigram(texts, vocab_size=n, em_iters=3)
+        curve[str(n)] = {
+            "sec": round(_time.perf_counter() - t0, 3),
+            "pieces": len(cost),
+        }
+    lo, hi = curve[str(sizes[0])]["sec"], curve[str(sizes[-1])]["sec"]
+    curve["sublinear_ok"] = bool(hi <= max(2.0 * lo, lo + 1.0))
     return curve
 
 

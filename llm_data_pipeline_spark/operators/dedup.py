@@ -110,6 +110,51 @@ def add_simhash(df: DataFrame, text_col: str = "text", hash_fn=None) -> DataFram
     )
 
 
+def _simhash_chunks(df_sim: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, simhash, chunk_id, chunk_val): the 4 disjoint 16-bit
+    chunks of each signature — the banding key simhash_candidate_pairs
+    joins on and simhash_chunk_stats audits."""
+    return df_sim.select(
+        F.col(id_col).alias("doc_id"),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), c * 16).bitwiseAND(
+                        F.lit(0xFFFF).cast("long")
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("chunk_id", "chunk_val"),
+    )
+
+
+def simhash_chunk_stats(
+    df_sim: DataFrame, bucket_cap: int = 500, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-chunk audit of the SimHash banding cap — the "no silent caps"
+    rule applied to simhash_candidate_pairs' mega-bucket guard, the exact
+    twin of lsh.band_bucket_stats for the 16-bit-chunk banding: per
+    chunk_id, over buckets with >= 2 members, how many buckets the cap
+    dropped, the docs and n*(n-1)/2 candidate pairs lost, what survived,
+    and the largest bucket seen (the degenerate-chunk fingerprint — e.g.
+    every empty doc sharing simhash 0 collides in all four chunks).
+    Implemented BY band_bucket_stats over the fused (chunk_id, chunk_val)
+    key — same map-side-combinable count aggregate, one narrow pass over
+    the chunk rows, never touches documents."""
+    from llm_data_pipeline_spark.operators.lsh import band_bucket_stats
+
+    chunks = _simhash_chunks(df_sim, id_col).select(
+        F.col("chunk_id").alias("band_id"),
+        F.col("chunk_val").alias("band_hash"),
+        "doc_id",
+    )
+    return band_bucket_stats(chunks, bucket_cap).withColumnRenamed(
+        "band_id", "chunk_id"
+    )
+
+
 def simhash_candidate_pairs(
     df_sim: DataFrame,
     max_hamming: int = 3,
@@ -126,20 +171,7 @@ def simhash_candidate_pairs(
     exact (used by the oracle-graded query, where DuckDB computes the
     all-pairs ground truth).
     """
-    chunks = df_sim.select(
-        F.col(id_col).alias("doc_id"),
-        F.col("simhash"),
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col("simhash"), c * 16).bitwiseAND(
-                        F.lit(0xFFFF).cast("long")
-                    )
-                    for c in range(4)
-                ]
-            )
-        ).alias("chunk_id", "chunk_val"),
-    )
+    chunks = _simhash_chunks(df_sim, id_col)
     if bucket_cap is None:
         sized = chunks
     else:

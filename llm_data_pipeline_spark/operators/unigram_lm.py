@@ -178,3 +178,72 @@ def unigram_oracle_sql() -> str:
            md5(substr(p, 2)) AS pieces_md5
     FROM dp{PREFIX} ORDER BY doc_id"""
     )
+
+
+def train_unigram(
+    texts: list[str],
+    vocab_size: int = 300,
+    em_iters: int = 3,
+    max_piece: int = MAX_PIECE,
+    seed_size: int = 2000,
+    min_count: int = 5,
+) -> tuple[dict[str, int], int]:
+    """Hard-EM unigram-LM trainer (Kudo 2018 — the SentencePiece training
+    algorithm's hard-EM variant): seed vocab from frequent char n-grams,
+    then E-step = Viterbi-segment the corpus under current costs (THE
+    engine decoder above, so counts can never drift from engine
+    semantics), M-step = recount piece usage, prune to the top
+    ``vocab_size`` used pieces + all single chars (coverage never
+    breaks), re-cost as integer micro-nat self-information. Returns
+    (cost_dict, default_cost) — default covers chars unseen in training.
+
+    Driver-side by design: the reference's SPM training is likewise a
+    single-process step over a bounded sample
+    (/root/reference/src/llm_data_pipeline/tokenizer/train.py:111-134 —
+    input_sentence_size caps the corpus the trainer sees), and the cost
+    model here matches: wall time is dominated by the E-step Viterbi
+    sweep, O(sum_len * max_piece) per iteration with O(1) dict probes —
+    INDEPENDENT of vocab size, so the training curve vs vocab size is
+    flat/sublinear (bench.py:unigram_train_curve asserts this). At
+    100 TB the corpus sample is a bounded driver artifact (same as BPE's
+    word-freq dict); the trained vocab broadcasts to the encode UDF."""
+    import math
+    from collections import Counter
+
+    cnt: Counter[str] = Counter()
+    for t in texts:
+        for l in range(1, max_piece + 1):
+            for i in range(len(t) - l + 1):
+                cnt[t[i : i + l]] += 1
+    chars = {p for p in cnt if len(p) == 1}
+    seed = dict(
+        sorted(
+            ((p, c) for p, c in cnt.items() if c >= min_count),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:seed_size]
+    )
+    for ch in chars:
+        seed.setdefault(ch, cnt[ch])
+    total = sum(seed.values())
+    cost = {p: round(1e6 * math.log(total / c)) for p, c in seed.items()}
+    default = round(1e6 * math.log(total / 0.5))
+    for _ in range(em_iters):
+        uses: Counter[str] = Counter()
+        for t in texts:
+            uses.update(
+                viterbi_segment(t, cost, default, max_piece=max_piece)[0]
+            )
+        keep = dict(
+            sorted(uses.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size]
+        )
+        for ch in chars:
+            keep.setdefault(ch, uses.get(ch, 0))
+        tot = sum(keep.values()) or 1
+        cost = {
+            p: round(1e6 * math.log(tot / c))
+            if c > 0
+            else round(1e6 * math.log(tot / 0.5))
+            for p, c in keep.items()
+        }
+        default = round(1e6 * math.log(tot / 0.5))
+    return cost, default

@@ -310,3 +310,24 @@ def test_k_anonymize_no_catchall_when_nothing_fails(spark):
     )
     out = k_anonymize(df, k=5).collect()
     assert len(out) == 1 and out[0].level == 0
+
+
+def test_priority_sample_small_corpus_takes_everything(spark, tmp_path):
+    """Degenerate case the advisor flagged (round 7): with <= K docs the
+    (k+1)-th priority does not exist — tau must coalesce to 0 so the
+    sample is 'take everything, est_w = w' (an exact estimate), never an
+    empty result."""
+    from llm_data_pipeline_spark.queries import REGISTRY, load_all
+
+    load_all()
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(i, f"doc {i}", 10 + i) for i in range(10)],
+        "doc_id long, text string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    rows = REGISTRY["priority_weighted_sample"].fn(spark, sf).collect()
+    assert len(rows) == 10
+    assert all(r.tau == 0 for r in rows)
+    assert all(r.est_w == r.w_chars for r in rows)
+    assert rows[0].est_total == rows[0].exact_total == sum(range(10, 20))
+    assert rows[0].err_ppm == 0

@@ -175,3 +175,31 @@ def test_canonical_url_rules(spark):
     }
     for i, (raw, want) in enumerate(cases):
         assert got[i] == want, f"{raw}: {got[i]} != {want}"
+
+
+def test_html_meta_robots_quoted_and_unquoted(spark):
+    """Extractor must handle attribute order, case, quoted AND unquoted
+    attribute values (valid HTML: <meta name=robots content=noindex>),
+    and return '' for absent tags or empty content (both mean 'no
+    restriction' — documented conflation)."""
+    from llm_data_pipeline_spark.operators.webclean import html_meta_robots
+
+    cases = [
+        ('<meta name="robots" content="noindex, nofollow">', "noindex, nofollow"),
+        ("<meta content='NOFOLLOW' name='robots'>", "nofollow"),
+        ("<meta name=robots content=noindex>", "noindex"),
+        ("<meta name=robots content='noindex, nofollow'>", "noindex, nofollow"),
+        ('<meta name="robots" content=nofollow>', "nofollow"),
+        ("<meta content=NOINDEX name=robots>", "noindex"),
+        ('<meta name="robots" content="">', ""),
+        ("<p>no meta at all</p>", ""),
+        ('<meta name="keywords" content="noindex">', ""),
+    ]
+    rows = [(i, f"<html><head>{h}</head></html>") for i, (h, _) in enumerate(cases)]
+    df = spark.createDataFrame(rows, "i int, html string")
+    got = {
+        r["i"]: r["d"]
+        for r in df.select("i", html_meta_robots(F.col("html")).alias("d")).collect()
+    }
+    for i, (h, want) in enumerate(cases):
+        assert got[i] == want, f"{h}: {got[i]!r} != {want!r}"
