@@ -822,6 +822,143 @@ def simhash_band_stats(spark: SparkSession, sf_dir: str):
 
 
 @query(
+    "minhash_jaccard_estimate_error",
+    oracle=f"""
+    WITH {AUG_SQL.strip()},
+    sub AS (
+      SELECT doc_id, text FROM aug
+      WHERE doc_id < 50 OR doc_id >= {VARIANT_OFFSET}
+    ),
+    {_minhash_sig_sql("sub").strip()},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh5 GROUP BY 1),
+    com AS (
+      SELECT a.doc_id AS u, count(*) AS n_common
+      FROM sh5 a JOIN sh5 b
+        ON b.s = a.s AND b.doc_id = a.doc_id + {VARIANT_OFFSET}
+      WHERE a.doc_id < 50
+      GROUP BY 1
+    ),
+    m AS (
+      SELECT sa.doc_id AS u,
+             sum(CASE WHEN sa.sig_val = sb.sig_val THEN 1 ELSE 0 END)
+               AS k_matches
+      FROM sig sa JOIN sig sb
+        ON sb.doc_id = sa.doc_id + {VARIANT_OFFSET} AND sb.pos = sa.pos
+      WHERE sa.doc_id < 50
+      GROUP BY 1
+    ),
+    calib AS (
+      SELECT c.u, su.n AS n_su, sv.n AS n_sv, c.n_common, m.k_matches,
+             su.n + sv.n - c.n_common AS uni
+      FROM com c
+      JOIN sizes su ON su.doc_id = c.u
+      JOIN sizes sv ON sv.doc_id = c.u + {VARIANT_OFFSET}
+      JOIN m ON m.u = c.u
+    )
+    SELECT u, CAST(u + {VARIANT_OFFSET} AS BIGINT) AS v,
+           CAST(n_su AS BIGINT) AS n_su,
+           CAST(n_sv AS BIGINT) AS n_sv,
+           CAST(n_common AS BIGINT) AS n_common,
+           CAST(k_matches AS BIGINT) AS k_matches,
+           CAST((k_matches * 1000000 + 64) // 128 AS BIGINT)
+             AS est_jaccard_ppm,
+           CAST((n_common * 1000000 + uni // 2) // uni AS BIGINT)
+             AS true_jaccard_ppm,
+           CAST((k_matches * 1000000 + 64) // 128
+                - (n_common * 1000000 + uni // 2) // uni AS BIGINT)
+             AS err_ppm
+    FROM calib
+    ORDER BY u
+    """,
+    tags=("dedup", "minhash", "audit", "calibration"),
+)
+def minhash_jaccard_estimate_error(spark: SparkSession, sf_dir: str):
+    """MinHash ESTIMATOR calibration — the signature-level companion of
+    lsh_scurve_calibration (which calibrates the banding): for each
+    planted (base, variant) pair, the k=128 signature match fraction
+    (the unbiased MinHash estimate of Jaccard) against the TRUE char-
+    5-gram Jaccard of the sets the signature sketches, both in exact
+    integer ppm, plus the signed estimator error. This is the audit that
+    separates "the estimator drifted" (bad permutations, hash bias —
+    err_ppm distribution off-center) from "the banding drifted" (the
+    S-curve query's job) when a 100-TB dedup run under- or over-merges.
+    Scale shape: NO join anywhere — the variant text is derived from the
+    base row in-place (the same first-two-words-dropped expression the
+    augmented fixture uses), so shingling, signatures and the compare
+    are one narrow map over 50 rows; the oracle replays signatures
+    through the PERMS ladder and the shingle sets from first principles."""
+    from llm_data_pipeline_spark.functions.intmath import rounded_div_col
+    from llm_data_pipeline_spark.operators.minhash import (
+        make_md5_signature_udf,
+        shingle_array,
+    )
+
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    toks = F.split(
+        F.trim(
+            F.regexp_replace(
+                F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+", " "
+            )
+        ),
+        " ",
+    )
+    pair = docs.select(
+        F.col("doc_id").alias("u"),
+        F.coalesce(F.col("text"), F.lit("")).alias("t_u"),
+        F.concat_ws(
+            " ", F.slice(toks, 3, F.greatest(F.size(toks) - 2, F.lit(0)))
+        ).alias("t_v"),
+    ).where(
+        (F.length(F.trim(F.col("t_u"))) > 0)
+        & (F.length(F.trim(F.col("t_v"))) > 0)
+    )
+    sig_udf = make_md5_signature_udf()
+    staged = pair.select(
+        "u",
+        shingle_array(F.col("t_u")).alias("sh_u"),
+        shingle_array(F.col("t_v")).alias("sh_v"),
+    ).localCheckpoint(eager=False)
+    est = staged.select(
+        "u",
+        F.size("sh_u").cast("long").alias("n_su"),
+        F.size("sh_v").cast("long").alias("n_sv"),
+        F.size(F.array_intersect("sh_u", "sh_v")).cast("long").alias(
+            "n_common"
+        ),
+        F.size(
+            F.filter(
+                F.zip_with(
+                    sig_udf(F.col("sh_u")),
+                    sig_udf(F.col("sh_v")),
+                    lambda a, b: a == b,
+                ),
+                lambda x: x,
+            )
+        )
+        .cast("long")
+        .alias("k_matches"),
+    ).where(F.col("n_common") >= 1)
+    uni = F.col("n_su") + F.col("n_sv") - F.col("n_common")
+    est_ppm = rounded_div_col(F.col("k_matches") * 1_000_000, F.lit(128))
+    true_ppm = rounded_div_col(F.col("n_common") * 1_000_000, uni)
+    return (
+        est.select(
+            "u",
+            (F.col("u") + VARIANT_OFFSET).cast("long").alias("v"),
+            "n_su",
+            "n_sv",
+            "n_common",
+            "k_matches",
+            est_ppm.alias("est_jaccard_ppm"),
+            true_ppm.alias("true_jaccard_ppm"),
+            (est_ppm - true_ppm).cast("long").alias("err_ppm"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("u")
+    )
+
+
+@query(
     "incremental_dedup_new_vs_base",
     oracle=f"""
     WITH {AUG_SQL.strip()},

@@ -1957,6 +1957,82 @@ from llm_data_pipeline_spark.functions.intmath import rounded_div_sql  # noqa: E
 
 
 @query(
+    "ivf_list_balance",
+    oracle=f"""
+    WITH {_PAIR_BASE.strip()},
+    {_IVF_CB_SQL.strip()},
+    assign AS (
+      SELECT vec_id, list_id FROM (
+        SELECT e.vec_id, c.list_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos_sql('e.v', 'c.cvec')} DESC,
+                                           c.list_id) AS rn
+        FROM e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    ls AS (SELECT list_id, count(*) AS n_vecs FROM assign GROUP BY 1),
+    tot AS (
+      SELECT CAST(sum(n_vecs) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS nlists
+      FROM ls
+    )
+    SELECT CAST(l.list_id AS BIGINT) AS list_id,
+           CAST(l.n_vecs AS BIGINT) AS n_vecs,
+           CAST((l.n_vecs * 1000000 + t.total // 2) // t.total AS BIGINT)
+             AS share_ppm,
+           CAST((l.n_vecs * t.nlists * 1000000 + t.total // 2) // t.total
+                AS BIGINT) AS balance_ppm
+    FROM ls l, tot t
+    ORDER BY list_id
+    """,
+    tags=("similarity", "ann", "ivf", "index", "audit"),
+)
+def ivf_list_balance(spark: SparkSession, sf_dir: str):
+    """Inverted-list SKEW audit of the persisted IVF index — the ANN twin
+    of the dedup family's cap audits, because list imbalance is THE IVF
+    performance killer at scale: probe latency is bounded by the largest
+    probed list, so one mega-list (a dense hub region, or a stale
+    codebook after corpus drift) silently turns an nlist-way index into
+    a near-linear scan for every query that probes it. Per list:
+    member count, corpus share in exact ppm, and balance_ppm =
+    n_vecs * nlist / total scaled to 1e6 (1e6 = perfectly balanced; the
+    max over lists is the probe-latency multiplier an operator alarms
+    on). Reads ONLY the index's list_id column — at 100 TB the audit is
+    a metadata aggregate over the index table (column-pruned scan, no
+    vector ever read), safe to run after every nightly build. The oracle
+    replays the assignment from the committed codebook literals, so the
+    index CONTENT is what's being audited."""
+    from llm_data_pipeline_spark.functions.intmath import rounded_div_col
+
+    emb = table(spark, sf_dir, "embeddings", scatter=True)
+    books = _ann_books(emb)
+    t = _ensure_ivf_index(spark, sf_dir, books)
+    ls = spark.table(t).groupBy("list_id").agg(
+        F.count(F.lit(1)).alias("n_vecs")
+    )
+    tot = ls.agg(
+        F.sum("n_vecs").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("nlists"),
+    )
+    return (
+        ls.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("list_id").cast("long").alias("list_id"),
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            rounded_div_col(
+                F.col("n_vecs") * F.lit(1_000_000), F.col("total")
+            ).alias("share_ppm"),
+            rounded_div_col(
+                F.col("n_vecs") * F.col("nlists") * F.lit(1_000_000),
+                F.col("total"),
+            ).alias("balance_ppm"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("list_id")
+    )
+
+
+@query(
     "pq_reconstruction_error",
     oracle=f"""
     WITH {_PAIR_BASE.strip()},

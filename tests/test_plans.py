@@ -553,3 +553,25 @@ def test_indexed_serve_never_resigns_increment(q):
     plan = I.formatted_plan(df)
     assert "signed_increment_" in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_ivf_list_balance_prunes_vectors(q):
+    """The IVF skew audit must be a metadata aggregate over the persisted
+    index: the index scan reads ONLY list_id — if the embedding column
+    appears in the ReadSchema the audit is paying a vector scan for a
+    count."""
+    df = q("ivf_list_balance")
+    plan = I.formatted_plan(df)
+    assert "bkt_ivf_index_" in plan
+    schemas = I.scan_read_schemas(df)
+    assert any("list_id" in s for s in schemas)
+    assert all("embedding" not in s for s in schemas)
+
+
+def test_estimate_error_no_join_no_python_rows(q):
+    """Estimator calibration derives the variant from the base row
+    in-place: the (post-checkpoint) plan must contain no join — the
+    compare is a narrow map over 50 rows."""
+    df = q("minhash_jaccard_estimate_error")
+    plan = I.formatted_plan(df)
+    assert "Join" not in plan and "Cartesian" not in plan
