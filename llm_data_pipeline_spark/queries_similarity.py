@@ -1956,6 +1956,95 @@ def embedding_ivf_indexed_topk(spark: SparkSession, sf_dir: str):
 from llm_data_pipeline_spark.functions.intmath import rounded_div_sql  # noqa: E402
 
 
+_SWEEP_TCS = (30, 32, 34, 36)  # thresholds in centi-units (0.30 .. 0.36)
+
+
+@query(
+    "semantic_dedup_threshold_sweep",
+    oracle=f"""
+    WITH {_PAIR_BASE.strip()},
+    pr AS (
+      SELECT a.vec_id AS u, b.vec_id AS v,
+             {cos_sql('a.v', 'b.v')} AS score
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE {cos_sql('a.v', 'b.v')} >= 0.30
+    ),
+    t(tc) AS (VALUES {", ".join(f"({c})" for c in _SWEEP_TCS)}),
+    qual AS (
+      SELECT t.tc, pr.u, pr.v FROM pr JOIN t ON pr.score >= t.tc / 100.0
+    ),
+    stacked AS (
+      SELECT tc, u AS doc FROM qual UNION SELECT tc, v FROM qual
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM e)
+    SELECT CAST(q.tc AS BIGINT) AS threshold_centi,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(s.n_docs AS BIGINT) AS n_docs_affected,
+           CAST((s.n_docs * 1000000 + o.n_total // 2) // o.n_total
+                AS BIGINT) AS affected_ppm
+    FROM qual q
+    JOIN (SELECT tc, count(*) AS n_docs FROM stacked GROUP BY tc) s
+      ON s.tc = q.tc
+    CROSS JOIN tot o
+    GROUP BY q.tc, s.n_docs, o.n_total
+    ORDER BY threshold_centi
+    """,
+    tags=("similarity", "dedup", "audit", "calibration"),
+)
+def semantic_dedup_threshold_sweep(spark: SparkSession, sf_dir: str):
+    """The semantic-dedup TUNING CURVE: near-dup pair count and affected-
+    document share at a ladder of cosine thresholds, from ONE pair
+    computation — the artifact a 100-TB curation run reads before
+    committing to a threshold (every 0.02 of threshold moves a measurable
+    slice of the corpus between 'kept' and 'dedup candidate'; picking it
+    blind is how runs silently gut a stratum). Thresholds are integer
+    centi-units so the ladder is literal-exact on both engines; scores
+    are the 6-dp-rounded cosine both engines rank with everywhere else.
+    Scale shape: the pair set is computed ONCE at the lowest threshold
+    (blocked two-phase GEMM, cluster-bounded like embedding_near_dup_pairs)
+    and the sweep is a broadcast-small threshold join + two aggregates
+    over the (tiny) qualifying pair set — cost is one dedup screen, not
+    one per threshold. The oracle replays the exact all-pairs ground
+    truth and the identical ladder."""
+    from llm_data_pipeline_spark.functions.intmath import rounded_div_col
+
+    emb = table(spark, sf_dir, "embeddings", scatter=True)
+    pairs = near_dup_pairs_blocked(
+        emb, threshold=0.30, rows_per_block=256
+    ).localCheckpoint(eager=False)
+    th = spark.range(1).select(
+        F.explode(F.array(*[F.lit(c) for c in _SWEEP_TCS])).alias("tc")
+    )
+    qual = pairs.join(
+        F.broadcast(th), F.col("score") >= F.col("tc") / F.lit(100.0)
+    )
+    stacked = (
+        qual.select("tc", F.col("u").alias("doc"))
+        .union(qual.select("tc", F.col("v").alias("doc")))
+        .distinct()
+    )
+    docs_per_t = stacked.groupBy("tc").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    tot = emb.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    return (
+        qual.groupBy("tc")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .join(docs_per_t, "tc")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("tc").cast("long").alias("threshold_centi"),
+            "n_pairs",
+            F.col("n_docs").cast("long").alias("n_docs_affected"),
+            rounded_div_col(
+                F.col("n_docs") * F.lit(1_000_000), F.col("n_total")
+            ).alias("affected_ppm"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("threshold_centi")
+    )
+
+
 @query(
     "ivf_list_balance",
     oracle=f"""
