@@ -27,6 +27,13 @@ def simple_plan(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def analyzed_plan(df: DataFrame) -> str:
+    """The analyzed LOGICAL plan — the only inspectable plan for an
+    un-started streaming DataFrame (executedPlan requires
+    writeStream.start; stateful-operator guards assert on this)."""
+    return df._jdf.queryExecution().analyzed().toString()
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
     """PushedFilters entries of every parquet scan in the plan."""
     plan = formatted_plan(df)
