@@ -2009,9 +2009,14 @@ def semantic_dedup_threshold_sweep(spark: SparkSession, sf_dir: str):
     from llm_data_pipeline_spark.functions.intmath import rounded_div_col
 
     emb = table(spark, sf_dir, "embeddings", scatter=True)
+    # eager: the tiny post-screen pair set feeds THREE downstream subtrees
+    # in one action (pair counts, and both legs of the stacked doc union)
+    # — a lazy checkpoint lets each subtree race to materialize the full
+    # blocked-GEMM lineage before the checkpoint blocks land (the same
+    # multi-consumer race measured at 25s-vs-4s in dedup_method_agreement)
     pairs = near_dup_pairs_blocked(
         emb, threshold=0.30, rows_per_block=256
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     th = spark.range(1).select(
         F.explode(F.array(*[F.lit(c) for c in _SWEEP_TCS])).alias("tc")
     )
