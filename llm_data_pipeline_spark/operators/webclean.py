@@ -297,25 +297,33 @@ def html_text_extract(html: Column) -> Column:
     return F.trim(F.regexp_replace(t, r"\s+", " "))
 
 
-# The name attribute accepts quoted OR unquoted "robots" (["']? is
-# RE2-safe and tolerates both <meta name="robots"> and <meta name=robots>);
-# the content value gets one quoted pattern and one unquoted pattern per
-# attribute order — 4 patterns total, coalesced quoted-first.
+# The name attribute accepts quoted OR unquoted "robots", with the value
+# ANCHORED: quoted forms match the closing quote, the unquoted form
+# requires a delimiter after "robots" (whitespace or /; plus > in the
+# content-first patterns where the name can legally end the tag). The
+# round-8 ["']?robots["']? form was a PREFIX match — name="robotstxt" or
+# name=robots-custom wrongly extracted a directive and could drop the
+# page (advisor finding). Non-capturing groups keep the content capture
+# at group 1 and stay RE2-safe (no lookaround) so the oracle replays the
+# identical pattern. In the name-first patterns the unquoted delimiter
+# class deliberately EXCLUDES > : if name=robots ends the tag there is no
+# content attribute in that tag, and letting the match consume > would
+# allow [^>]*content to walk into the NEXT tag's content attribute.
 _ROBOTS_NAME_FIRST = (
-    "(?i)<meta[^>]*name\\s*=\\s*[\"']?robots[\"']?"
+    "(?i)<meta[^>]*name\\s*=\\s*(?:\"robots\"|'robots'|robots[\\s/])"
     "[^>]*content\\s*=\\s*[\"']([^\"']*)[\"']"
 )
 _ROBOTS_NAME_FIRST_UNQ = (
-    "(?i)<meta[^>]*name\\s*=\\s*[\"']?robots[\"']?"
+    "(?i)<meta[^>]*name\\s*=\\s*(?:\"robots\"|'robots'|robots[\\s/])"
     "[^>]*content\\s*=\\s*([^\\s\"'>]+)"
 )
 _ROBOTS_CONTENT_FIRST = (
     "(?i)<meta[^>]*content\\s*=\\s*[\"']([^\"']*)[\"']"
-    "[^>]*name\\s*=\\s*[\"']?robots[\"']?"
+    "[^>]*name\\s*=\\s*(?:\"robots\"|'robots'|robots[\\s/>])"
 )
 _ROBOTS_CONTENT_FIRST_UNQ = (
     "(?i)<meta[^>]*content\\s*=\\s*([^\\s\"'>]+)"
-    "[^>]*name\\s*=\\s*[\"']?robots[\"']?"
+    "[^>]*name\\s*=\\s*(?:\"robots\"|'robots'|robots[\\s/>])"
 )
 
 

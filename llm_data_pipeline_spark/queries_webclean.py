@@ -896,32 +896,40 @@ def html_text_extraction(spark: SparkSession, sf_dir: str):
 # Robots-meta compliance (noindex/nofollow opt-out at crawl ingest)
 # ---------------------------------------------------------------------------
 
+# SQL twins of operators/webclean.py's anchored quad-pattern ('' is the
+# embedded single quote): the name value is anchored — quoted forms match
+# their closing quote, unquoted requires a delimiter — so robots-PREFIXED
+# non-robots meta names (robotstxt, robots-custom) no longer extract.
 _RB_NAME_FIRST_SQL = (
-    "(?i)<meta[^>]*name\\s*=\\s*[\"'']?robots[\"'']?"
+    "(?i)<meta[^>]*name\\s*=\\s*(?:\"robots\"|''robots''|robots[\\s/])"
     "[^>]*content\\s*=\\s*[\"'']([^\"'']*)[\"'']"
 )
 _RB_NAME_FIRST_UNQ_SQL = (
-    "(?i)<meta[^>]*name\\s*=\\s*[\"'']?robots[\"'']?"
+    "(?i)<meta[^>]*name\\s*=\\s*(?:\"robots\"|''robots''|robots[\\s/])"
     "[^>]*content\\s*=\\s*([^\\s\"''>]+)"
 )
 _RB_CONTENT_FIRST_SQL = (
     "(?i)<meta[^>]*content\\s*=\\s*[\"'']([^\"'']*)[\"'']"
-    "[^>]*name\\s*=\\s*[\"'']?robots[\"'']?"
+    "[^>]*name\\s*=\\s*(?:\"robots\"|''robots''|robots[\\s/>])"
 )
 _RB_CONTENT_FIRST_UNQ_SQL = (
     "(?i)<meta[^>]*content\\s*=\\s*([^\\s\"''>]+)"
-    "[^>]*name\\s*=\\s*[\"'']?robots[\"'']?"
+    "[^>]*name\\s*=\\s*(?:\"robots\"|''robots''|robots[\\s/>])"
 )
 
-# doc_id % 6 -> planted meta tag (attribute order, case, absence, AND the
-# valid-HTML unquoted form all exercised; 3 of 6 classes are noindex and
-# must be dropped — class 5 is only caught by the unquoted-value pattern)
-_RB_META_SQL = """CASE doc_id % 6
+# doc_id % 7 -> planted meta tag (attribute order, case, absence, the
+# valid-HTML unquoted form, AND the robots-PREFIXED non-robots name all
+# exercised; 3 of 7 classes are noindex and must be dropped — class 5 is
+# only caught by the unquoted-value pattern, class 6 is a noindex tag
+# whose name is robotstxt and must be KEPT: extracting it is the round-8
+# prefix-match regression the anchored patterns fix)
+_RB_META_SQL = """CASE doc_id % 7
         WHEN 0 THEN '<meta name="robots" content="noindex, nofollow">'
         WHEN 1 THEN '<meta name="robots" content="nofollow">'
         WHEN 2 THEN '<meta content="NOINDEX" name="robots">'
         WHEN 3 THEN ''
         WHEN 5 THEN '<meta name=robots content=noindex>'
+        WHEN 6 THEN '<meta name="robotstxt" content="noindex">'
         ELSE '<meta name="robots" content="index, follow">' END"""
 
 
@@ -966,31 +974,38 @@ def html_meta_robots_filter(spark: SparkSession, sf_dir: str):
     extraction, so attribute order, case, AND quoted-vs-unquoted
     attribute values all resolve without lookaround) and drop noindex
     pages BEFORE they enter the corpus, which is when compliance is
-    cheap (after training it's a takedown). The fixture plants all six
+    cheap (after training it's a takedown). The fixture plants all seven
     classes — name-first, content-first, uppercase, absent, index-allow,
-    and the valid-HTML unquoted form <meta name=robots content=noindex>
-    — so every pattern, the lowercasing, and the absent default are
-    each load-bearing. Zero-shuffle narrow map over the scan."""
+    the valid-HTML unquoted form <meta name=robots content=noindex>, and
+    a robots-PREFIXED non-robots name (<meta name="robotstxt"
+    content="noindex">, which must be KEPT — the anchored patterns'
+    regression case) — so every pattern, the value anchoring, the
+    lowercasing, and the absent default are each load-bearing.
+    Zero-shuffle narrow map over the scan."""
     from llm_data_pipeline_spark.operators.webclean import html_meta_robots
 
     docs = table(spark, sf_dir, "documents", scatter=True)
     meta = (
         F.when(
-            F.col("doc_id") % 6 == 0,
+            F.col("doc_id") % 7 == 0,
             F.lit('<meta name="robots" content="noindex, nofollow">'),
         )
         .when(
-            F.col("doc_id") % 6 == 1,
+            F.col("doc_id") % 7 == 1,
             F.lit('<meta name="robots" content="nofollow">'),
         )
         .when(
-            F.col("doc_id") % 6 == 2,
+            F.col("doc_id") % 7 == 2,
             F.lit('<meta content="NOINDEX" name="robots">'),
         )
-        .when(F.col("doc_id") % 6 == 3, F.lit(""))
+        .when(F.col("doc_id") % 7 == 3, F.lit(""))
         .when(
-            F.col("doc_id") % 6 == 5,
+            F.col("doc_id") % 7 == 5,
             F.lit("<meta name=robots content=noindex>"),
+        )
+        .when(
+            F.col("doc_id") % 7 == 6,
+            F.lit('<meta name="robotstxt" content="noindex">'),
         )
         .otherwise(F.lit('<meta name="robots" content="index, follow">'))
     )

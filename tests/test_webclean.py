@@ -194,6 +194,16 @@ def test_html_meta_robots_quoted_and_unquoted(spark):
         ('<meta name="robots" content="">', ""),
         ("<p>no meta at all</p>", ""),
         ('<meta name="keywords" content="noindex">', ""),
+        # anchored name value (advisor round-8): robots-PREFIXED non-robots
+        # names must NOT extract — the old ["']?robots["']? prefix match
+        # wrongly dropped these pages
+        ('<meta name="robotstxt" content="noindex">', ""),
+        ("<meta name=robots-custom content=noindex>", ""),
+        ("<meta content='noindex' name='robotstxt'>", ""),
+        ("<meta content=noindex name=robotscan>", ""),
+        # ...while a googlebot-style trailing attr after unquoted robots
+        # still matches (the [\s/] delimiter is load-bearing, not greedy)
+        ("<meta name=robots data-x=1 content=none>", "none"),
     ]
     rows = [(i, f"<html><head>{h}</head></html>") for i, (h, _) in enumerate(cases)]
     df = spark.createDataFrame(rows, "i int, html string")
