@@ -70,6 +70,26 @@ HEADLINE = [
     "tpch_q21_waiting_suppliers",
 ]
 
+# HEADLINE_V2 (round-8 judge task #7): the 44-query HEADLINE set predates
+# the index-lifecycle / audit / serving work, so the round-over-round
+# headline never covered the queries rounds 7-8 optimized. HEADLINE stays
+# frozen for cross-round continuity; headline_v2_total adds the serve
+# family so ITS regressions gate the committed number too.
+HEADLINE_V2 = HEADLINE + [
+    "dedup_method_agreement",
+    "minhash_bucketed_index_dedup",
+    "minhash_band_index_build",
+    "takedown_indexed",
+    "component_index_incremental",
+    "embedding_ivf_indexed_topk",
+    "embedding_ivf_index_append",
+    "ivf_list_balance",
+    "streaming_embedding_topk",
+    "semantic_dedup_threshold_sweep",
+    "minhash_jaccard_estimate_error",
+    "simhash_band_stats",
+]
+
 
 def _drop_persistent_rdds(spark) -> None:
     """Deterministically free leftover lazy-localCheckpoint / persist
@@ -383,6 +403,8 @@ def main() -> None:
     first_pass_total = round(
         sum(v for k, v in times.items() if k in headline), 3
     )
+    headline_v2 = set(HEADLINE_V2) if not extra else set(times)
+    v2_total = round(sum(v for k, v in min3.items() if k in headline_v2), 3)
     payload = {
         # Per-query dicts FIRST, headline scalars LAST: the round driver
         # keeps only the last ~2 kB of stdout, so ordering the line this
@@ -399,6 +421,12 @@ def main() -> None:
         "headline_definition": "sum over HEADLINE of per-query min(first_pass, steady, late re-pass) — three samples spanning the capture window inside one gauntlet; no manual window selection",
         "headline_min2_total": min2_total,
         "headline_first_pass_total": first_pass_total,
+        # versioned second headline (round-8 judge task #7): HEADLINE +
+        # the r7/r8 serve/index/audit family, same min-of-3 rule. For
+        # round-over-round deltas vs r1-r7 captures compare
+        # headline_min2_total (same min-of-2 definition those rounds used).
+        "headline_v2_total": v2_total,
+        "headline_v2_definition": "headline min-of-3 rule over HEADLINE + the index-serve/audit family (dedup_method_agreement, minhash_bucketed_index_dedup, minhash_band_index_build, takedown_indexed, component_index_incremental, embedding_ivf_indexed_topk, embedding_ivf_index_append, ivf_list_balance, streaming_embedding_topk, semantic_dedup_threshold_sweep, minhash_jaccard_estimate_error, simhash_band_stats)",
         **(
             {
                 "steady_outliers": outliers,
@@ -882,6 +910,29 @@ def ann_recall(spark, sf_dir: str) -> dict:
             f"geometry (scripts/gen_codebooks.py large): {breaches}",
             file=sys.stderr,
         )
+    # Inverted-list balance ceiling (round-8 judge task #6): max
+    # balance_ppm over lists IS the probe-latency multiplier — a stale
+    # codebook after corpus drift turns one list into a near-linear scan
+    # for every query probing it, which recall floors alone don't catch
+    # (recall SURVIVES a mega-list; latency doesn't). Ceiling 2e6 = the
+    # fattest list at most 2x the perfectly-balanced size; measured sf0.1
+    # max is 1.20e6, so the ceiling has drift headroom without admitting
+    # a degenerate index (a collapsed codebook reads >10e6).
+    if "ivf_list_balance" in Q.REGISTRY:
+        bal = [
+            r["balance_ppm"]
+            for r in Q.REGISTRY["ivf_list_balance"].fn(spark, sf_dir).collect()
+        ]
+        out["balance_ppm_max"] = max(bal) if bal else None
+        out["balance_ppm_ceiling"] = 2_000_000
+        out["balance_ok"] = bool(bal) and max(bal) <= 2_000_000
+        if not out["balance_ok"]:
+            print(
+                f"bench: IVF LIST BALANCE CEILING BREACH — max balance_ppm "
+                f"{out['balance_ppm_max']} > 2000000; retrain the codebook "
+                f"(scripts/gen_codebooks.py) before trusting probe latency",
+                file=sys.stderr,
+            )
     return out
 
 
