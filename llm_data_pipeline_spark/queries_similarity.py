@@ -2304,3 +2304,202 @@ def embedding_ivf_index_append(spark: SparkSession, sf_dir: str):
         .select("query_id", "vec_id", "score", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+# recall/cost sweep ladder: powers of two up to the SMALL tier's n_lists
+# (16); at larger tiers the ladder is a prefix of the list order, so the
+# same integers stay meaningful (probing 16 of 32 lists = half the index)
+_PROBE_LADDER = (1, 2, 4, 8, 16)
+
+
+@query(
+    "ivf_probe_recall_sweep",
+    oracle=f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    {_IVF_CB_SQL.strip()},
+    q AS MATERIALIZED (
+      SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0
+    ),
+    assign AS MATERIALIZED (
+      SELECT vec_id, list_id FROM (
+        SELECT e.vec_id, c.list_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos_sql('e.v', 'c.cvec')} DESC,
+                                           c.list_id) AS rn
+        FROM e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    hits AS MATERIALIZED (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {cos_sql('q.qv', 'e.v')} DESC,
+                                           e.vec_id) AS rnk
+        FROM e CROSS JOIN q
+        WHERE e.vec_id <> q.query_id
+      ) WHERE rnk <= 10
+    ),
+    pranks AS MATERIALIZED (
+      SELECT q.query_id, c.list_id,
+             row_number() OVER (PARTITION BY q.query_id
+                                ORDER BY {cos_sql('q.qv', 'c.cvec')} DESC,
+                                         c.list_id) AS prank
+      FROM q CROSS JOIN cents c
+    ),
+    ladder AS (SELECT * FROM (VALUES (1),(2),(4),(8),(16)) AS t(n_probe)),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_hits_total FROM hits),
+    dims AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM q) AS nq,
+             (SELECT CAST(count(*) AS BIGINT) FROM e) AS nc
+    ),
+    cov AS (
+      SELECT l.n_probe, CAST(count(*) AS BIGINT) AS n_hits_covered
+      FROM hits h
+      JOIN assign a ON a.vec_id = h.vec_id
+      JOIN pranks p ON p.query_id = h.query_id AND p.list_id = a.list_id
+      JOIN ladder l ON p.prank <= l.n_probe
+      GROUP BY 1
+    ),
+    sizes AS (
+      SELECT list_id, CAST(count(*) AS BIGINT) AS lsz FROM assign GROUP BY 1
+    ),
+    sc AS (
+      SELECT l.n_probe, CAST(sum(s.lsz) AS BIGINT) AS n_scanned
+      FROM pranks p
+      JOIN sizes s ON s.list_id = p.list_id
+      JOIN ladder l ON p.prank <= l.n_probe
+      GROUP BY 1
+    )
+    SELECT CAST(l.n_probe AS BIGINT) AS n_probe,
+           CAST(coalesce(c.n_hits_covered, 0) AS BIGINT) AS n_hits_covered,
+           CAST((coalesce(c.n_hits_covered, 0) * 1000000 + t.n_hits_total // 2)
+                // t.n_hits_total AS BIGINT) AS recall_ppm,
+           CAST((s.n_scanned * 1000000 + (d.nq * d.nc) // 2)
+                // (d.nq * d.nc) AS BIGINT) AS scanned_ppm
+    FROM ladder l
+    LEFT JOIN cov c ON c.n_probe = l.n_probe
+    JOIN sc s ON s.n_probe = l.n_probe
+    CROSS JOIN tot t CROSS JOIN dims d
+    ORDER BY n_probe
+    """,
+    tags=("similarity", "ann", "ivf", "audit", "calibration"),
+)
+def ivf_probe_recall_sweep(spark: SparkSession, sf_dir: str):
+    """The IVF TUNING CURVE: achievable recall@10 and corpus-scan cost at
+    a ladder of n_probe values, from ONE exact ground-truth computation —
+    the artifact an operator reads before picking the probe width (THE
+    speed/recall dial: n_probe trades probe latency linearly for recall,
+    and picking it blind either burns 4x the scan budget or silently
+    serves 60% recall). Per ladder rung: how many exact-top-10 hits live
+    in the query's first p probed lists (recall_ppm — the UPPER BOUND any
+    scoring inside p probes can reach, independent of PQ noise) and the
+    exact expected scan share (scanned_ppm = probed-list mass / corpus x
+    queries — the cost axis). The ANN twin of
+    semantic_dedup_threshold_sweep: ONE expensive set (exact brute-force
+    top-10, the same graded computation embedding_topk_bruteforce runs),
+    swept by a broadcast integer ladder.
+
+    Scale shape: the exact top-10 dominates and is computed once (Arrow
+    cosine, corpus x queries — at 100 TB you'd sample queries, exactly as
+    the %100 sample here does); list assignments come from the PERSISTED
+    IVF index (vec_id+list_id only — the embedding column is never read
+    from the index, same column-pruned scan ivf_list_balance grades);
+    probe ranks are queries x centroids (tiny, broadcast); the sweep
+    itself is two metadata aggregates over 5 broadcast ladder rungs. The
+    oracle replays assignment from the committed codebook literals, so
+    the persisted index's content is graded against first principles,
+    and the probe-rank tie rule (cosine desc, list_id asc) is the same
+    rule _best_lists applies everywhere else."""
+    from llm_data_pipeline_spark.functions.intmath import rounded_div_col
+    from llm_data_pipeline_spark.functions.vectors import cosine_arrow
+
+    emb = table(spark, sf_dir, "embeddings", scatter=True)
+    books = _ann_books(emb)
+    t = _ensure_ivf_index(spark, sf_dir, books)
+    assign = spark.table(t).select("vec_id", "list_id")
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    hits = brute_force_topk(emb, queries, k=10).select("query_id", "vec_id")
+    # centroid literals JVM-side (explode of struct literals, not
+    # createDataFrame: no python-RDD scan in the plan)
+    cents = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).cast("long").alias("list_id"),
+                            F.array(
+                                *[F.lit(float(x)) for x in v]
+                            ).alias("cvec"),
+                        )
+                        for i, v in enumerate(books["ivf"])
+                    ]
+                )
+            ).alias("c")
+        )
+        .select("c.list_id", "c.cvec")
+    )
+    pr = queries.join(F.broadcast(cents)).select(
+        "query_id",
+        "list_id",
+        F.round(cosine_arrow(F.col("embedding"), F.col("cvec")), 6).alias(
+            "_cs"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_cs"), F.asc("list_id"))
+    pranks = pr.select(
+        "query_id", "list_id", F.row_number().over(w).alias("prank")
+    )
+    ladder = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(int(p)).cast("long") for p in _PROBE_LADDER])
+        ).alias("n_probe")
+    )
+    tot = hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits_total"))
+    dims = queries.agg(
+        F.count(F.lit(1)).cast("long").alias("nq")
+    ).crossJoin(emb.agg(F.count(F.lit(1)).cast("long").alias("nc")))
+    cov = (
+        hits.join(assign, "vec_id")
+        .join(pranks, ["query_id", "list_id"])
+        .join(F.broadcast(ladder), F.col("prank") <= F.col("n_probe"))
+        .groupBy("n_probe")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits_covered"))
+    )
+    sizes = assign.groupBy("list_id").agg(
+        F.count(F.lit(1)).cast("long").alias("lsz")
+    )
+    sc = (
+        pranks.join(F.broadcast(sizes), "list_id")
+        .join(F.broadcast(ladder), F.col("prank") <= F.col("n_probe"))
+        .groupBy("n_probe")
+        .agg(F.sum("lsz").cast("long").alias("n_scanned"))
+    )
+    return (
+        ladder.join(cov, "n_probe", "left")
+        .join(sc, "n_probe")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(dims))
+        .select(
+            F.col("n_probe").cast("long").alias("n_probe"),
+            F.coalesce(F.col("n_hits_covered"), F.lit(0))
+            .cast("long")
+            .alias("n_hits_covered"),
+            rounded_div_col(
+                F.coalesce(F.col("n_hits_covered"), F.lit(0))
+                * F.lit(1_000_000),
+                F.col("n_hits_total"),
+            ).alias("recall_ppm"),
+            rounded_div_col(
+                F.col("n_scanned") * F.lit(1_000_000),
+                F.col("nq") * F.col("nc"),
+            ).alias("scanned_ppm"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("n_probe")
+    )

@@ -607,3 +607,20 @@ def test_threshold_sweep_broadcast_ladder_no_regemm(q):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     # the pair set is served from the eager checkpoint, not recomputed
     assert "ExistingRDD" in plan
+
+
+def test_probe_sweep_pruned_index_no_cartesian(q):
+    """The probe sweep must read only (vec_id, list_id) from the persisted
+    IVF index — the one expensive subtree is the exact brute-force ground
+    truth over the embeddings TABLE; re-reading vectors from the index
+    would double the vector I/O for joins that only need list routing.
+    Ladder joins are broadcast NLJs over 5 literal rungs, never a
+    cartesian product."""
+    df = q("ivf_probe_recall_sweep")
+    plan = I.formatted_plan(df)
+    assert "bkt_ivf_index_" in plan
+    assert "CartesianProduct" not in plan
+    schemas = I.scan_read_schemas(df)
+    assert any("list_id" in s and "embedding" not in s for s in schemas), (
+        "index scan must prune the embedding column"
+    )
