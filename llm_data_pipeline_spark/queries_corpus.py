@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from llm_data_pipeline_spark.functions.hashing import DUCKDB_HASH60, portable_hash60
+from llm_data_pipeline_spark.functions import analysis as A
 from llm_data_pipeline_spark.functions.intmath import rounded_div_col, rounded_div_sql
 from llm_data_pipeline_spark.queries import query, table
 
@@ -2719,4 +2720,103 @@ def hll_intersection_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("err_micro"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# context-length ladder: doc-isolated packing waste sweep
+# ---------------------------------------------------------------------------
+
+# 16/32/64 sit BELOW the fixture's mean doc length so the fragmentation
+# axis is exercised (ceil-splits > 0), 128..2048 exercise the padding axis
+_PACK_LADDER = (16, 32, 64, 128, 256, 512, 1024, 2048)
+
+
+@query(
+    "packing_length_sweep",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(coalesce(text,''),
+                                         '{A.WORDLIKE_RE}')) AS BIGINT) AS tok
+      FROM documents
+    ),
+    ladder AS (
+      SELECT * FROM (VALUES (16),(32),(64),(128),(256),(512),(1024),(2048))
+        AS t(target_len)
+    ),
+    per AS (
+      SELECT l.target_len, t.tok,
+             (t.tok + l.target_len - 1) // l.target_len AS nseq
+      FROM toks t CROSS JOIN ladder l
+    )
+    SELECT CAST(target_len AS BIGINT) AS target_len,
+           CAST(sum(nseq) AS BIGINT) AS n_seqs,
+           CAST(sum(tok) AS BIGINT) AS total_tokens,
+           CAST(sum(nseq) * target_len AS BIGINT) AS padded_tokens,
+           CAST({rounded_div_sql(
+               '((sum(nseq) * target_len - sum(tok)) * 1000000)',
+               '(sum(nseq) * target_len)')} AS BIGINT) AS pad_waste_ppm,
+           CAST(sum(CASE WHEN tok > 0 THEN nseq - 1 ELSE 0 END) AS BIGINT)
+             AS n_fragments
+    FROM per GROUP BY target_len ORDER BY target_len
+    """,
+    tags=("corpus", "packing", "tokens", "calibration"),
+)
+def packing_length_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CONTEXT-LENGTH tuning curve for doc-isolated packing: padding
+    waste, sequence count, and fragmentation at a ladder of target
+    lengths, from ONE token-count scan. pack_constant_length grades the
+    concat-with-EOS packer (zero padding, but documents share sequences);
+    the doc-isolated mode — each doc split into ceil(tok/L) sequences,
+    the tail padded — is what you pack when cross-doc attention
+    contamination is unacceptable (contrastive/preference training), and
+    its cost is a pure function of L: small L wastes little padding but
+    shatters long docs into fragments (n_fragments - each one a truncated
+    context); large L keeps docs whole but pads short docs to death.
+    This sweep is the artifact that picks L before a 100-TB packing run
+    commits compute to it. Scale shape: one narrow scan computing the
+    wordlike token count (the same JVM regexp text_token_stats grades -
+    no tokenizer UDF needed for a WASTE model, the count is the input),
+    a 5-rung broadcast ladder cross join, one hash aggregate per rung;
+    5 output rows, zero Python stages."""
+    docs = table(spark, sf_dir, "documents", scatter=True)
+    toks = docs.select(
+        "doc_id",
+        A.wordlike_token_count(F.col("text")).cast("long").alias("tok"),
+    )
+    ladder = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(int(x)).cast("long") for x in _PACK_LADDER])
+        ).alias("target_len")
+    )
+    per = toks.crossJoin(F.broadcast(ladder)).select(
+        "target_len",
+        "tok",
+        F.expr("(tok + target_len - 1) div target_len").alias("nseq"),
+    )
+    agg = per.groupBy("target_len").agg(
+        F.sum("nseq").cast("long").alias("n_seqs"),
+        F.sum("tok").cast("long").alias("total_tokens"),
+        F.sum(
+            F.when(F.col("tok") > 0, F.col("nseq") - 1).otherwise(F.lit(0))
+        ).cast("long").alias("n_fragments"),
+    )
+    return (
+        agg.select(
+            F.col("target_len").cast("long").alias("target_len"),
+            "n_seqs",
+            "total_tokens",
+            (F.col("n_seqs") * F.col("target_len"))
+            .cast("long")
+            .alias("padded_tokens"),
+            rounded_div_col(
+                (F.col("n_seqs") * F.col("target_len") - F.col("total_tokens"))
+                * F.lit(1_000_000),
+                F.col("n_seqs") * F.col("target_len"),
+            ).alias("pad_waste_ppm"),
+            "n_fragments",
+        )
+        .coalesce(1)
+        .sortWithinPartitions("target_len")
     )

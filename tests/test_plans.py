@@ -624,3 +624,15 @@ def test_probe_sweep_pruned_index_no_cartesian(q):
     assert any("list_id" in s and "embedding" not in s for s in schemas), (
         "index scan must prune the embedding column"
     )
+
+
+def test_packing_sweep_single_scan_no_python(q):
+    """The packing-length sweep is a waste MODEL, not a tokenizer run:
+    one narrow documents scan (doc_id + text), a broadcast ladder NLJ,
+    zero Python/Arrow stages — sweeping L must never re-tokenize."""
+    df = q("packing_length_sweep")
+    plan = I.formatted_plan(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    schemas = I.scan_read_schemas(df)
+    assert sum("text" in s for s in schemas) == 1  # exactly one doc scan
