@@ -3385,3 +3385,75 @@ def lsh_scurve_calibration(spark: SparkSession, sf_dir: str):
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# band-index coverage / freshness audit (the index lifecycle's health check)
+# ---------------------------------------------------------------------------
+
+# k=128 signature rows / 8 rows per band = 16 band rows per indexed doc —
+# the structural invariant of the persisted index (every signature emits
+# exactly k entries, sentinel-filled for shingle-free docs, so 16 holds
+# for EVERY corpus doc, not just long ones)
+_N_BANDS = 16
+
+
+@query(
+    "band_index_coverage_audit",
+    # first-principles expectation: every corpus doc is fully indexed —
+    # exactly one 'full' row with 16 band rows per doc. A partial nightly
+    # backfill (some buckets written, job died), a doc dropped by an
+    # index-build filter, or an orphaned id left by a botched takedown
+    # each produce a DIFFERENT row set and hash-fail the gate.
+    oracle="""
+    SELECT 'full' AS coverage,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) * 16 AS BIGINT) AS n_band_rows
+    FROM documents
+    """,
+    tags=("dedup", "lsh", "index", "audit", "governance"),
+)
+def band_index_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COVERAGE audit of the persisted band index against the corpus of
+    record — the lifecycle check that runs after every nightly build,
+    because index gaps are SILENT: a doc missing from the index escapes
+    every future incremental dedup forever (nothing downstream ever
+    errors — duplicates just ship), and an orphan id resurrects deleted
+    content into candidate pairs after a takedown. Classes: full (exactly
+    16 band rows — the k=128/8-rows-per-band structural invariant),
+    partial (a half-written doc: some buckets flushed before a build
+    died), missing (in corpus, not indexed), orphan (indexed, not in
+    corpus). Scale shape: the index scan reads ONLY doc_id (column-pruned
+    — no bh, no signature, no text), one count per doc_id, a full outer
+    join against the corpus's id column, <=4 output rows; at 100 TB this
+    is a metadata-only nightly gate like ivf_list_balance. The oracle
+    derives the expected coverage from first principles (every corpus doc
+    fully indexed), so the INDEX CONTENT is what's graded — any deviation
+    changes the engine's row set and fails the hash."""
+    t, _ = _ensure_band_index(spark, sf_dir)
+    per = spark.table(t).groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    base = table(spark, sf_dir, "documents", scatter=True).select(
+        "doc_id", F.lit(1).alias("in_corpus")
+    )
+    j = base.join(per, "doc_id", "full")
+    cls = (
+        F.when(F.col("in_corpus").isNull(), F.lit("orphan"))
+        .when(F.col("c").isNull(), F.lit("missing"))
+        .when(F.col("c") == _N_BANDS, F.lit("full"))
+        .otherwise(F.lit("partial"))
+    )
+    return (
+        j.select(
+            cls.alias("coverage"),
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        )
+        .groupBy("coverage")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("c").cast("long").alias("n_band_rows"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("coverage")
+    )

@@ -636,3 +636,16 @@ def test_packing_sweep_single_scan_no_python(q):
     assert "CartesianProduct" not in plan
     schemas = I.scan_read_schemas(df)
     assert sum("text" in s for s in schemas) == 1  # exactly one doc scan
+
+
+def test_coverage_audit_prunes_index_and_text(q):
+    """The coverage audit is a metadata gate: the index scan reads ONLY
+    doc_id (no bh, no signature), the corpus scan reads ONLY doc_id (no
+    text), and nothing is signed at audit time (no Arrow stages)."""
+    df = q("band_index_coverage_audit")
+    plan = I.formatted_plan(df)
+    assert "bkt_band_index_" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    schemas = I.scan_read_schemas(df)
+    assert all("text" not in s for s in schemas)
+    assert all("bh" not in s for s in schemas)
