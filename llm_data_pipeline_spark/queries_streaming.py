@@ -864,3 +864,68 @@ def streaming_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+@query(
+    "streaming_event_topk_bounded",
+    # streaming == batch: the exact per-type top-10 leaderboard
+    oracle="""
+    SELECT event_type, event_id, value, rank FROM (
+      SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id) AS rank
+      FROM events
+    ) WHERE rank <= 10
+    ORDER BY event_type, rank
+    """,
+    tags=("streaming", "events", "topk", "state"),
+)
+def streaming_event_topk_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type top-10 LEADERBOARD on an event stream with O(k) state —
+    the bounded-top-k stateful operator (streaming/state.py:
+    streaming_topk, the round-9 ANN-serving fix) instantiated on a second
+    domain to grade its generality: the grouping key is a STRING
+    (event_type) and the candidates arrive from the raw stream rather
+    than a stream-static join. The naive formulation (rank the full
+    history per micro-batch, or collect_list per type) keeps O(stream)
+    state; here each event either displaces a leaderboard entry or is
+    discarded on arrival, so per-type state is exactly <=10 (neg, id)
+    pairs forever — at 100 TB/day of events the state store size is
+    n_types x k structs, independent of stream age. Tie-break (value
+    desc, event_id asc) matches the batch oracle's window exactly;
+    the defensive last-update pick keeps the answer micro-batch-count-
+    independent (same contract as streaming_embedding_topk)."""
+    from pyspark.sql.types import StringType
+
+    from llm_data_pipeline_spark.streaming.state import streaming_topk
+    from llm_data_pipeline_spark.streaming.stream import (
+        read_parquet_stream,
+        run_to_memory,
+    )
+
+    ev = read_parquet_stream(spark, f"{sf_dir}/events.parquet", ts_col=None)
+    scored = ev.select(
+        "event_type",
+        (-F.col("value")).alias("neg"),
+        F.col("event_id").alias("vec_id"),
+    )
+    agg = streaming_topk(scored, key="event_type", key_type=StringType())
+    out = run_to_memory(agg, mode="update", state_partitions=4)
+    last = out.groupBy("event_type").agg(
+        F.max_by(F.struct("negs", "vec_ids"), "n_scored").alias("s")
+    )
+    return (
+        last.select(
+            "event_type",
+            F.posexplode(
+                F.arrays_zip(F.col("s.negs"), F.col("s.vec_ids"))
+            ).alias("pos", "hit"),
+        )
+        .select(
+            "event_type",
+            F.col("hit.vec_ids").alias("event_id"),
+            (-F.col("hit.negs")).alias("value"),
+            (F.col("pos") + 1).cast("int").alias("rank"),
+        )
+        .orderBy("event_type", "rank")
+    )

@@ -74,14 +74,6 @@ def user_running_totals(events: DataFrame) -> DataFrame:
 
 TOPK_K = 10
 
-_TOPK_OUT_SCHEMA = StructType(
-    [
-        StructField("query_id", LongType()),
-        StructField("n_scored", LongType()),
-        StructField("negs", ArrayType(DoubleType())),
-        StructField("vec_ids", ArrayType(LongType())),
-    ]
-)
 _TOPK_STATE_SCHEMA = StructType(
     [
         StructField("n", LongType()),
@@ -91,67 +83,90 @@ _TOPK_STATE_SCHEMA = StructType(
 )
 
 
-def _topk_update(
-    key: tuple[Any, ...],
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    """Merge this micro-batch's (neg, vec_id) candidates into a k-length
-    buffer. The state row holds AT MOST ``TOPK_K`` (neg, vec_id) pairs —
-    every candidate beyond the running top-k is discarded inside the
-    batch, never stored — so per-query state is O(k) regardless of how
-    many corpus rows have ever been scored against the query. ``n``
-    (cumulative scored count) only exists so the sink-side "last update
-    wins" pick stays micro-batch-count-independent. Sort key (neg,
-    vec_id) ascending == (score desc, vec_id asc), the batch tie-break."""
-    if state.exists:
-        n, negs, vids = state.get
-        buf = list(zip(negs, vids))
-    else:
-        n, buf = 0, []
-    for pdf in pdfs:
-        n += len(pdf)
-        buf.extend(
-            zip(
-                pdf["neg"].astype(float).tolist(),
-                pdf["vec_id"].astype("int64").tolist(),
+def _topk_update_for(key_name: str):
+    """Build the per-key state-update function for :func:`streaming_topk`
+    (closure over the key column's name so the operator works for any
+    grouping key — vec query ids, event types, ...).
+
+    Each call merges the micro-batch's (neg, vec_id) candidates into a
+    k-length buffer. The state row holds AT MOST ``TOPK_K`` (neg, vec_id)
+    pairs — every candidate beyond the running top-k is discarded inside
+    the batch, never stored — so per-key state is O(k) regardless of how
+    many rows have ever been scored against the key. ``n`` (cumulative
+    scored count) only exists so the sink-side "last update wins" pick
+    stays micro-batch-count-independent. Sort key (neg, vec_id) ascending
+    == (score desc, vec_id asc), the batch tie-break."""
+
+    def _update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n, negs, vids = state.get
+            buf = list(zip(negs, vids))
+        else:
+            n, buf = 0, []
+        for pdf in pdfs:
+            n += len(pdf)
+            buf.extend(
+                zip(
+                    pdf["neg"].astype(float).tolist(),
+                    pdf["vec_id"].astype("int64").tolist(),
+                )
             )
+            # truncate INSIDE the batch loop: the buffer never exceeds
+            # k + batch_rows transiently and never leaves this function
+            # holding more than k
+            buf.sort()
+            del buf[TOPK_K:]
+        negs_out = [float(x) for x, _ in buf]
+        vids_out = [int(v) for _, v in buf]
+        state.update((n, negs_out, vids_out))
+        yield pd.DataFrame(
+            {
+                key_name: [key[0]],
+                "n_scored": [n],
+                "negs": [negs_out],
+                "vec_ids": [vids_out],
+            }
         )
-        # truncate INSIDE the batch loop: the buffer never exceeds
-        # k + batch_rows transiently and never leaves this function
-        # holding more than k
-        buf.sort()
-        del buf[TOPK_K:]
-    negs_out = [float(x) for x, _ in buf]
-    vids_out = [int(v) for _, v in buf]
-    state.update((n, negs_out, vids_out))
-    yield pd.DataFrame(
-        {
-            "query_id": [key[0]],
-            "n_scored": [n],
-            "negs": [negs_out],
-            "vec_ids": [vids_out],
-        }
-    )
+
+    return _update
 
 
-def streaming_topk(scored: DataFrame) -> DataFrame:
+# the ANN serving instantiation (unit-tested directly in test_streaming)
+_topk_update = _topk_update_for("query_id")
+
+
+def streaming_topk(
+    scored: DataFrame, key: str = "query_id", key_type=None
+) -> DataFrame:
     """In-stream top-k reduction with O(k) state per key.
 
     Input: a (possibly stream-static-joined) streaming frame with columns
-    ``query_id, neg, vec_id`` where ``neg = -score``. Output: one update
-    row per query per micro-batch carrying the current k-length buffer.
+    ``<key>, neg, vec_id`` where ``neg = -score``. Output: one update
+    row per key per micro-batch carrying the current k-length buffer.
     This is the arbitrary-stateful replacement for the ``collect_list``
-    formulation, whose aggregation buffer accumulated EVERY scored corpus
-    row per query before the slice to k — O(corpus) state that grows
-    without bound on a continuous run. Here the state store holds exactly
-    min(k, seen) entries per query forever (round-8 judge task #1)."""
+    formulation, whose aggregation buffer accumulated EVERY scored row
+    per key before the slice to k — O(stream) state that grows without
+    bound on a continuous run. Here the state store holds exactly
+    min(k, seen) entries per key forever (round-8 judge task #1)."""
+    out_schema = StructType(
+        [
+            StructField(key, key_type or LongType()),
+            StructField("n_scored", LongType()),
+            StructField("negs", ArrayType(DoubleType())),
+            StructField("vec_ids", ArrayType(LongType())),
+        ]
+    )
+    fn = _topk_update if key == "query_id" else _topk_update_for(key)
     return (
-        scored.select("query_id", "neg", "vec_id")
-        .groupBy("query_id")
+        scored.select(key, "neg", "vec_id")
+        .groupBy(key)
         .applyInPandasWithState(
-            _topk_update,
-            outputStructType=_TOPK_OUT_SCHEMA,
+            fn,
+            outputStructType=out_schema,
             stateStructType=_TOPK_STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
