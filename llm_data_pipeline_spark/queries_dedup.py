@@ -3457,3 +3457,121 @@ def band_index_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .sortWithinPartitions("coverage")
     )
+
+
+# ---------------------------------------------------------------------------
+# memorization exposure: duplication x upsampling interaction audit
+# ---------------------------------------------------------------------------
+
+# the upsampling policy's max intended epochs (quality_upsample_epochs'
+# top-decile repeat factor): any content exposure beyond this means
+# duplication is amplifying past what the mix DESIGNED for
+_EXPOSURE_BUDGET = 4
+
+
+def _exposure_oracle() -> str:
+    from llm_data_pipeline_spark.queries_text import (
+        QUALITY_DECILE_SQL,
+        TEXT_BASE_SQL,
+    )
+
+    return f"""
+    WITH RECURSIVE {AUG_SQL.strip()},
+    {SHINGLE_SQL.strip()},
+    edges AS (SELECT u, v FROM jac WHERE jaccard >= 0.5),
+    sym AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+    walk(id, comp) AS (
+      SELECT DISTINCT u, u FROM sym
+      UNION
+      SELECT s.v, w.comp FROM walk w JOIN sym s ON s.u = w.id
+    ),
+    comps AS (SELECT id AS doc_id, min(comp) AS component FROM walk GROUP BY id),
+    fams AS (SELECT component, count(*) AS fsize FROM comps GROUP BY component),
+    {TEXT_BASE_SQL.strip().lstrip()},
+    q AS (SELECT doc_id, {QUALITY_DECILE_SQL} AS decile FROM feat),
+    ex AS (
+      SELECT d.doc_id,
+             CAST(coalesce(f.fsize, 1) AS BIGINT) AS family_size,
+             CAST(CASE WHEN q.decile >= 9 THEN 4 WHEN q.decile = 8 THEN 3
+                       WHEN q.decile = 7 THEN 2 ELSE 1 END AS BIGINT) AS epochs
+      FROM documents d
+      JOIN q ON q.doc_id = d.doc_id
+      LEFT JOIN comps c ON c.doc_id = d.doc_id
+      LEFT JOIN fams f ON f.component = c.component
+    )
+    SELECT family_size, epochs,
+           CAST(family_size * epochs AS BIGINT) AS exposure,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           (family_size * epochs > {_EXPOSURE_BUDGET}) AS over_budget
+    FROM ex
+    GROUP BY family_size, epochs
+    ORDER BY exposure, family_size, epochs
+    """
+
+
+@query(
+    "memorization_exposure_audit",
+    oracle=_exposure_oracle(),
+    tags=("dedup", "trainprep", "governance", "audit"),
+)
+def memorization_exposure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The duplication x upsampling INTERACTION audit — per base document,
+    how many times one pass of the upsampled mix shows the model this
+    CONTENT: exposure = near-dup family size x quality-epoch repeat
+    factor. Dedup and upsampling are each graded alone
+    (dedup_cluster_size_histogram, quality_upsample_epochs) but they
+    COMPOUND: a 4-member duplicate family in the 4-epoch top decile is 16
+    exposures — squarely in memorization territory (duplication is the
+    dominant memorization driver, Kandpal/Carlini 2022) while each knob
+    alone looks within budget. Rows: (family_size, epochs) cells with doc
+    counts and an over_budget flag against the policy's max intended
+    epochs ({_EXPOSURE_BUDGET}); any over-budget mass is the set dedup
+    MUST remove before the sampler may upsample. Scale shape: family
+    sizes are SERVED from the persisted component map (the nightly dedup
+    byproduct takedown_indexed reads — one doc_id+component scan, never a
+    re-shingle), the quality decile is the same one-scan integer-ppm
+    scorer the upsample plan uses, one doc_id join between them, <=20
+    output cells. The oracle replays BOTH chains from first principles
+    (trigram-Jaccard >= 0.5 pair graph -> recursive components; the
+    integer-ppm decile), so the persisted map's content is graded too."""
+    from llm_data_pipeline_spark.functions.analysis import with_quality_ppm
+
+    path = _ensure_component_index(spark, sf_dir)
+    comps = spark.read.parquet(path)
+    fams = comps.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("fsize")
+    )
+    fam_by_doc = comps.join(F.broadcast(fams), "component").select(
+        "doc_id", "fsize"
+    )
+    docs = table(spark, sf_dir, "documents", scatter=True)
+    ep = with_quality_ppm(docs).select(
+        "doc_id",
+        F.when(F.expr("q_ppm div 100000") >= 9, 4)
+        .when(F.expr("q_ppm div 100000") == 8, 3)
+        .when(F.expr("q_ppm div 100000") == 7, 2)
+        .otherwise(1)
+        .cast("long")
+        .alias("epochs"),
+    )
+    ex = ep.join(fam_by_doc, "doc_id", "left").select(
+        "epochs",
+        F.coalesce(F.col("fsize"), F.lit(1)).cast("long").alias("family_size"),
+    )
+    return (
+        ex.groupBy("family_size", "epochs")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .select(
+            "family_size",
+            "epochs",
+            (F.col("family_size") * F.col("epochs"))
+            .cast("long")
+            .alias("exposure"),
+            "n_docs",
+            (F.col("family_size") * F.col("epochs") > _EXPOSURE_BUDGET).alias(
+                "over_budget"
+            ),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("exposure", "family_size", "epochs")
+    )

@@ -649,3 +649,18 @@ def test_coverage_audit_prunes_index_and_text(q):
     schemas = I.scan_read_schemas(df)
     assert all("text" not in s for s in schemas)
     assert all("bh" not in s for s in schemas)
+
+
+def test_exposure_audit_serves_component_map(q):
+    """The exposure audit must SERVE family sizes from the persisted
+    component map (the nightly dedup byproduct), never re-shingle or
+    rebuild the pair graph at audit time: the plan scans the
+    component_index_ artifact, contains zero Python/Arrow stages (the
+    quality scorer is native integer-ppm), and reads document text
+    exactly once."""
+    df = q("memorization_exposure_audit")
+    plan = I.formatted_plan(df)
+    assert "component_index_" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    schemas = I.scan_read_schemas(df)
+    assert sum("text" in s for s in schemas) == 1
