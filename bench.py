@@ -307,7 +307,10 @@ def main() -> None:
     if run_steady and not extra and os.environ.get("BENCH_LATE", "1") != "0":
         import gc
 
-        for name in [n for n in HEADLINE if n in times]:
+        # round 9: the late pass covers HEADLINE_V2 (= HEADLINE + the
+        # serve/audit family) so headline_v2_total is a true min-of-3
+        # for every query it sums, same as the frozen headline
+        for name in [n for n in HEADLINE_V2 if n in times]:
             spark.catalog.clearCache()
             drop_persistent_rdds()
             gc.collect()
