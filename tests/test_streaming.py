@@ -117,3 +117,57 @@ def test_topk_state_bounded_to_k():
     assert list(zip(negs, vids)) == [(float(a), int(b)) for a, b in truth]
     # emitted row mirrors the k-bounded state
     assert len(out[-1]["negs"].iloc[0]) == TOPK_K
+
+
+def test_streaming_topk_multi_batch_equals_batch(spark, tmp_path):
+    """Cross-micro-batch state merge in the REAL engine (the unit test
+    above simulates batches): 8 files streamed with maxFilesPerTrigger=1
+    force 8 micro-batches; the k-buffer must carry across all of them —
+    final per-key top-10 equals the batch window answer and the
+    cumulative n_scored proves every batch reached the state."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from llm_data_pipeline_spark.streaming.state import streaming_topk
+    from llm_data_pipeline_spark.streaming.stream import run_to_memory
+
+    src = spark.range(800).select(
+        (F.col("id") % 4).alias("query_id"),
+        F.col("id").alias("vec_id"),
+        # deterministic pseudo-random doubles, exact on replay
+        ((F.xxhash64(F.col("id")) % 100000) / 1000.0).alias("score"),
+    )
+    path = str(tmp_path / "topk_src")
+    src.repartition(8).write.parquet(path)
+    batch = spark.read.parquet(path)
+
+    sdf = spark.readStream.schema(batch.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(path)
+    agg = streaming_topk(
+        sdf.select("query_id", (-F.col("score")).alias("neg"), "vec_id")
+    )
+    out = run_to_memory(agg, mode="update", state_partitions=4)
+    # >1 update row per key proves multiple micro-batches actually ran
+    assert out.groupBy("query_id").count().agg(F.min("count")).collect()[0][0] > 1
+    last = out.groupBy("query_id").agg(
+        F.max("n_scored").alias("n_scored"),
+        F.max_by(F.struct("negs", "vec_ids"), "n_scored").alias("s"),
+    )
+    rows = last.collect()
+    assert all(r["n_scored"] == 200 for r in rows)  # every batch merged
+    got = {
+        (r["query_id"], i): (-r["s"]["negs"][i], r["s"]["vec_ids"][i])
+        for r in rows
+        for i in range(len(r["s"]["negs"]))
+    }
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("vec_id")
+    )
+    want = {
+        (r["query_id"], r["rn"] - 1): (r["score"], r["vec_id"])
+        for r in batch.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .collect()
+    }
+    assert got == want
