@@ -112,6 +112,7 @@ def load_all() -> None:
     import llm_data_pipeline_spark.queries_corpus  # noqa: F401
     import llm_data_pipeline_spark.queries_webclean  # noqa: F401
     import llm_data_pipeline_spark.queries_trainprep  # noqa: F401
+    import llm_data_pipeline_spark.queries_storage  # noqa: F401
 
 
 def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

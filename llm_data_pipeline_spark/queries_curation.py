@@ -1017,3 +1017,200 @@ def priority_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-style domain reweighting (one linearized excess-loss step)
+# ---------------------------------------------------------------------------
+
+# multiplicative-update cap: one nat of excess loss doubles the factor
+# ceiling (factor in [1, 2] per step, integer micro-units)
+_DOREMI_CAP = 1_000_000
+
+from llm_data_pipeline_spark.functions.intmath import (  # noqa: E402
+    rounded_div_col,
+    rounded_div_sql,
+)
+
+_LN_MICRO = "CAST(round(ln({x}) * 1000000) AS BIGINT)"
+
+
+@query(
+    "doremi_domain_reweight",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source,
+             unnest(list_filter(string_split(trim(regexp_replace(
+                 lower(coalesce(text,'')), '\\s+', ' ', 'g')), ' '),
+                 x -> x <> '')) AS w
+      FROM documents
+    ),
+    dw AS (
+      SELECT source, w, CAST(count(*) AS BIGINT) AS c_dw
+      FROM toks GROUP BY 1, 2
+    ),
+    d AS (SELECT source, CAST(sum(c_dw) AS BIGINT) AS c_d FROM dw GROUP BY 1),
+    wt AS (SELECT w, CAST(sum(c_dw) AS BIGINT) AS c_w FROM dw GROUP BY 1),
+    tot AS (SELECT CAST(sum(c_dw) AS BIGINT) AS t FROM dw),
+    terms AS (
+      SELECT dw.source,
+             dw.c_dw * ({_LN_MICRO.format(x="dw.c_dw * tot.t")}
+                      - {_LN_MICRO.format(x="d.c_d * wt.c_w")}) AS num
+      FROM dw JOIN d USING (source) JOIN wt USING (w) CROSS JOIN tot
+    ),
+    klsum AS (
+      SELECT source, CAST(sum(num) AS BIGINT) AS num_sum
+      FROM terms GROUP BY source
+    ),
+    nd AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ),
+    kl AS (
+      SELECT k.source, nd.n_docs, d.c_d AS n_tokens,
+             CAST({rounded_div_sql('(d.c_d * 1000000)', 'tot.t')} AS BIGINT)
+               AS base_share_ppm,
+             CAST({rounded_div_sql('k.num_sum', 'd.c_d')} AS BIGINT)
+               AS kl_micro_nats
+      FROM klsum k JOIN d USING (source) JOIN nd USING (source)
+      CROSS JOIN tot
+    ),
+    u AS (
+      SELECT *,
+             CAST({rounded_div_sql(
+                 f'(base_share_ppm * (1000000 + greatest(0, least(kl_micro_nats, {_DOREMI_CAP}))))',
+                 '1000000')} AS BIGINT) AS unnorm
+      FROM kl
+    )
+    SELECT source, n_docs, n_tokens, base_share_ppm, kl_micro_nats,
+           CAST({rounded_div_sql('(unnorm * 1000000)',
+                                 'sum(unnorm) OVER ()')} AS BIGINT)
+             AS new_weight_ppm
+    FROM u ORDER BY source
+    """,
+    tags=("curation", "mixing", "trainprep", "calibration"),
+)
+def doremi_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One DoReMi-style domain-reweighting step (Xie et al. 2023, public):
+    upweight the domains whose distribution the current mixture explains
+    WORST, so the next training mix spends tokens where the model is
+    furthest behind. The excess-loss signal is computed exactly instead
+    of with a proxy-model training run: per domain, the per-token excess
+    of the mixture LM's cross-entropy over the domain's own entropy is
+    KL(domain || corpus) — the word-unigram divergence between the
+    domain's token distribution and the whole-mix distribution, in
+    integer micro-nats (per-word terms c_dw * (ln(c_dw*T) - ln(c_d*c_w)),
+    ln on exact integer products — the established cross-engine-
+    deterministic form, cf. source_mix_entropy). The update is the
+    linearized multiplicative step: factor = 1 + min(KL, 1 nat), applied
+    to the token-share prior and renormalized to ppm — one graded round
+    of the iterate-until-stable loop (DoReMi runs ~the same step under a
+    trained proxy; the relational form replaces the proxy with the exact
+    unigram divergence, which is the same signal at step one).
+
+    Scale shape: ONE explode+groupBy((source, word)) over the corpus
+    (map-side combinable), then everything is vocabulary-bounded: domain
+    totals broadcast (n_domains rows), the corpus word table derives from
+    the already-reduced (source, word) counts (the wt join is the only
+    vocabulary-sized shuffle), the weight renormalization is a window
+    over n_domains rows. No smoothing constant to tune: words absent
+    from a domain contribute zero to ITS divergence, and every domain
+    word exists in the corpus by construction, so the log ratio is
+    always finite. 20 output rows."""
+    docs = table(spark, sf_dir, "documents", scatter=True).select(
+        "source", "text"
+    )
+    toks = F.filter(
+        F.split(
+            F.trim(
+                F.regexp_replace(
+                    F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                    r"\s+",
+                    " ",
+                )
+            ),
+            " ",
+        ),
+        lambda x: x != "",
+    )
+    words = docs.select("source", F.explode(toks).alias("w"))
+    dw = words.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c_dw")
+    )
+    d = dw.groupBy("source").agg(F.sum("c_dw").cast("long").alias("c_d"))
+    wt = dw.groupBy("w").agg(F.sum("c_dw").cast("long").alias("c_w"))
+    tot = dw.agg(F.sum("c_dw").cast("long").alias("t"))
+
+    def lnq(c):
+        return F.round(F.log(c.cast("double")) * 1_000_000.0, 0).cast("long")
+
+    terms = (
+        dw.join(F.broadcast(d), "source")
+        .join(wt, "w")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            (
+                F.col("c_dw")
+                * (
+                    lnq(F.col("c_dw") * F.col("t"))
+                    - lnq(F.col("c_d") * F.col("c_w"))
+                )
+            ).alias("num"),
+        )
+    )
+    klsum = terms.groupBy("source").agg(
+        F.sum("num").cast("long").alias("num_sum")
+    )
+    nd = (
+        table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    kl = (
+        klsum.join(F.broadcast(d), "source")
+        .join(F.broadcast(nd), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.col("c_d").alias("n_tokens"),
+            rounded_div_col(F.col("c_d") * F.lit(1_000_000), F.col("t"))
+            .cast("long")
+            .alias("base_share_ppm"),
+            rounded_div_col(F.col("num_sum"), F.col("c_d"))
+            .cast("long")
+            .alias("kl_micro_nats"),
+        )
+    )
+    u = kl.withColumn(
+        "unnorm",
+        rounded_div_col(
+            F.col("base_share_ppm")
+            * (
+                F.lit(1_000_000)
+                + F.greatest(
+                    F.lit(0),
+                    F.least(F.col("kl_micro_nats"), F.lit(_DOREMI_CAP)),
+                )
+            ),
+            F.lit(1_000_000),
+        ).cast("long"),
+    )
+    return (
+        u.select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "base_share_ppm",
+            "kl_micro_nats",
+            rounded_div_col(
+                F.col("unnorm") * F.lit(1_000_000),
+                F.sum("unnorm").over(Window.partitionBy()),
+            )
+            .cast("long")
+            .alias("new_weight_ppm"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("source")
+    )

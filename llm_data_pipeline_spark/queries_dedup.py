@@ -3575,3 +3575,152 @@ def memorization_exposure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .sortWithinPartitions("exposure", "family_size", "epochs")
     )
+
+
+# ---------------------------------------------------------------------------
+# band-index compaction (the index lifecycle's MERGE step)
+# ---------------------------------------------------------------------------
+
+# deterministic takedown set for the compaction scenario: base docs with
+# doc_id % 7 == 3 have received removal requests before the merge runs
+_TOMB_MOD, _TOMB_RES = 7, 3
+
+
+def _compaction_oracle() -> str:
+    return f"""
+    WITH {_INC_SQL.strip()},
+    {_minhash_sig_sql("allc").strip()},
+    bandkey AS (
+      SELECT doc_id, (pos // 8)::INT AS band_id,
+             md5(string_agg(sig_val::VARCHAR, ',' ORDER BY pos)) AS bh
+      FROM sig GROUP BY doc_id, (pos // 8)
+    ),
+    base_b AS (SELECT * FROM bandkey WHERE doc_id < {INC_NEAR_OFFSET}),
+    inc_b AS (SELECT * FROM bandkey WHERE doc_id >= {INC_NEAR_OFFSET}),
+    tomb AS (
+      SELECT doc_id FROM documents WHERE doc_id % {_TOMB_MOD} = {_TOMB_RES}
+    ),
+    matches AS (
+      SELECT i.doc_id AS inc_id, b.doc_id AS base_id
+      FROM inc_b i JOIN base_b b ON b.band_id = i.band_id AND b.bh = i.bh
+      GROUP BY 1, 2 HAVING count(*) = 16
+    ),
+    alias AS (
+      SELECT m.inc_id,
+             max(CASE WHEN t.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS tombed
+      FROM matches m LEFT JOIN tomb t ON t.doc_id = m.base_id
+      GROUP BY m.inc_id
+    ),
+    cls AS (
+      SELECT CASE WHEN d.doc_id % {_TOMB_MOD} = {_TOMB_RES}
+                  THEN 'base_tombstoned' ELSE 'base_kept' END AS action
+      FROM documents d
+      UNION ALL
+      SELECT CASE WHEN a.tombed = 1 THEN 'inc_tombstoned'
+                  WHEN a.tombed = 0 THEN 'inc_aliased'
+                  ELSE 'inc_kept' END
+      FROM inc i LEFT JOIN alias a ON a.inc_id = i.doc_id
+    )
+    SELECT action, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) * 16 AS BIGINT) AS n_band_rows,
+           (action IN ('base_kept', 'inc_kept')) AS retained
+    FROM cls GROUP BY action ORDER BY action
+    """
+
+
+@query(
+    "band_index_compaction",
+    oracle=_compaction_oracle(),
+    tags=("dedup", "lsh", "index", "governance", "lifecycle"),
+)
+def band_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index lifecycle's MERGE step — nightly compaction folds the
+    daily append legs into the base band index, applies accumulated
+    takedown tombstones, and retires exact-content re-ingest aliases.
+    Closes the lifecycle the other graded queries cover piecewise: BUILD
+    (minhash_band_index_build) -> SERVE (minhash_bucketed_index_dedup) ->
+    APPEND (_ensure_signed_increment) -> COVERAGE
+    (band_index_coverage_audit) -> COMPACT (this).
+
+    The governance teeth are the alias classes: an increment document
+    whose 16/16 band keys match an indexed base document is the SAME
+    content under a new id (full-signature identity — band keys are md5
+    of the exact 8-value slices, so 16 band matches <=> signature
+    equality). If the matched base doc is tombstoned, the re-ingest is
+    dropped as inc_tombstoned — WITHOUT alias detection, compaction would
+    happily re-admit taken-down content under its fresh id, silently
+    undoing the takedown (the resurrection hole
+    band_index_coverage_audit's orphan class watches from the other
+    side). Matches against kept base docs compact away as inc_aliased
+    (the index needs one entry per content, reference dedup/dedup.py:50's
+    keep-first rule at index granularity).
+
+    Scale shape: pure SERVE — the base index is the persisted bucketed
+    table (bh side never re-shuffles), the increment's band rows derive
+    from its write-once signature artifact (no document is ever
+    re-signed: zero Arrow stages, plan-guarded), the alias join is
+    bucket-colocated on bh with the tiny increment side exchanging, and
+    the output is a <=5-row class summary whose n_band_rows counts come
+    from the REAL index rows (a half-written doc or a lost band row
+    changes the sums and fails the hash against the oracle's
+    from-first-principles replay of signatures, banding, 16/16 identity,
+    and the tombstone rule)."""
+    from llm_data_pipeline_spark.operators.lsh import band_index_rows
+
+    inc_sig = spark.read.parquet(_ensure_signed_increment(spark, sf_dir))
+    t_index, _ = _ensure_band_index(spark, sf_dir)
+    inc_bands = band_index_rows(inc_sig, rows_per_band=8)
+    base = spark.table(t_index)
+    matches = (
+        inc_bands.select("bh", F.col("doc_id").alias("inc_id"))
+        .join(base.select("bh", F.col("doc_id").alias("base_id")), "bh")
+        .groupBy("inc_id", "base_id")
+        .agg(F.count(F.lit(1)).alias("nb"))
+        .where(F.col("nb") == 16)
+    )
+    tomb = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % _TOMB_MOD == _TOMB_RES)
+        .select(F.col("doc_id").alias("base_id"), F.lit(1).alias("_t"))
+    )
+    alias_flag = (
+        matches.join(F.broadcast(tomb), "base_id", "left")
+        .groupBy("inc_id")
+        .agg(F.max(F.coalesce(F.col("_t"), F.lit(0))).alias("tombed"))
+    )
+    base_rows = base.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("nrows")
+    )
+    base_cls = base_rows.select(
+        F.when(
+            F.col("doc_id") % _TOMB_MOD == _TOMB_RES, F.lit("base_tombstoned")
+        )
+        .otherwise(F.lit("base_kept"))
+        .alias("action"),
+        "nrows",
+    )
+    inc_rows = inc_bands.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("nrows")
+    )
+    inc_cls = inc_rows.join(
+        alias_flag.withColumnRenamed("inc_id", "doc_id"), "doc_id", "left"
+    ).select(
+        F.when(F.col("tombed") == 1, F.lit("inc_tombstoned"))
+        .when(F.col("tombed") == 0, F.lit("inc_aliased"))
+        .otherwise(F.lit("inc_kept"))
+        .alias("action"),
+        "nrows",
+    )
+    return (
+        base_cls.unionByName(inc_cls)
+        .groupBy("action")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nrows").cast("long").alias("n_band_rows"),
+        )
+        .withColumn(
+            "retained", F.col("action").isin("base_kept", "inc_kept")
+        )
+        .coalesce(1)
+        .sortWithinPartitions("action")
+    )

@@ -1,0 +1,488 @@
+"""Storage-layout queries: the data-layout operations a 100 TB parquet
+lake runs BETWEEN pipeline stages — Z-order clustering for multi-column
+scan pruning, small-file compaction planning, and Bloom-filter file
+skipping for point lookups.
+
+Engine-native additions (no reference counterpart — SURVEY.md §2
+extension set): the reference materializes every stage to parquet
+(src/llm_data_pipeline/dedup/run.py's write_parquet sinks) but never
+manages the LAYOUT of what it wrote; at 100 TB layout is where scan time
+goes — a filter that prunes 98% of files beats any executor-side
+optimization. These are the lakehouse OPTIMIZE / ZORDER / bloom-index
+moves (public Delta/Iceberg designs) expressed as graded, deterministic
+relational plans: each query computes the layout decision AND its
+measurable payoff (files skipped, bytes compacted) so the decision is
+hash-checked against a DuckDB replay, not asserted.
+
+Every query follows the registry determinism policy (stable ORDER BY,
+identical aliases, integer ppm metrics, portable md5 hashing from
+functions/hashing.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from llm_data_pipeline_spark.functions.hashing import DUCKDB_HASH60, portable_hash60
+from llm_data_pipeline_spark.functions.intmath import rounded_div_col, rounded_div_sql
+from llm_data_pipeline_spark.queries import query, table
+
+# ---------------------------------------------------------------------------
+# Z-order clustering: multi-column locality -> file skipping
+# ---------------------------------------------------------------------------
+
+# 4 bits per dimension -> 8-bit z-value; 64 shards models one parquet
+# file per shard (zone-map granularity)
+_Z_BITS = 4
+_Z_SHARDS = 64
+_Z_LEN_DIV = 256  # n_chars bucket width
+
+
+def _z_interleave_sql(a: str, b: str, idiv: str = "//") -> str:
+    """Bit-interleave two {0..15} ints: bit i of ``a`` lands at 2i+1, bit
+    i of ``b`` at 2i — identical integer arithmetic in both engines
+    (``idiv`` is '//' for DuckDB, 'div' for Spark SQL)."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({a}) {idiv} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+        terms.append(f"((({b}) {idiv} {1 << i}) % 2) * {1 << (2 * i)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "zorder_layout_pruning",
+    oracle=f"""
+    WITH ranked_lang AS (
+      SELECT lang, (row_number() OVER (ORDER BY lang) - 1)::BIGINT AS lr
+      FROM (SELECT DISTINCT lang FROM documents)
+    ),
+    keyed AS (
+      SELECT d.doc_id, d.lang,
+             {_z_interleave_sql(
+                 "least(rl.lr, 15)",
+                 "least(coalesce(d.n_chars, 0) // " + str(_Z_LEN_DIV) + ", 15)")}
+               AS z
+      FROM documents d JOIN ranked_lang rl ON rl.lang = d.lang
+    ),
+    layouts AS (
+      SELECT 'ingest_order' AS layout, lang,
+             ntile({_Z_SHARDS}) OVER (ORDER BY doc_id) AS shard
+      FROM keyed
+      UNION ALL
+      SELECT 'zorder', lang,
+             ntile({_Z_SHARDS}) OVER (ORDER BY z, doc_id) AS shard
+      FROM keyed
+    ),
+    pairs AS (
+      SELECT layout, count(*) AS lang_shard_pairs
+      FROM (SELECT DISTINCT layout, lang, shard FROM layouts) GROUP BY layout
+    ),
+    nl AS (SELECT count(DISTINCT lang) AS n_langs FROM documents)
+    SELECT layout,
+           CAST({_Z_SHARDS} AS BIGINT) AS n_shards,
+           CAST(lang_shard_pairs AS BIGINT) AS lang_shard_pairs,
+           CAST({_Z_SHARDS} * n_langs AS BIGINT) AS pairs_possible,
+           CAST({rounded_div_sql(
+               f'(({_Z_SHARDS} * n_langs - lang_shard_pairs) * 1000000)',
+               f'({_Z_SHARDS} * n_langs)')} AS BIGINT) AS scan_avoid_ppm
+    FROM pairs CROSS JOIN nl ORDER BY layout
+    """,
+    tags=("storage", "layout", "zorder", "pruning"),
+)
+def zorder_layout_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER clustering payoff, measured: interleave the bits of
+    (lang rank, length bucket) into one z-value, range-split the corpus
+    into {S} shard files by z, and count how many (lang, shard) pairs
+    remain — each pair is a file a `lang = L` predicate must READ because
+    the file's zone map (per-file lang min/max) cannot exclude it. The
+    ingest-order layout scatters every lang across every file
+    (scan_avoid ~ 0); the z-order layout concentrates each lang into few
+    files, and scan_avoid_ppm IS the fraction of file reads a zone-map-
+    aware scan skips — the number that justifies an OPTIMIZE ZORDER pass
+    before a 100-TB read-heavy phase. The z-value is the standard
+    bit-interleave (public Delta/Iceberg design), so ONE layout serves
+    predicates on EITHER column — unlike a plain sort by lang, which
+    destroys length locality. Scale shape: the rank table is a broadcast
+    of n_langs rows; the z computation is a narrow integer map; NTILE
+    here is the exact stand-in for repartitionByRange(z) (the sampled
+    range partitioner at 100 TB); the payoff audit is one
+    distinct + count per layout. 2 output rows."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    ranked = (
+        docs.select("lang")
+        .distinct()
+        .select(
+            "lang",
+            (F.row_number().over(Window.orderBy("lang")) - 1)
+            .cast("long")
+            .alias("lr"),
+        )
+    )
+    lr = F.least(F.col("lr"), F.lit(15))
+    lb = F.least(
+        F.expr(f"coalesce(n_chars, 0) div {_Z_LEN_DIV}").cast("long"), F.lit(15)
+    )
+    keyed = docs.join(F.broadcast(ranked), "lang").select(
+        "doc_id",
+        "lang",
+        F.expr(
+            _z_interleave_sql(
+                "least(lr, 15)",
+                f"least(coalesce(n_chars, 0) div {_Z_LEN_DIV}, 15)",
+                idiv="div",
+            )
+        ).cast("long").alias("z"),
+    )
+    ingest = keyed.select(
+        F.lit("ingest_order").alias("layout"),
+        "lang",
+        F.ntile(_Z_SHARDS).over(Window.orderBy("doc_id")).alias("shard"),
+    )
+    zord = keyed.select(
+        F.lit("zorder").alias("layout"),
+        "lang",
+        F.ntile(_Z_SHARDS).over(Window.orderBy("z", "doc_id")).alias("shard"),
+    )
+    pairs = (
+        ingest.unionByName(zord)
+        .select("layout", "lang", "shard")
+        .distinct()
+        .groupBy("layout")
+        .agg(F.count(F.lit(1)).cast("long").alias("lang_shard_pairs"))
+    )
+    nl = docs.select("lang").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_langs")
+    )
+    return (
+        pairs.crossJoin(F.broadcast(nl))
+        .select(
+            "layout",
+            F.lit(_Z_SHARDS).cast("long").alias("n_shards"),
+            "lang_shard_pairs",
+            (F.lit(_Z_SHARDS) * F.col("n_langs")).cast("long").alias(
+                "pairs_possible"
+            ),
+            rounded_div_col(
+                (F.lit(_Z_SHARDS) * F.col("n_langs") - F.col("lang_shard_pairs"))
+                * F.lit(1_000_000),
+                F.lit(_Z_SHARDS) * F.col("n_langs"),
+            ).cast("long").alias("scan_avoid_ppm"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("layout")
+    )
+
+
+# ---------------------------------------------------------------------------
+# small-file compaction planning (OPTIMIZE bin-packing)
+# ---------------------------------------------------------------------------
+
+_COMPACT_TARGET = 1 << 18  # 256 KiB target file size (test-scale stand-in)
+_FILE_MOD = 37  # deterministic "file of ingest" model: doc_id % 37
+
+
+@query(
+    "sink_compaction_plan",
+    oracle=f"""
+    WITH files AS (
+      SELECT source, doc_id % {_FILE_MOD} AS file_id,
+             CAST(sum(coalesce(n_chars, 0)) AS BIGINT) AS bytes
+      FROM documents GROUP BY 1, 2
+    ),
+    planned AS (
+      SELECT source, file_id, bytes,
+             (sum(bytes) OVER (PARTITION BY source ORDER BY file_id
+                ROWS UNBOUNDED PRECEDING) - bytes) // {_COMPACT_TARGET} AS bin
+      FROM files
+    ),
+    bins AS (
+      SELECT source, bin, CAST(sum(bytes) AS BIGINT) AS bin_bytes
+      FROM planned GROUP BY 1, 2
+    ),
+    sa AS (
+      SELECT source,
+             CAST(sum(CASE WHEN bin_bytes < {_COMPACT_TARGET // 2}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS small_after
+      FROM bins GROUP BY source
+    ),
+    ps AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_files_before,
+             CAST(count(DISTINCT bin) AS BIGINT) AS n_files_after,
+             CAST(sum(bytes) AS BIGINT) AS bytes_total,
+             CAST(sum(CASE WHEN bytes < {_COMPACT_TARGET // 2}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS small_before
+      FROM planned GROUP BY source
+    )
+    SELECT ps.source, n_files_before, n_files_after, bytes_total,
+           small_before, sa.small_after,
+           CAST({rounded_div_sql('bytes_total', 'n_files_before')} AS BIGINT)
+             AS avg_bytes_before,
+           CAST({rounded_div_sql('bytes_total', 'n_files_after')} AS BIGINT)
+             AS avg_bytes_after
+    FROM ps JOIN sa ON sa.source = ps.source ORDER BY ps.source
+    """,
+    tags=("storage", "layout", "compaction", "sinks"),
+)
+def sink_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file COMPACTION plan for a partitioned sink — the OPTIMIZE
+    bin-packing pass every long-running lake needs: streaming ingest and
+    per-trigger micro-batches leave thousands of sub-target files per
+    partition, and at 100 TB the per-file open/footer overhead (plus the
+    driver's file-listing memory) dominates scan time long before bytes
+    do. The plan models today's files (doc_id % {mod} within each source
+    — the ingest-task sharding), then cuts the byte stream at target-size
+    offsets: bin = floor(start_offset / target) over a per-source
+    cumulative sum — the deterministic 'concatenate then cut' plan whose
+    output file count is provably minimal for order-preserving
+    compaction. Output per source: file counts and average file bytes
+    before/after plus sub-half-target stragglers (only the final tail bin
+    may remain small). Scale shape: file stats are one groupBy over the
+    sink's metadata (never the data bytes); the cumulative sum is a
+    window per source partition — at 100 TB each source plans
+    independently in parallel, and the plan is metadata-only: the rewrite
+    it drives streams file-ranges, this query never touches content.
+    20 output rows."""
+    files = (
+        table(spark, sf_dir, "documents")
+        .groupBy(
+            "source", (F.col("doc_id") % _FILE_MOD).alias("file_id")
+        )
+        .agg(F.sum(F.expr("coalesce(n_chars, 0)")).cast("long").alias("bytes"))
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    planned = files.select(
+        "source",
+        "file_id",
+        "bytes",
+        F.expr(
+            f"(sum(bytes) OVER (PARTITION BY source ORDER BY file_id "
+            f"ROWS UNBOUNDED PRECEDING) - bytes) div {_COMPACT_TARGET}"
+        ).alias("bin"),
+    )
+    bins = planned.groupBy("source", "bin").agg(
+        F.sum("bytes").cast("long").alias("bin_bytes")
+    )
+    small_after = bins.groupBy("source").agg(
+        F.sum(
+            F.when(F.col("bin_bytes") < _COMPACT_TARGET // 2, 1).otherwise(0)
+        ).cast("long").alias("small_after")
+    )
+    per_source = planned.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files_before"),
+        F.countDistinct("bin").cast("long").alias("n_files_after"),
+        F.sum("bytes").cast("long").alias("bytes_total"),
+        F.sum(
+            F.when(F.col("bytes") < _COMPACT_TARGET // 2, 1).otherwise(0)
+        ).cast("long").alias("small_before"),
+    )
+    return (
+        per_source.join(small_after, "source")
+        .select(
+            "source",
+            "n_files_before",
+            "n_files_after",
+            "bytes_total",
+            "small_before",
+            "small_after",
+            rounded_div_col(F.col("bytes_total"), F.col("n_files_before"))
+            .cast("long")
+            .alias("avg_bytes_before"),
+            rounded_div_col(F.col("bytes_total"), F.col("n_files_after"))
+            .cast("long")
+            .alias("avg_bytes_after"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter file skipping for point lookups
+# ---------------------------------------------------------------------------
+
+_BF_SHARDS = 64
+_BF_M = 8192  # bits per shard filter
+_BF_K = 3
+_BF_PROBE_MOD = 101  # probe sample: doc_id % 101 == 5
+_BF_ABSENT_OFFSET = 10_000_000
+
+_H1 = DUCKDB_HASH60.format(s="k1 || id::VARCHAR")
+_H2 = DUCKDB_HASH60.format(s="k1 || id::VARCHAR || '#2'")
+
+
+@query(
+    "bloom_file_skipping_audit",
+    oracle=f"""
+    WITH keys AS (
+      SELECT doc_id AS id, doc_id % {_BF_SHARDS} AS shard, 'k' AS k1
+      FROM documents
+    ),
+    shard_pos AS (
+      SELECT DISTINCT shard, pos FROM (
+        SELECT shard, unnest(list_transform(range({_BF_K}),
+                 i -> ({_H1} + i * {_H2}) % {_BF_M})) AS pos
+        FROM keys
+      )
+    ),
+    probes AS (
+      SELECT 'present' AS probe_class, doc_id AS id,
+             doc_id % {_BF_SHARDS} AS true_shard, 'k' AS k1
+      FROM documents WHERE doc_id % {_BF_PROBE_MOD} = 5
+      UNION ALL
+      SELECT 'absent', doc_id + {_BF_ABSENT_OFFSET}, -1, 'k'
+      FROM documents WHERE doc_id % {_BF_PROBE_MOD} = 5
+    ),
+    probe_pos AS (
+      SELECT probe_class, id, true_shard, i,
+             ({_H1} + i * {_H2}) % {_BF_M} AS pos
+      FROM probes CROSS JOIN (SELECT unnest(range({_BF_K})) AS i)
+    ),
+    hits AS (
+      SELECT p.probe_class, p.id, p.true_shard, s.shard
+      FROM probe_pos p JOIN shard_pos s ON s.pos = p.pos
+      GROUP BY 1, 2, 3, 4 HAVING count(DISTINCT p.i) = {_BF_K}
+    ),
+    hc AS (
+      SELECT probe_class,
+             count(*) AS shards_read,
+             sum(CASE WHEN shard = true_shard THEN 1 ELSE 0 END)
+               AS true_shard_reads
+      FROM hits GROUP BY probe_class
+    ),
+    agg AS (
+      SELECT pr.probe_class,
+             count(DISTINCT pr.id) AS n_probes,
+             coalesce(any_value(hc.shards_read), 0) AS shards_read,
+             coalesce(any_value(hc.true_shard_reads), 0) AS true_shard_reads
+      FROM probes pr LEFT JOIN hc ON hc.probe_class = pr.probe_class
+      GROUP BY pr.probe_class
+    )
+    SELECT probe_class,
+           CAST(n_probes AS BIGINT) AS n_probes,
+           CAST(n_probes * {_BF_SHARDS} AS BIGINT) AS reads_without_bloom,
+           CAST(shards_read AS BIGINT) AS reads_with_bloom,
+           CAST(true_shard_reads AS BIGINT) AS true_shard_reads,
+           CAST({rounded_div_sql(
+               '((shards_read - true_shard_reads) * 1000000)',
+               f'(n_probes * {_BF_SHARDS} - true_shard_reads)')} AS BIGINT)
+             AS false_positive_ppm,
+           CAST({rounded_div_sql(
+               f'((n_probes * {_BF_SHARDS} - shards_read) * 1000000)',
+               f'(n_probes * {_BF_SHARDS})')} AS BIGINT) AS scan_avoid_ppm
+    FROM agg ORDER BY probe_class
+    """,
+    tags=("storage", "layout", "bloom", "pruning"),
+)
+def bloom_file_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file BLOOM-FILTER skipping for point lookups, audited end to
+    end: the corpus is hash-sharded into {S} files by doc_id, each file
+    carries an m={m}-bit, k={k}-probe Bloom filter over its keys
+    (Kirsch–Mitzenmacher double hashing over the md5-portable 60-bit
+    family — both engines replay every probe position bit-identically),
+    and a point lookup `doc_id = X` reads ONLY the files whose filter
+    says maybe. Without the filters a hash layout gives a point lookup
+    no zone-map help at all — every one of the {S} files must be read
+    (keys are scattered by design), which is why lakehouse formats attach
+    blooms to exactly this layout. Graded per probe class: present keys
+    (every lookup must still read its true file — blooms have no false
+    negatives, asserted by true_shard_reads == n_probes) and absent keys
+    (reads_with_bloom is PURE false-positive cost). false_positive_ppm is
+    the measured FPR of the committed (m, k, load) point — the number you
+    size m against; scan_avoid_ppm is the fraction of file opens the
+    filters eliminate. Scale shape: the filter 'build' is one
+    distinct (shard, pos) projection bounded by S*m rows — never by
+    corpus size; the probe join broadcasts the tiny probe side; the
+    membership test is relational (all-k-positions containment), no
+    bitmap crosses any boundary. 2 output rows."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    key = F.concat(F.lit("k"), F.col("id").cast("string"))
+    h1 = portable_hash60(key)
+    h2 = portable_hash60(F.concat(key, F.lit("#2")))
+    keys = docs.select(
+        F.col("doc_id").alias("id"),
+        (F.col("doc_id") % _BF_SHARDS).alias("shard"),
+    )
+    shard_pos = (
+        keys.select(
+            "shard",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(_BF_K - 1)),
+                    lambda i: F.pmod(h1 + i * h2, F.lit(_BF_M)),
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    sampled = docs.where(F.col("doc_id") % _BF_PROBE_MOD == 5)
+    probes = (
+        sampled.select(
+            F.lit("present").alias("probe_class"),
+            F.col("doc_id").alias("id"),
+            (F.col("doc_id") % _BF_SHARDS).cast("long").alias("true_shard"),
+        )
+        .unionByName(
+            sampled.select(
+                F.lit("absent").alias("probe_class"),
+                (F.col("doc_id") + _BF_ABSENT_OFFSET).alias("id"),
+                F.lit(-1).cast("long").alias("true_shard"),
+            )
+        )
+    )
+    probe_pos = probes.select(
+        "probe_class",
+        "id",
+        "true_shard",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_BF_K - 1)),
+                lambda i: F.pmod(h1 + i * h2, F.lit(_BF_M)),
+            )
+        ).alias("i", "pos"),
+    )
+    hits = (
+        shard_pos.join(F.broadcast(probe_pos), "pos")
+        .groupBy("probe_class", "id", "true_shard", "shard")
+        .agg(F.countDistinct("i").alias("ni"))
+        .where(F.col("ni") == _BF_K)
+    )
+    per_class_hits = hits.groupBy("probe_class").agg(
+        F.count(F.lit(1)).cast("long").alias("shards_read"),
+        F.sum(
+            F.when(F.col("shard") == F.col("true_shard"), 1).otherwise(0)
+        ).cast("long").alias("true_shard_reads"),
+    )
+    per_class_probes = probes.groupBy("probe_class").agg(
+        F.countDistinct("id").cast("long").alias("n_probes")
+    )
+    sr = F.coalesce(F.col("shards_read"), F.lit(0)).cast("long")
+    tr = F.coalesce(F.col("true_shard_reads"), F.lit(0)).cast("long")
+    return (
+        per_class_probes.join(per_class_hits, "probe_class", "left")
+        .select(
+            "probe_class",
+            "n_probes",
+            (F.col("n_probes") * _BF_SHARDS).cast("long").alias(
+                "reads_without_bloom"
+            ),
+            sr.alias("reads_with_bloom"),
+            tr.alias("true_shard_reads"),
+            rounded_div_col(
+                (sr - tr) * F.lit(1_000_000),
+                F.col("n_probes") * _BF_SHARDS - tr,
+            ).cast("long").alias("false_positive_ppm"),
+            rounded_div_col(
+                (F.col("n_probes") * _BF_SHARDS - sr) * F.lit(1_000_000),
+                F.col("n_probes") * _BF_SHARDS,
+            ).cast("long").alias("scan_avoid_ppm"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("probe_class")
+    )

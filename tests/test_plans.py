@@ -664,3 +664,68 @@ def test_exposure_audit_serves_component_map(q):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     schemas = I.scan_read_schemas(df)
     assert sum("text" in s for s in schemas) == 1
+
+
+def test_band_index_compaction_pure_serve(q):
+    """Compaction must MERGE artifacts, never recompute them: the plan
+    scans the persisted bucketed band index and the write-once signed
+    increment (banding stored signatures is JVM work), with zero
+    Arrow/Python stages — no document is re-signed at compaction time."""
+    df = q("band_index_compaction")
+    plan = I.formatted_plan(df)
+    assert "bkt_band_index_" in plan
+    assert "signed_increment_" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    I.assert_no_cartesian(df)
+
+
+def test_zorder_layout_pruning_metadata_only(q):
+    """Layout planning must never read document content: every documents
+    scan is pruned to (doc_id, lang, n_chars) — no text column — and the
+    whole plan is JVM-side integer arithmetic (no Python stages)."""
+    df = q("zorder_layout_pruning")
+    schemas = I.scan_read_schemas(df)
+    assert schemas, "no parquet scan found"
+    assert all("text" not in s for s in schemas)
+    plan = I.formatted_plan(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_sink_compaction_plan_metadata_only(q):
+    """The compaction plan is a metadata decision: scans read only
+    (source, doc_id, n_chars) — the data bytes being compacted are never
+    read — and no Python stage exists."""
+    df = q("sink_compaction_plan")
+    schemas = I.scan_read_schemas(df)
+    assert schemas, "no parquet scan found"
+    assert all("text" not in s and "lang" not in s for s in schemas)
+    plan = I.formatted_plan(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_bloom_skipping_relational_and_pruned(q):
+    """The file-skipping audit's membership test is RELATIONAL (position
+    containment join) — no bitmap UDF, no Arrow stage — and the corpus
+    scans read only doc_id (the filter build touches keys, never
+    content). The tiny probe side must broadcast."""
+    df = q("bloom_file_skipping_audit")
+    schemas = I.scan_read_schemas(df)
+    assert schemas, "no parquet scan found"
+    assert all("text" not in s and "lang" not in s for s in schemas)
+    plan = I.formatted_plan(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert I.broadcast_join_count(df) >= 1
+
+
+def test_doremi_reweight_jvm_side_and_broadcast(q):
+    """The reweighting step stays JVM-side end to end (split/explode/ln —
+    no Python stages) and its per-domain joins broadcast (domain totals,
+    doc counts, the 1-row corpus total); the only vocabulary-sized
+    exchange is the (source, word) reduce and the corpus word-count
+    join."""
+    df = q("doremi_domain_reweight")
+    plan = I.formatted_plan(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert I.broadcast_join_count(df) >= 2
+    # the only NLJ allowed is the broadcast of the 1-row corpus total
+    assert "CartesianProduct" not in plan
