@@ -499,3 +499,188 @@ def scorer_agreement_kappa(spark: SparkSession, sf_dir: str):
             f" ELSE -((-{num} + {den} div 2) div {den}) END"
         ).alias("kappa_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# synthetic-text watermark detection (green-list bigram family)
+# ---------------------------------------------------------------------------
+
+# green rule: a bigram (prev, cur) is "green" iff the portable 60-bit md5
+# hash of "prev|cur" is 0 mod 4 -> gamma = 1/4 exactly (no float gamma).
+_WM_MOD = 4
+# planted watermarked generators: every 23rd doc simulates hard
+# green-list sampling (delta -> inf): its emitted bigram stream is the
+# green subset of its natural bigrams.
+_WM_PLANT_MOD = 23
+# alarm at z > 4 (~3e-5 one-sided false-positive rate under H0)
+_WM_Z_MICRO = 4_000_000
+
+
+@query(
+    "synthetic_watermark_detect",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, (doc_id % {_WM_PLANT_MOD} = 0) AS planted,
+             {_NORM_TOKS} AS w
+      FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id, source, planted,
+             list_transform(generate_series(2, len(w)),
+               i -> ('0x' || substr(md5(w[i-1] || '|' || w[i]), 1, 15))::BIGINT
+                    % {_WM_MOD} = 0) AS is_green
+      FROM toks
+    ),
+    eff AS (
+      SELECT doc_id, source, planted,
+             CASE WHEN planted
+                  THEN CAST(len(list_filter(is_green, g -> g)) AS BIGINT)
+                  ELSE CAST(len(is_green) AS BIGINT) END AS t,
+             CAST(len(list_filter(is_green, g -> g)) AS BIGINT) AS g
+      FROM pairs
+    ),
+    z AS (
+      SELECT source, planted, t, g,
+             CAST(round((4 * g - t) * 1000000 / sqrt(3 * t)) AS BIGINT)
+               AS z_micro
+      FROM eff WHERE t > 0
+    )
+    SELECT source, planted,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(t) AS BIGINT) AS n_pairs,
+           CAST({rounded_div_sql('(sum(g) * 1000000)', 'sum(t)')} AS BIGINT)
+             AS green_ppm,
+           CAST({rounded_div_sql('sum(z_micro)', 'count(*)')} AS BIGINT)
+             AS mean_z_micro,
+           CAST(sum(CASE WHEN z_micro > {_WM_Z_MICRO} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_suspect,
+           CAST({rounded_div_sql(
+               f'(sum(CASE WHEN z_micro > {_WM_Z_MICRO} THEN 1 ELSE 0 END)'
+               ' * 1000000)', 'count(*)')} AS BIGINT) AS suspect_ppm
+    FROM z GROUP BY source, planted ORDER BY source, planted
+    """,
+    tags=("heuristics", "quality", "watermark", "synthetic"),
+)
+def synthetic_watermark_detect(spark: SparkSession, sf_dir: str):
+    """Detect LLM-generated text carrying a green-list watermark
+    (Kirchenbauer et al. 2023, public): a watermarking generator biases
+    each next token toward a pseudorandom "green list" seeded by the
+    previous token, so watermarked text shows a green-bigram fraction far
+    above the base rate gamma while natural text sits at gamma. Filtering
+    such text out of a training corpus matters because model-generated
+    text fed back into pretraining degrades the data (and the watermark
+    is the one synthetic signal that is CHEAP to test at corpus scale —
+    one hash per bigram, no model in the loop).
+
+    Green rule (both engines bit-identically): bigram (prev, cur) is
+    green iff md5-60("prev|cur") % 4 == 0, i.e. gamma = 1/4 exactly.
+    Detector: per doc with T bigrams and G green, the one-proportion
+    z-score z = (G - T/4) / sqrt(T * 1/4 * 3/4) = (4G - T) / sqrt(3T),
+    reported in integer micro-units (round of a single IEEE division on
+    exact-integer operands — the same cross-engine-deterministic form as
+    the established ln-micro-nat queries); alarm at z > 4. Planted
+    ground truth: every 23rd doc simulates a hard green-list generator
+    (delta -> inf) — its emitted stream is exactly the green subset of
+    its natural bigrams, so G = T and z = sqrt(3T) >> 4; natural docs
+    concentrate at z ~ 0 under H0, so the (source, planted) summary
+    grades both the false-positive and the detection side.
+
+    Scale shape: ONE scan of documents(text, source, doc_id); the
+    bigram hashing and green counting are per-row JVM array expressions
+    (transform over sequence — zero explode, zero Python stages); the
+    only shuffle is the final 40-row (source, planted) aggregate.
+    Reference anchor: the reference's quality screens are per-doc scalar
+    signals over the same table (quality/model.py heuristics); this adds
+    the synthetic-text axis those screens lack."""
+    from llm_data_pipeline_spark.functions.hashing import portable_hash60
+
+    docs = table(spark, sf_dir, "documents", scatter=True).select(
+        "doc_id", "source", "text"
+    )
+    w = F.filter(
+        F.split(
+            F.trim(
+                F.regexp_replace(
+                    F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                    r"\s+",
+                    " ",
+                )
+            ),
+            " ",
+        ),
+        lambda x: x != "",
+    )
+    toks = docs.select(
+        "source",
+        (F.col("doc_id") % _WM_PLANT_MOD == 0).alias("planted"),
+        w.alias("w"),
+    )
+    # Higher-order functions are CodegenFallback with NO subexpression
+    # elimination: element_at(w, i) inside a transform lambda re-derives
+    # the whole split(regexp_replace(...)) chain per sequence element
+    # (measured 17.8 s steady at sf0.1). zip_with over two slices
+    # evaluates w O(1) times per row instead, with the lambda receiving
+    # the pair elements directly. Spark's sequence(2, n) is DESCENDING
+    # for n < 2 (unlike DuckDB's empty generate_series), hence the
+    # size >= 2 gate.
+    wcol = F.col("w")
+    is_green = F.when(
+        F.size("w") >= 2,
+        F.zip_with(
+            F.slice(wcol, 1, F.size("w") - 1),
+            F.slice(wcol, 2, F.size("w") - 1),
+            lambda a, b: portable_hash60(F.concat(a, F.lit("|"), b))
+            % _WM_MOD
+            == 0,
+        ),
+    ).otherwise(F.array().cast("array<boolean>"))
+    pairs = toks.select("source", "planted", is_green.alias("is_green"))
+    n_green = F.size(F.filter("is_green", lambda g: g)).cast("long")
+    eff = pairs.select(
+        "source",
+        "planted",
+        F.when(F.col("planted"), n_green)
+        .otherwise(F.size("is_green").cast("long"))
+        .alias("t"),
+        n_green.alias("g"),
+    )
+    z = eff.where(F.col("t") > 0).withColumn(
+        "z_micro",
+        F.round(
+            (4 * F.col("g") - F.col("t"))
+            * F.lit(1_000_000)
+            / F.sqrt(3 * F.col("t")),
+            0,
+        ).cast("long"),
+    )
+    agg = z.groupBy("source", "planted").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("t").cast("long").alias("n_pairs"),
+        F.sum("g").cast("long").alias("g_sum"),
+        F.sum("z_micro").cast("long").alias("z_sum"),
+        F.sum((F.col("z_micro") > _WM_Z_MICRO).cast("long"))
+        .cast("long")
+        .alias("n_suspect"),
+    )
+    from llm_data_pipeline_spark.functions.intmath import rounded_div_col
+
+    return (
+        agg.select(
+            "source",
+            "planted",
+            "n_docs",
+            "n_pairs",
+            rounded_div_col(F.col("g_sum") * 1_000_000, F.col("n_pairs"))
+            .cast("long")
+            .alias("green_ppm"),
+            rounded_div_col(F.col("z_sum"), F.col("n_docs"))
+            .cast("long")
+            .alias("mean_z_micro"),
+            "n_suspect",
+            rounded_div_col(F.col("n_suspect") * 1_000_000, F.col("n_docs"))
+            .cast("long")
+            .alias("suspect_ppm"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("source", "planted")
+    )

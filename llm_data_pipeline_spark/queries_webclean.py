@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from llm_data_pipeline_spark.functions.hashing import DUCKDB_HASH60
+from llm_data_pipeline_spark.functions.intmath import rounded_div_sql
 from llm_data_pipeline_spark.functions.repetition import words_of
 from llm_data_pipeline_spark.queries import query, table
 
@@ -1128,3 +1129,182 @@ def robots_txt_disallow_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("matched_rule"),
         (m1 | m2).cast("int").alias("blocked"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# license-header detection / classification (code-corpus governance)
+# ---------------------------------------------------------------------------
+
+# planted header fixture by doc_id % 11 (word-soup corpus carries no
+# natural license text, so the fixture provides all seven detector
+# classes; classes 7-10 stay headerless and must classify as 'none')
+_LIC_HEADERS = [
+    "SPDX-License-Identifier: MIT",
+    "SPDX-License-Identifier: GPL-3.0-only",
+    'Licensed under the Apache License, Version 2.0 (the "License");',
+    "This program is free software: you can redistribute it under the"
+    " terms of the GNU General Public License",
+    "Permission is hereby granted, free of charge, to any person"
+    " obtaining a copy of this software",
+    "This is free and unencumbered software released into the public"
+    " domain",
+    "Copyright (c) 2024 Example Corp. All rights reserved.",
+]
+
+_SPDX_RE = r"spdx-license-identifier:\s*([a-z0-9.+-]+)"
+
+
+def _lic_header_sql() -> str:
+    whens = "\n".join(
+        f"WHEN doc_id % 11 = {i} THEN '{h}' || chr(10)"
+        for i, h in enumerate(
+            h.replace("'", "''") for h in _LIC_HEADERS
+        )
+    )
+    return f"(CASE {whens} ELSE '' END || coalesce(text, ''))"
+
+
+@query(
+    "license_header_filter",
+    oracle=f"""
+    WITH full_t AS (
+      SELECT doc_id, lower(substr({_lic_header_sql()}, 1, 400)) AS ft
+      FROM documents
+    ),
+    cls AS (
+      SELECT doc_id,
+        CASE
+          WHEN regexp_matches(ft, '{_SPDX_RE}')
+            THEN 'spdx:' || regexp_extract(ft, '{_SPDX_RE}', 1)
+          WHEN regexp_matches(ft, 'licensed under the apache license')
+            THEN 'apache-2.0'
+          WHEN regexp_matches(ft, 'gnu general public license')
+            THEN 'gpl'
+          WHEN regexp_matches(ft,
+                 'permission is hereby granted, free of charge')
+            THEN 'mit'
+          WHEN regexp_matches(ft, 'released into the public domain')
+            THEN 'unlicense'
+          WHEN regexp_matches(ft, 'all rights reserved')
+            THEN 'proprietary'
+          ELSE 'none'
+        END AS license_id
+      FROM full_t
+    ),
+    labeled AS (
+      SELECT license_id,
+        CASE
+          WHEN license_id LIKE 'spdx:gpl%' OR license_id = 'gpl'
+            THEN 'copyleft'
+          WHEN license_id = 'proprietary' THEN 'nonfree'
+          WHEN license_id = 'none' THEN 'unknown'
+          ELSE 'permissive'
+        END AS license_class
+      FROM cls
+    ),
+    agg AS (
+      SELECT license_id, license_class,
+             license_class IN ('permissive', 'unknown') AS kept,
+             CAST(count(*) AS BIGINT) AS n_docs
+      FROM labeled GROUP BY 1, 2, 3
+    )
+    SELECT license_id, license_class, kept, n_docs,
+           CAST({rounded_div_sql('(n_docs * 1000000)',
+                                 'sum(n_docs) OVER ()')} AS BIGINT)
+             AS share_ppm
+    FROM agg ORDER BY license_id
+    """,
+    tags=("webclean", "governance", "license", "code"),
+)
+def license_header_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """License-header detection and keep/drop classification — the
+    governance gate every code-corpus pipeline runs before training (The
+    Stack's permissive-only policy, public): detect the license a file
+    declares, classify it permissive / copyleft / nonfree / unknown, and
+    keep only what the policy admits (permissive + unlicensed here;
+    copyleft and all-rights-reserved drop). Detection precedence mirrors
+    the real cascade: a machine-readable SPDX tag wins outright (its
+    identifier is extracted, not pattern-guessed), then the canonical
+    license phrases (Apache grant, GNU GPL, MIT permission grant,
+    public-domain dedication), then the bare copyright-reservation
+    notice; no match -> 'none' (most real files).
+
+    The word-soup corpus has no natural license text, so a deterministic
+    7-class header fixture is planted by doc_id % 11 (both engines build
+    it expression-for-expression — the graded signal is the detector
+    cascade, fixture style of c4_line_filter_rewrite); classes 7-10 stay
+    headerless and must fall through every regex to 'none'.
+
+    Scale shape: ONE scan of documents(doc_id, text), with every regex
+    bounded to the 400-char file prologue (license headers lead the
+    file; the detector's cost is O(1) per file, not O(file bytes)); the
+    cascade is a single JVM CASE over RE2-safe regexes (no lookaround,
+    no Python stages); output is the 8-row (license_id, class, kept)
+    census with
+    integer-ppm shares — the per-file keep decision itself is the same
+    CASE usable as a filter predicate upstream of any other query."""
+    from llm_data_pipeline_spark.functions.intmath import rounded_div_col
+
+    docs = table(spark, sf_dir, "documents", scatter=True).select(
+        "doc_id", "text"
+    )
+    header = F.when(F.lit(False), F.lit(""))
+    for i, h in enumerate(_LIC_HEADERS):
+        header = header.when(F.col("doc_id") % 11 == i, F.lit(h + "\n"))
+    # license headers live in the file prologue: bound every regex to
+    # the first 400 chars so the cascade's cost is O(1) per file, not
+    # O(file bytes) — at 100 TB the detector reads prologues, not blobs
+    ft = F.lower(
+        F.substring(
+            F.concat(
+                header.otherwise(F.lit("")), F.coalesce("text", F.lit(""))
+            ),
+            1,
+            400,
+        )
+    )
+    spdx = F.regexp_extract(ft, _SPDX_RE, 1)
+    license_id = (
+        F.when(spdx != "", F.concat(F.lit("spdx:"), spdx))
+        .when(ft.rlike("licensed under the apache license"), "apache-2.0")
+        .when(ft.rlike("gnu general public license"), "gpl")
+        .when(
+            ft.rlike("permission is hereby granted, free of charge"), "mit"
+        )
+        .when(ft.rlike("released into the public domain"), "unlicense")
+        .when(ft.rlike("all rights reserved"), "proprietary")
+        .otherwise("none")
+    )
+    labeled = docs.select(license_id.alias("license_id")).select(
+        "license_id",
+        F.when(
+            F.col("license_id").startswith("spdx:gpl")
+            | (F.col("license_id") == "gpl"),
+            "copyleft",
+        )
+        .when(F.col("license_id") == "proprietary", "nonfree")
+        .when(F.col("license_id") == "none", "unknown")
+        .otherwise("permissive")
+        .alias("license_class"),
+    )
+    agg = labeled.groupBy("license_id", "license_class").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    return (
+        agg.select(
+            "license_id",
+            "license_class",
+            F.col("license_class")
+            .isin("permissive", "unknown")
+            .alias("kept"),
+            "n_docs",
+            rounded_div_col(
+                F.col("n_docs") * 1_000_000,
+                F.sum("n_docs").over(Window.partitionBy()),
+            )
+            .cast("long")
+            .alias("share_ppm"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("license_id")
+    )

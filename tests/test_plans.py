@@ -729,3 +729,30 @@ def test_doremi_reweight_jvm_side_and_broadcast(q):
     assert I.broadcast_join_count(df) >= 2
     # the only NLJ allowed is the broadcast of the 1-row corpus total
     assert "CartesianProduct" not in plan
+
+
+def test_watermark_detect_narrow_map_single_scan(q):
+    """The watermark detector is per-row JVM array arithmetic: ONE
+    documents scan (bigram hashing via transform-over-sequence, no
+    explode), zero Python stages, no join anywhere — the only exchange
+    is the 40-row (source, planted) aggregate."""
+    df = q("synthetic_watermark_detect")
+    plan = I.formatted_plan(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Join" not in plan
+    schemas = I.scan_read_schemas(df)
+    assert len(schemas) == 1 and "text" in schemas[0]
+    assert I.shuffle_count(df) <= 2  # partial/final agg pair
+
+
+def test_license_filter_single_scan_case_cascade(q):
+    """The license cascade is ONE JVM CASE over a single documents scan
+    (doc_id + text only): no Python stages, no join — the share window
+    runs over the 8-row census, after the aggregate."""
+    df = q("license_header_filter")
+    plan = I.formatted_plan(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Join" not in plan
+    schemas = I.scan_read_schemas(df)
+    assert len(schemas) == 1
+    assert "lang" not in schemas[0] and "source" not in schemas[0]
