@@ -387,6 +387,10 @@ def main() -> None:
             scale["takedown_scale_check"] = takedown_scale_check(spark, sf_dir)
         except Exception as e:  # noqa: BLE001
             print(f"bench: takedown scale check failed: {type(e).__name__}: {e}", file=sys.stderr)
+        try:
+            scale["layout_gate"] = layout_gate(spark, sf_dir)
+        except Exception as e:  # noqa: BLE001
+            print(f"bench: layout gate failed: {type(e).__name__}: {e}", file=sys.stderr)
 
     # Headline value: sum over the curated HEADLINE set of the PER-QUERY
     # MIN across THREE samples — first pass, steady pass (back-to-back),
@@ -936,6 +940,39 @@ def ann_recall(spark, sf_dir: str) -> dict:
                 f"(scripts/gen_codebooks.py) before trusting probe latency",
                 file=sys.stderr,
             )
+    return out
+
+
+def layout_gate(spark, sf_dir: str) -> dict:
+    """Storage-layout payoff gate (round 9): the z-order layout must keep
+    its file-skipping edge over ingest order — scan_avoid_ppm is the
+    fraction of shard files a zone-map-aware `lang = L` scan skips
+    (zorder_layout_pruning's graded output). Floors: z-order skips >= 60%
+    of file reads while ingest order skips <= 30% (measured sf0.1:
+    778_125 vs 0 — ingest order scatters every lang into every file). A
+    z-order regression here means the interleave or the range split
+    broke — the OPTIMIZE pass would silently stop paying for itself."""
+    rows = {
+        r["layout"]: r["scan_avoid_ppm"]
+        for r in Q.REGISTRY["zorder_layout_pruning"].fn(spark, sf_dir).collect()
+    }
+    z, ingest = rows.get("zorder"), rows.get("ingest_order")
+    out = {
+        "zorder_scan_avoid_ppm": z,
+        "ingest_scan_avoid_ppm": ingest,
+        "zorder_floor_ppm": 600_000,
+        "ingest_ceiling_ppm": 300_000,
+        "layout_ok": z is not None
+        and ingest is not None
+        and z >= 600_000
+        and ingest <= 300_000,
+    }
+    if not out["layout_ok"]:
+        print(
+            f"bench: LAYOUT GATE BREACH — zorder avoid {z} (floor 600000), "
+            f"ingest avoid {ingest} (ceiling 300000)",
+            file=sys.stderr,
+        )
     return out
 
 

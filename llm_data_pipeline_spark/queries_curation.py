@@ -1137,6 +1137,13 @@ def doremi_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     dw = words.groupBy("source", "w").agg(
         F.count(F.lit(1)).cast("long").alias("c_dw")
     )
+    # five consumers (d, wt, tot, terms' probe, and their joins) would
+    # each re-derive the corpus explode+reduce — six full-text scans in
+    # the plan. Eagerly pin the vocabulary-sized (source, word) table so
+    # the corpus text is scanned ONCE and everything downstream is
+    # vocabulary-bounded (the dedup_method_agreement pattern; lazy
+    # checkpoints race multi-consumer materialization).
+    dw = dw.localCheckpoint(eager=True)
     d = dw.groupBy("source").agg(F.sum("c_dw").cast("long").alias("c_d"))
     wt = dw.groupBy("w").agg(F.sum("c_dw").cast("long").alias("c_w"))
     tot = dw.agg(F.sum("c_dw").cast("long").alias("t"))

@@ -729,6 +729,11 @@ def test_doremi_reweight_jvm_side_and_broadcast(q):
     assert I.broadcast_join_count(df) >= 2
     # the only NLJ allowed is the broadcast of the 1-row corpus total
     assert "CartesianProduct" not in plan
+    # the corpus text is scanned ONCE (at the eager checkpoint of the
+    # (source, word) table); the served plan's only parquet text access
+    # would mean a consumer re-derived the explode+reduce
+    schemas = I.scan_read_schemas(df)
+    assert sum("text" in s for s in schemas) == 0
 
 
 def test_watermark_detect_narrow_map_single_scan(q):
