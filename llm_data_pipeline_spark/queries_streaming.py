@@ -929,3 +929,241 @@ def streaming_event_topk_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# late-data accounting under a real multi-batch watermark
+# ---------------------------------------------------------------------------
+
+# arrival model: the corpus in ts-order splits into 4 arrival waves
+# (ntile over (ts, event_id)); wave-1 rows with event_id % 29 == 0 are
+# PLANTED LATE — they arrive in wave 4, ~3 weeks behind their event time
+_LATE_WAVES = 4
+_LATE_MOD = 29
+# 61 minutes, deliberately misaligned with the 1-hour window grid so no
+# window end can ever coincide exactly with a watermark value
+_LATE_DELAY = "61 minutes"
+_LATE_DELAY_SQL = "INTERVAL 61 MINUTES"
+
+
+def _ensure_late_feed(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per process x sf_dir) the 4-file arrival feed: one
+    parquet file per arrival wave, mtimes strictly increasing so the
+    file stream source processes them in wave order under
+    maxFilesPerTrigger=1 — four real micro-batches, each advancing the
+    watermark past the previous wave's max event time."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
+    from pyspark.sql.window import Window
+
+    from llm_data_pipeline_spark.queries import table
+    from llm_data_pipeline_spark.queries_sinks import SINK_BASE
+
+    sfx = f"{abs(hash(sf_dir)) % 10**8}_{_os.getpid()}"
+    path = f"{SINK_BASE}/late_feed_{sfx}"
+    marker = _os.path.join(path, "_READY")
+    if not _os.path.exists(marker):
+        _os.makedirs(path, exist_ok=True)
+        ev = table(spark, sf_dir, "events").select(
+            "event_id", "ts", "event_type"
+        )
+        q = ev.select(
+            "*",
+            F.ntile(_LATE_WAVES)
+            .over(Window.orderBy("ts", "event_id"))
+            .alias("q"),
+        )
+        waved = q.select(
+            "*",
+            F.when(
+                (F.col("q") == 1) & (F.col("event_id") % _LATE_MOD == 0),
+                F.lit(_LATE_WAVES),
+            )
+            .otherwise(F.col("q"))
+            .alias("wave"),
+        )
+        t0 = _time.time()
+        for k in range(1, _LATE_WAVES + 1):
+            tmp = f"{path}__w{k}"
+            waved.where(F.col("wave") == k).select(
+                "event_id", "ts", "event_type"
+            ).coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = _glob.glob(_os.path.join(tmp, "part-*.parquet"))[0]
+            dest = _os.path.join(path, f"wave{k}.parquet")
+            _shutil.copy(part, dest)
+            _shutil.rmtree(tmp)
+            _os.utime(dest, (t0 + 10 * k, t0 + 10 * k))
+        open(marker, "w").close()
+    return path
+
+
+@query(
+    "streaming_late_data_audit",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT event_id, ts, event_type,
+             ntile({_LATE_WAVES}) OVER (ORDER BY ts, event_id) AS q
+      FROM events
+    ),
+    waved AS (
+      SELECT event_id, ts, event_type,
+             CASE WHEN q = 1 AND event_id % {_LATE_MOD} = 0
+                  THEN {_LATE_WAVES} ELSE q END AS wave
+      FROM ordered
+    ),
+    wave_max AS (SELECT wave, max(ts) AS mx FROM waved GROUP BY wave),
+    wm AS (
+      SELECT wave,
+             max(mx) OVER (ORDER BY wave
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               - {_LATE_DELAY_SQL} AS wm_ts
+      FROM wave_max
+    ),
+    fin AS (SELECT max(ts) - {_LATE_DELAY_SQL} AS final_wm FROM events),
+    classed AS (
+      SELECT v.event_type,
+        CASE
+          WHEN w.wm_ts IS NOT NULL
+               AND date_trunc('hour', v.ts) + INTERVAL 1 HOUR <= w.wm_ts
+            THEN 'late_dropped'
+          WHEN date_trunc('hour', v.ts) + INTERVAL 1 HOUR <= fin.final_wm
+            THEN 'emitted'
+          ELSE 'unflushed'
+        END AS cls
+      FROM waved v JOIN wm w USING (wave) CROSS JOIN fin
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN cls = 'emitted' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_emitted,
+           CAST(sum(CASE WHEN cls = 'late_dropped' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_late_dropped,
+           CAST(sum(CASE WHEN cls = 'unflushed' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unflushed,
+           CAST((sum(CASE WHEN cls = 'late_dropped' THEN 1 ELSE 0 END)
+                 * 1000000 + count(*) // 2) // count(*) AS BIGINT)
+             AS late_drop_ppm
+    FROM classed GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("streaming", "watermark", "late-data", "audit"),
+)
+def streaming_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data accounting — the SLA audit every streaming ingest needs:
+    a watermark silently DISCARDS data that arrives too late, and
+    append-mode windows hold back data the watermark has not yet passed;
+    this query measures both flows exactly, against a real multi-batch
+    stream. The feed is the events table split into 4 arrival waves in
+    event-time order, with planted stragglers (every 29th event of the
+    first quartile) arriving in the LAST wave, ~3 weeks behind their
+    event time. Streamed one file per micro-batch (mtime-ordered,
+    maxFilesPerTrigger=1), the watermark entering each batch is the
+    previous waves' max event time minus 61 minutes, so: natural rows are
+    never late (wave k's events all postdate wave k-1's max), the
+    planted stragglers arrive with hour-windows far below the watermark
+    and are dropped by the aggregation's late-row filter, and windows
+    within 61 minutes of the global max never flush (append emits a
+    window only when the watermark passes its end — the final no-data
+    micro-batch advances it to global_max - 61min).
+
+    The audit joins the STREAM's emitted counts against the static
+    replay's expected classes: n_emitted comes from the real streaming
+    sink, n_late_dropped from the deterministic arrival model, and
+    n_unflushed reconciles (total - dropped - emitted) — so if the
+    engine's watermark semantics dropped one row more or fewer than the
+    model predicts, the hash fails. The oracle replays all three classes
+    from first principles (per-batch watermark ratchet included). The
+    61-minute delay is deliberately misaligned with the hour grid so no
+    window end ever ties a watermark value (strict-vs-nonstrict boundary
+    is unobservable).
+
+    Scale shape: the streaming side is a standard watermarked windowed
+    count (state = open windows per type, bounded by the watermark
+    horizon); the static replay's ntile is a stand-in for the arrival
+    log's wave attribute in deployment (arrival order is RECORDED there,
+    not recomputed); output is 5 rows."""
+    from pyspark.sql.window import Window
+
+    from llm_data_pipeline_spark.queries import table
+
+    feed = _ensure_late_feed(spark, sf_dir)
+    sdf = read_parquet_stream(spark, feed, max_files_per_trigger=1)
+    agg = (
+        sdf.withWatermark("ts", _LATE_DELAY)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    emitted = run_to_memory(agg, mode="append", state_partitions=4)
+    em = emitted.groupBy("event_type").agg(
+        F.sum("cnt").cast("long").alias("n_emitted")
+    )
+
+    ev = table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    q = ev.select(
+        "*",
+        F.ntile(_LATE_WAVES).over(Window.orderBy("ts", "event_id")).alias("q"),
+    )
+    waved = q.select(
+        "event_type",
+        "ts",
+        F.when(
+            (F.col("q") == 1) & (F.col("event_id") % _LATE_MOD == 0),
+            F.lit(_LATE_WAVES),
+        )
+        .otherwise(F.col("q"))
+        .alias("wave"),
+    )
+    wave_max = waved.groupBy("wave").agg(F.max("ts").alias("mx"))
+    wm = wave_max.select(
+        "wave",
+        (
+            F.max("mx").over(
+                Window.orderBy("wave").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            )
+            - F.expr(_LATE_DELAY_SQL)
+        ).alias("wm_ts"),
+    )
+    fin = ev.agg((F.max("ts") - F.expr(_LATE_DELAY_SQL)).alias("final_wm"))
+    wend = F.date_trunc("hour", F.col("ts")) + F.expr("INTERVAL 1 HOUR")
+    classed = (
+        waved.join(F.broadcast(wm), "wave")
+        .crossJoin(F.broadcast(fin))
+        .select(
+            "event_type",
+            F.when(
+                F.col("wm_ts").isNotNull() & (wend <= F.col("wm_ts")),
+                "late_dropped",
+            )
+            .when(wend <= F.col("final_wm"), "emitted")
+            .otherwise("unflushed")
+            .alias("cls"),
+        )
+    )
+    static = classed.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum((F.col("cls") == "late_dropped").cast("long"))
+        .cast("long")
+        .alias("n_late_dropped"),
+    )
+    return (
+        static.join(F.broadcast(em), "event_type")
+        .select(
+            "event_type",
+            "n_total",
+            "n_emitted",
+            "n_late_dropped",
+            (
+                F.col("n_total") - F.col("n_late_dropped") - F.col("n_emitted")
+            ).alias("n_unflushed"),
+            F.expr(
+                "CAST((n_late_dropped * 1000000 + n_total div 2)"
+                " div n_total AS BIGINT)"
+            ).alias("late_drop_ppm"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("event_type")
+    )

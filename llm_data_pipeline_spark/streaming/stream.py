@@ -39,7 +39,10 @@ _SCHEMA_CACHE: dict = {}
 
 
 def read_parquet_stream(
-    spark: SparkSession, path: str, ts_col: str | None = "ts"
+    spark: SparkSession,
+    path: str,
+    ts_col: str | None = "ts",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """readStream over a parquet path with schema taken from a batch scan.
 
@@ -61,7 +64,15 @@ def read_parquet_stream(
         batch_schema = spark.read.parquet(path).schema
         _SCHEMA_CACHE[cache_key] = batch_schema
     if os.path.isdir(path):
-        sdf = spark.readStream.schema(batch_schema).parquet(path)
+        reader = spark.readStream.schema(batch_schema)
+        if max_files_per_trigger is not None:
+            # one file per micro-batch, processed in mtime order — the
+            # lever that makes multi-batch watermark semantics (late
+            # drops, append-mode flushes) reproducible under availableNow
+            reader = reader.option(
+                "maxFilesPerTrigger", str(max_files_per_trigger)
+            )
+        sdf = reader.parquet(path)
     else:
         # The file stream source requires a directory basePath; stream the
         # parent dir filtered down to this one file.

@@ -761,3 +761,20 @@ def test_license_filter_single_scan_case_cascade(q):
     schemas = I.scan_read_schemas(df)
     assert len(schemas) == 1
     assert "lang" not in schemas[0] and "source" not in schemas[0]
+
+
+def test_late_data_audit_batch_tail_pruned(q):
+    """The audit's batch tail (stream result already materialized) is
+    JVM-only: no Python stages, the expected-class replay broadcasts its
+    tiny watermark/final-wm sides, and every events scan is pruned to
+    (event_id, ts, event_type) — props/value/user_id never read."""
+    df = q("streaming_late_data_audit")
+    plan = I.formatted_plan(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert I.broadcast_join_count(df) >= 2
+    schemas = I.scan_read_schemas(df)
+    assert schemas, "no parquet scan found"
+    assert all(
+        "props" not in s and "value" not in s and "user_id" not in s
+        for s in schemas
+    )
