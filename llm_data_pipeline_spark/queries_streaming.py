@@ -985,6 +985,9 @@ def _ensure_late_feed(spark: SparkSession, sf_dir: str) -> str:
             .otherwise(F.col("q"))
             .alias("wave"),
         )
+        # four wave writes follow — pin the ntile'd frame so the global
+        # sort runs once, not once per wave file
+        waved = waved.localCheckpoint(eager=True)
         t0 = _time.time()
         for k in range(1, _LATE_WAVES + 1):
             tmp = f"{path}__w{k}"
