@@ -944,33 +944,44 @@ def ann_recall(spark, sf_dir: str) -> dict:
 
 
 def layout_gate(spark, sf_dir: str) -> dict:
-    """Storage-layout payoff gate (round 9): the z-order layout must keep
-    its file-skipping edge over ingest order — scan_avoid_ppm is the
-    fraction of shard files a zone-map-aware `lang = L` scan skips
-    (zorder_layout_pruning's graded output). Floors: z-order skips >= 60%
-    of file reads while ingest order skips <= 30% (measured sf0.1:
-    778_125 vs 0 — ingest order scatters every lang into every file). A
-    z-order regression here means the interleave or the range split
-    broke — the OPTIMIZE pass would silently stop paying for itself."""
+    """Storage-layout payoff gate (round 9): z-order must keep its
+    file-skipping edge on BOTH predicate axes (zorder_layout_pruning's
+    graded avoid_ppm = fraction of shard files a zone-map-aware
+    single-column scan skips). Floors (measured sf0.1): z-order lang
+    778_125 / length 604_167 vs ingest order 0 / 0, and the plain lang
+    sort must keep showing the single-sort pathology (length axis 0 —
+    if lang_sort ever "wins" the length axis the audit itself broke). A
+    z-order regression means the interleave or range split broke — the
+    OPTIMIZE pass would silently stop paying for itself."""
     rows = {
-        r["layout"]: r["scan_avoid_ppm"]
+        r["layout"]: (r["lang_avoid_ppm"], r["len_avoid_ppm"])
         for r in Q.REGISTRY["zorder_layout_pruning"].fn(spark, sf_dir).collect()
     }
-    z, ingest = rows.get("zorder"), rows.get("ingest_order")
+    z = rows.get("zorder", (None, None))
+    ingest = rows.get("ingest_order", (None, None))
+    ls = rows.get("lang_sort", (None, None))
     out = {
-        "zorder_scan_avoid_ppm": z,
-        "ingest_scan_avoid_ppm": ingest,
-        "zorder_floor_ppm": 600_000,
+        "zorder_lang_avoid_ppm": z[0],
+        "zorder_len_avoid_ppm": z[1],
+        "ingest_lang_avoid_ppm": ingest[0],
+        "lang_sort_len_avoid_ppm": ls[1],
+        "zorder_lang_floor_ppm": 600_000,
+        "zorder_len_floor_ppm": 450_000,
         "ingest_ceiling_ppm": 300_000,
-        "layout_ok": z is not None
-        and ingest is not None
-        and z >= 600_000
-        and ingest <= 300_000,
+        # the single-sort pathology must stay visible: a lang sort that
+        # suddenly "wins" the length axis means the audit broke
+        "lang_sort_len_ceiling_ppm": 300_000,
+        "layout_ok": None not in (z[0], z[1], ingest[0], ls[1])
+        and z[0] >= 600_000
+        and z[1] >= 450_000
+        and ingest[0] <= 300_000
+        and ls[1] <= 300_000,
     }
     if not out["layout_ok"]:
         print(
-            f"bench: LAYOUT GATE BREACH — zorder avoid {z} (floor 600000), "
-            f"ingest avoid {ingest} (ceiling 300000)",
+            f"bench: LAYOUT GATE BREACH — zorder avoid {z} "
+            f"(floors 600000/450000), ingest lang {ingest[0]} (ceiling "
+            f"300000), lang_sort len {ls[1]} (ceiling 300000)",
             file=sys.stderr,
         )
     return out

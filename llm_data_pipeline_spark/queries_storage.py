@@ -60,6 +60,7 @@ def _z_interleave_sql(a: str, b: str, idiv: str = "//") -> str:
     ),
     keyed AS (
       SELECT d.doc_id, d.lang,
+             least(coalesce(d.n_chars, 0) // {_Z_LEN_DIV}, 15) AS lb,
              {_z_interleave_sql(
                  "least(rl.lr, 15)",
                  "least(coalesce(d.n_chars, 0) // " + str(_Z_LEN_DIV) + ", 15)")}
@@ -67,48 +68,66 @@ def _z_interleave_sql(a: str, b: str, idiv: str = "//") -> str:
       FROM documents d JOIN ranked_lang rl ON rl.lang = d.lang
     ),
     layouts AS (
-      SELECT 'ingest_order' AS layout, lang,
+      SELECT 'ingest_order' AS layout, lang, lb,
              ntile({_Z_SHARDS}) OVER (ORDER BY doc_id) AS shard
       FROM keyed
       UNION ALL
-      SELECT 'zorder', lang,
+      SELECT 'lang_sort', lang, lb,
+             ntile({_Z_SHARDS}) OVER (ORDER BY lang, doc_id) AS shard
+      FROM keyed
+      UNION ALL
+      SELECT 'zorder', lang, lb,
              ntile({_Z_SHARDS}) OVER (ORDER BY z, doc_id) AS shard
       FROM keyed
     ),
-    pairs AS (
-      SELECT layout, count(*) AS lang_shard_pairs
+    lp AS (
+      SELECT layout, count(*) AS lang_pairs
       FROM (SELECT DISTINCT layout, lang, shard FROM layouts) GROUP BY layout
     ),
-    nl AS (SELECT count(DISTINCT lang) AS n_langs FROM documents)
+    bp AS (
+      SELECT layout, count(*) AS len_pairs
+      FROM (SELECT DISTINCT layout, lb, shard FROM layouts) GROUP BY layout
+    ),
+    nl AS (
+      SELECT count(DISTINCT lang) AS n_langs,
+             count(DISTINCT least(coalesce(n_chars, 0) // {_Z_LEN_DIV}, 15))
+               AS n_lbs
+      FROM documents
+    )
     SELECT layout,
            CAST({_Z_SHARDS} AS BIGINT) AS n_shards,
-           CAST(lang_shard_pairs AS BIGINT) AS lang_shard_pairs,
-           CAST({_Z_SHARDS} * n_langs AS BIGINT) AS pairs_possible,
+           CAST(lang_pairs AS BIGINT) AS lang_pairs,
+           CAST(len_pairs AS BIGINT) AS len_pairs,
            CAST({rounded_div_sql(
-               f'(({_Z_SHARDS} * n_langs - lang_shard_pairs) * 1000000)',
-               f'({_Z_SHARDS} * n_langs)')} AS BIGINT) AS scan_avoid_ppm
-    FROM pairs CROSS JOIN nl ORDER BY layout
+               f'(({_Z_SHARDS} * n_langs - lang_pairs) * 1000000)',
+               f'({_Z_SHARDS} * n_langs)')} AS BIGINT) AS lang_avoid_ppm,
+           CAST({rounded_div_sql(
+               f'(({_Z_SHARDS} * n_lbs - len_pairs) * 1000000)',
+               f'({_Z_SHARDS} * n_lbs)')} AS BIGINT) AS len_avoid_ppm
+    FROM lp JOIN bp USING (layout) CROSS JOIN nl ORDER BY layout
     """,
     tags=("storage", "layout", "zorder", "pruning"),
 )
 def zorder_layout_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Z-ORDER clustering payoff, measured: interleave the bits of
-    (lang rank, length bucket) into one z-value, range-split the corpus
-    into {S} shard files by z, and count how many (lang, shard) pairs
-    remain — each pair is a file a `lang = L` predicate must READ because
-    the file's zone map (per-file lang min/max) cannot exclude it. The
-    ingest-order layout scatters every lang across every file
-    (scan_avoid ~ 0); the z-order layout concentrates each lang into few
-    files, and scan_avoid_ppm IS the fraction of file reads a zone-map-
-    aware scan skips — the number that justifies an OPTIMIZE ZORDER pass
-    before a 100-TB read-heavy phase. The z-value is the standard
-    bit-interleave (public Delta/Iceberg design), so ONE layout serves
-    predicates on EITHER column — unlike a plain sort by lang, which
-    destroys length locality. Scale shape: the rank table is a broadcast
-    of n_langs rows; the z computation is a narrow integer map; NTILE
-    here is the exact stand-in for repartitionByRange(z) (the sampled
-    range partitioner at 100 TB); the payoff audit is one
-    distinct + count per layout. 2 output rows."""
+    """Z-ORDER clustering payoff on BOTH predicate axes, against both
+    naive layouts: interleave the bits of (lang rank, length bucket) into
+    one z-value, range-split the corpus into 64 shard files per layout,
+    and count surviving (value, shard) pairs per axis — each pair is a
+    file a single-column predicate must READ because the file's zone map
+    cannot exclude it; avoid_ppm is the fraction of file reads skipped.
+    Three layouts make the textbook case the docs usually assert and
+    never measure (sf0.1): ingest order skips nothing on either axis
+    (0 / 0 ppm); a plain lang sort wins the lang axis (787,500) but
+    DESTROYS the length axis (0 — the single-sort pathology); z-order
+    serves both from one layout (778,125 lang / 604,167 length) — the
+    number that justifies OPTIMIZE ZORDER over a plain sort before a
+    100-TB read-heavy phase (public Delta/Iceberg design). Scale shape:
+    the rank table is a broadcast of n_langs rows; the z computation is a
+    narrow integer map; NTILE is the exact stand-in for
+    repartitionByRange (the sampled range partitioner at 100 TB); the
+    payoff audit is one distinct + count per (layout, axis). No document
+    content is ever read (metadata-only scans, plan-guarded). 3 output
+    rows."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     ranked = (
         docs.select("lang")
@@ -120,55 +139,62 @@ def zorder_layout_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lr"),
         )
     )
-    lr = F.least(F.col("lr"), F.lit(15))
-    lb = F.least(
-        F.expr(f"coalesce(n_chars, 0) div {_Z_LEN_DIV}").cast("long"), F.lit(15)
-    )
+    lb_expr = f"least(coalesce(n_chars, 0) div {_Z_LEN_DIV}, 15)"
     keyed = docs.join(F.broadcast(ranked), "lang").select(
         "doc_id",
         "lang",
+        F.expr(lb_expr).cast("long").alias("lb"),
         F.expr(
-            _z_interleave_sql(
-                "least(lr, 15)",
-                f"least(coalesce(n_chars, 0) div {_Z_LEN_DIV}, 15)",
-                idiv="div",
-            )
+            _z_interleave_sql("least(lr, 15)", lb_expr, idiv="div")
         ).cast("long").alias("z"),
     )
-    ingest = keyed.select(
-        F.lit("ingest_order").alias("layout"),
-        "lang",
-        F.ntile(_Z_SHARDS).over(Window.orderBy("doc_id")).alias("shard"),
-    )
-    zord = keyed.select(
-        F.lit("zorder").alias("layout"),
-        "lang",
-        F.ntile(_Z_SHARDS).over(Window.orderBy("z", "doc_id")).alias("shard"),
-    )
-    pairs = (
-        ingest.unionByName(zord)
-        .select("layout", "lang", "shard")
+    layouts = None
+    for name, order in [
+        ("ingest_order", ["doc_id"]),
+        ("lang_sort", ["lang", "doc_id"]),
+        ("zorder", ["z", "doc_id"]),
+    ]:
+        frame = keyed.select(
+            F.lit(name).alias("layout"),
+            "lang",
+            "lb",
+            F.ntile(_Z_SHARDS).over(Window.orderBy(*order)).alias("shard"),
+        )
+        layouts = frame if layouts is None else layouts.unionByName(frame)
+    lp = (
+        layouts.select("layout", "lang", "shard")
         .distinct()
         .groupBy("layout")
-        .agg(F.count(F.lit(1)).cast("long").alias("lang_shard_pairs"))
+        .agg(F.count(F.lit(1)).cast("long").alias("lang_pairs"))
     )
-    nl = docs.select("lang").distinct().agg(
-        F.count(F.lit(1)).cast("long").alias("n_langs")
+    bp = (
+        layouts.select("layout", "lb", "shard")
+        .distinct()
+        .groupBy("layout")
+        .agg(F.count(F.lit(1)).cast("long").alias("len_pairs"))
+    )
+    nl = docs.agg(
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct(F.expr(lb_expr)).cast("long").alias("n_lbs"),
     )
     return (
-        pairs.crossJoin(F.broadcast(nl))
+        lp.join(bp, "layout")
+        .crossJoin(F.broadcast(nl))
         .select(
             "layout",
             F.lit(_Z_SHARDS).cast("long").alias("n_shards"),
-            "lang_shard_pairs",
-            (F.lit(_Z_SHARDS) * F.col("n_langs")).cast("long").alias(
-                "pairs_possible"
-            ),
+            "lang_pairs",
+            "len_pairs",
             rounded_div_col(
-                (F.lit(_Z_SHARDS) * F.col("n_langs") - F.col("lang_shard_pairs"))
+                (F.lit(_Z_SHARDS) * F.col("n_langs") - F.col("lang_pairs"))
                 * F.lit(1_000_000),
                 F.lit(_Z_SHARDS) * F.col("n_langs"),
-            ).cast("long").alias("scan_avoid_ppm"),
+            ).cast("long").alias("lang_avoid_ppm"),
+            rounded_div_col(
+                (F.lit(_Z_SHARDS) * F.col("n_lbs") - F.col("len_pairs"))
+                * F.lit(1_000_000),
+                F.lit(_Z_SHARDS) * F.col("n_lbs"),
+            ).cast("long").alias("len_avoid_ppm"),
         )
         .coalesce(1)
         .sortWithinPartitions("layout")
