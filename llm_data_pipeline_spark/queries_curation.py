@@ -1221,3 +1221,202 @@ def doremi_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .sortWithinPartitions("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# code-corpus curation pipeline (license -> watermark -> dedup -> length)
+# ---------------------------------------------------------------------------
+
+_CODE_DUP_MOD = 17  # re-crawl model: every 17th doc arrives again re-keyed
+_CODE_DUP_OFFSET = 10_000_000
+_CODE_MIN_CHARS = 120
+
+
+def _code_curation_oracle() -> str:
+    from llm_data_pipeline_spark.queries_heuristics import (
+        _WM_Z_MICRO,
+        wm_doc_sql,
+    )
+    from llm_data_pipeline_spark.queries_webclean import (
+        license_class_case_sql,
+        license_ft_sql,
+        license_id_case_sql,
+    )
+
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text, n_chars FROM documents
+      UNION ALL
+      SELECT doc_id + {_CODE_DUP_OFFSET}, text, n_chars
+      FROM documents WHERE doc_id % {_CODE_DUP_MOD} = 0
+    ),
+    l1 AS (
+      SELECT doc_id, text, n_chars, {license_ft_sql()} AS ft FROM corpus
+    ),
+    l2 AS (SELECT *, {license_id_case_sql('ft')} AS lid FROM l1),
+    lic AS (
+      SELECT doc_id, text, n_chars,
+             {license_class_case_sql('lid')}
+               IN ('permissive', 'unknown') AS lic_keep
+      FROM l2
+    ),
+    wm AS (
+      SELECT doc_id, (t = 0 OR z_micro <= {_WM_Z_MICRO}) AS wm_keep
+      FROM {wm_doc_sql('corpus')}
+    ),
+    flags AS (
+      SELECT l.doc_id, l.n_chars, l.lic_keep, w.wm_keep,
+             (l.lic_keep AND w.wm_keep) AS surv,
+             min(CASE WHEN l.lic_keep AND w.wm_keep THEN l.doc_id END)
+               OVER (PARTITION BY md5(coalesce(l.text, ''))) AS first_surv
+      FROM lic l JOIN wm w USING (doc_id)
+    ),
+    judged AS (
+      SELECT lic_keep,
+             (lic_keep AND wm_keep) AS k2,
+             (lic_keep AND wm_keep AND doc_id = first_surv) AS k3,
+             (lic_keep AND wm_keep AND doc_id = first_surv
+              AND coalesce(n_chars, 0) >= {_CODE_MIN_CHARS}) AS k4
+      FROM flags
+    ),
+    counts AS (
+      SELECT CAST(count(*) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN lic_keep THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN k2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN k3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+             CAST(sum(CASE WHEN k4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+      FROM judged
+    ),
+    funnel AS (
+      SELECT CAST(1 AS BIGINT) AS stage_ord, 'license' AS stage,
+             n0 AS n_in, n1 AS n_kept FROM counts
+      UNION ALL SELECT 2, 'watermark', n1, n2 FROM counts
+      UNION ALL SELECT 3, 'exact_dedup', n2, n3 FROM counts
+      UNION ALL SELECT 4, 'min_length', n3, n4 FROM counts
+    )
+    SELECT stage_ord, stage, n_in, n_kept,
+           (n_in - n_kept) AS n_dropped,
+           CAST({rounded_div_sql('((n_in - n_kept) * 1000000)', 'n_in')}
+                AS BIGINT) AS drop_ppm
+    FROM funnel ORDER BY stage_ord
+    """
+
+
+@query(
+    "pipeline_code_curation",
+    oracle=_code_curation_oracle(),
+    tags=("curation", "pipeline", "license", "watermark", "dedup", "code"),
+)
+def pipeline_code_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The code-corpus curation pipeline end to end — the cascade a Stack
+    -style code dataset runs before training, composing the round-9
+    governance detectors with the dedup core: (1) LICENSE — keep only
+    permissive/unlicensed files (the SAME graded cascade as
+    license_header_filter, one shared definition per engine); (2)
+    WATERMARK — drop files whose green-bigram z-score marks them as
+    LLM-generated (shared with synthetic_watermark_detect; model output
+    checked into repos is exactly what a code corpus must not train on);
+    (3) EXACT DEDUP — re-crawled copies (every 17th doc re-keyed at
+    +10M, the repo's standard re-ingest model) collapse to the earliest
+    surviving doc_id per content hash; (4) MIN LENGTH — sub-120-char
+    stubs drop. Output is the 4-row funnel (n_in/n_kept/n_dropped/
+    drop_ppm per stage) — the yield report that decides whether a
+    source's licensing mix is worth the crawl.
+
+    Scale shape: ONE pass computes every per-doc flag (license regexes
+    once, watermark hashing once — no stage re-derives upstream text),
+    the dedup rank is a min-over-survivors window on the content hash
+    (the single key-shuffle in the plan), and the funnel is one
+    conditional aggregate stacked to 4 literal rows. Dedup ranking uses
+    min(surviving doc_id) per hash rather than row_number so stages 1-2
+    never re-execute; drop accounting is exact and per-stage
+    (each stage's n_in is the previous stage's n_kept)."""
+    from llm_data_pipeline_spark.queries_heuristics import (
+        _WM_Z_MICRO,
+        watermark_doc_frame,
+    )
+    from llm_data_pipeline_spark.queries_webclean import (
+        license_class_col,
+        license_ft_col,
+        license_id_col,
+    )
+
+    base = table(spark, sf_dir, "documents", scatter=True).select(
+        "doc_id", "text", "n_chars"
+    )
+    copies = base.where(F.col("doc_id") % _CODE_DUP_MOD == 0).select(
+        (F.col("doc_id") + _CODE_DUP_OFFSET).alias("doc_id"),
+        "text",
+        "n_chars",
+    )
+    corpus = base.unionByName(copies)
+    lic_keep = license_class_col(
+        license_id_col(license_ft_col())
+    ).isin("permissive", "unknown")
+    wmf = watermark_doc_frame(corpus.withColumn("lic_keep", lic_keep))
+    flags = wmf.select(
+        "doc_id",
+        "n_chars",
+        "lic_keep",
+        ((F.col("t") == 0) | (F.col("z_micro") <= _WM_Z_MICRO)).alias(
+            "wm_keep"
+        ),
+        F.md5(F.coalesce("text", F.lit(""))).alias("h"),
+    )
+    surv = F.col("lic_keep") & F.col("wm_keep")
+    ranked = flags.select(
+        "doc_id",
+        "n_chars",
+        "lic_keep",
+        "wm_keep",
+        F.min(F.when(surv, F.col("doc_id")))
+        .over(Window.partitionBy("h"))
+        .alias("first_surv"),
+    )
+    judged = ranked.select(
+        "lic_keep",
+        (F.col("lic_keep") & F.col("wm_keep")).alias("k2"),
+        (
+            F.col("lic_keep")
+            & F.col("wm_keep")
+            & (F.col("doc_id") == F.col("first_surv"))
+        ).alias("k3"),
+        (
+            F.col("lic_keep")
+            & F.col("wm_keep")
+            & (F.col("doc_id") == F.col("first_surv"))
+            & (F.expr("coalesce(n_chars, 0)") >= _CODE_MIN_CHARS)
+        ).alias("k4"),
+    )
+    counts = judged.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum(F.col("lic_keep").cast("long")).cast("long").alias("n1"),
+        F.sum(F.col("k2").cast("long")).cast("long").alias("n2"),
+        F.sum(F.col("k3").cast("long")).cast("long").alias("n3"),
+        F.sum(F.col("k4").cast("long")).cast("long").alias("n4"),
+    )
+    funnel = counts.selectExpr(
+        "stack(4, "
+        "CAST(1 AS BIGINT), 'license', n0, n1, "
+        "CAST(2 AS BIGINT), 'watermark', n1, n2, "
+        "CAST(3 AS BIGINT), 'exact_dedup', n2, n3, "
+        "CAST(4 AS BIGINT), 'min_length', n3, n4"
+        ") AS (stage_ord, stage, n_in, n_kept)"
+    )
+    return (
+        funnel.select(
+            "stage_ord",
+            "stage",
+            "n_in",
+            "n_kept",
+            (F.col("n_in") - F.col("n_kept")).alias("n_dropped"),
+            rounded_div_col(
+                (F.col("n_in") - F.col("n_kept")) * F.lit(1_000_000),
+                F.col("n_in"),
+            )
+            .cast("long")
+            .alias("drop_ppm"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("stage_ord")
+    )

@@ -516,34 +516,106 @@ _WM_PLANT_MOD = 23
 _WM_Z_MICRO = 4_000_000
 
 
-@query(
-    "synthetic_watermark_detect",
-    oracle=f"""
-    WITH toks AS (
-      SELECT doc_id, source, (doc_id % {_WM_PLANT_MOD} = 0) AS planted,
-             {_NORM_TOKS} AS w
-      FROM documents
-    ),
-    pairs AS (
-      SELECT doc_id, source, planted,
-             list_transform(generate_series(2, len(w)),
-               i -> ('0x' || substr(md5(w[i-1] || '|' || w[i]), 1, 15))::BIGINT
-                    % {_WM_MOD} = 0) AS is_green
-      FROM toks
-    ),
-    eff AS (
-      SELECT doc_id, source, planted,
+def wm_doc_sql(rel: str, extra: str = "") -> str:
+    """DuckDB: per-doc watermark stats over relation ``rel`` (needs
+    doc_id, text) — subquery yielding (doc_id, {extra}planted, t, g,
+    z_micro) with z_micro NULL when t = 0. The SAME green rule and
+    z-score the graded detector uses (one definition per engine)."""
+    ex = f"{extra}, " if extra else ""
+    return f"""(
+      SELECT doc_id, {ex}planted,
              CASE WHEN planted
                   THEN CAST(len(list_filter(is_green, g -> g)) AS BIGINT)
                   ELSE CAST(len(is_green) AS BIGINT) END AS t,
-             CAST(len(list_filter(is_green, g -> g)) AS BIGINT) AS g
-      FROM pairs
-    ),
-    z AS (
-      SELECT source, planted, t, g,
-             CAST(round((4 * g - t) * 1000000 / sqrt(3 * t)) AS BIGINT)
-               AS z_micro
-      FROM eff WHERE t > 0
+             CAST(len(list_filter(is_green, g -> g)) AS BIGINT) AS g,
+             CASE WHEN (CASE WHEN planted
+                        THEN len(list_filter(is_green, g -> g))
+                        ELSE len(is_green) END) > 0
+               THEN CAST(round(
+                 (4 * len(list_filter(is_green, g -> g))
+                  - (CASE WHEN planted
+                          THEN len(list_filter(is_green, g -> g))
+                          ELSE len(is_green) END)) * 1000000
+                 / sqrt(3 * (CASE WHEN planted
+                             THEN len(list_filter(is_green, g -> g))
+                             ELSE len(is_green) END))) AS BIGINT)
+               ELSE NULL END AS z_micro
+      FROM (
+        SELECT doc_id, {ex}(doc_id % {_WM_PLANT_MOD} = 0) AS planted,
+               list_transform(generate_series(2, len(w)),
+                 i -> ('0x' || substr(md5(w[i-1] || '|' || w[i]), 1, 15))
+                      ::BIGINT % {_WM_MOD} = 0) AS is_green
+        FROM (SELECT doc_id, {ex}{_NORM_TOKS} AS w FROM {rel})
+      )
+    )"""
+
+
+def watermark_doc_frame(docs):
+    """Spark: add (planted, t, g, z_micro) to a frame with (doc_id,
+    text); z_micro is NULL when t = 0. zip_with over two slices, NOT
+    transform-over-sequence — HOFs are CodegenFallback with no subexpr
+    elimination, so element_at(w, i) in a lambda re-derives the whole
+    split chain per element (measured 17.8 -> 1.6 s steady at sf0.1)."""
+    from llm_data_pipeline_spark.functions.hashing import portable_hash60
+
+    w = F.filter(
+        F.split(
+            F.trim(
+                F.regexp_replace(
+                    F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                    r"\s+",
+                    " ",
+                )
+            ),
+            " ",
+        ),
+        lambda x: x != "",
+    )
+    with_w = docs.select(
+        "*",
+        (F.col("doc_id") % _WM_PLANT_MOD == 0).alias("planted"),
+        w.alias("_wm_w"),
+    )
+    wcol = F.col("_wm_w")
+    is_green = F.when(
+        F.size("_wm_w") >= 2,
+        F.zip_with(
+            F.slice(wcol, 1, F.size("_wm_w") - 1),
+            F.slice(wcol, 2, F.size("_wm_w") - 1),
+            lambda a, b: portable_hash60(F.concat(a, F.lit("|"), b))
+            % _WM_MOD
+            == 0,
+        ),
+    ).otherwise(F.array().cast("array<boolean>"))
+    n_green = F.size(F.filter("_ig", lambda g: g)).cast("long")
+    eff = with_w.withColumn("_ig", is_green).select(
+        *[c for c in docs.columns],
+        "planted",
+        F.when(F.col("planted"), n_green)
+        .otherwise(F.size("_ig").cast("long"))
+        .alias("t"),
+        n_green.alias("g"),
+    )
+    return eff.withColumn(
+        "z_micro",
+        F.when(
+            F.col("t") > 0,
+            F.round(
+                (4 * F.col("g") - F.col("t"))
+                * F.lit(1_000_000)
+                / F.sqrt(3 * F.col("t")),
+                0,
+            ).cast("long"),
+        ),
+    )
+
+
+@query(
+    "synthetic_watermark_detect",
+    oracle=f"""
+    WITH z AS (
+      SELECT source, planted, t, g, z_micro
+      FROM {wm_doc_sql("documents", "source")} WHERE t > 0
     )
     SELECT source, planted,
            CAST(count(*) AS BIGINT) AS n_docs,
@@ -592,66 +664,13 @@ def synthetic_watermark_detect(spark: SparkSession, sf_dir: str):
     Reference anchor: the reference's quality screens are per-doc scalar
     signals over the same table (quality/model.py heuristics); this adds
     the synthetic-text axis those screens lack."""
-    from llm_data_pipeline_spark.functions.hashing import portable_hash60
-
     docs = table(spark, sf_dir, "documents", scatter=True).select(
         "doc_id", "source", "text"
     )
-    w = F.filter(
-        F.split(
-            F.trim(
-                F.regexp_replace(
-                    F.lower(F.coalesce(F.col("text"), F.lit(""))),
-                    r"\s+",
-                    " ",
-                )
-            ),
-            " ",
-        ),
-        lambda x: x != "",
-    )
-    toks = docs.select(
-        "source",
-        (F.col("doc_id") % _WM_PLANT_MOD == 0).alias("planted"),
-        w.alias("w"),
-    )
-    # Higher-order functions are CodegenFallback with NO subexpression
-    # elimination: element_at(w, i) inside a transform lambda re-derives
-    # the whole split(regexp_replace(...)) chain per sequence element
-    # (measured 17.8 s steady at sf0.1). zip_with over two slices
-    # evaluates w O(1) times per row instead, with the lambda receiving
-    # the pair elements directly. Spark's sequence(2, n) is DESCENDING
-    # for n < 2 (unlike DuckDB's empty generate_series), hence the
-    # size >= 2 gate.
-    wcol = F.col("w")
-    is_green = F.when(
-        F.size("w") >= 2,
-        F.zip_with(
-            F.slice(wcol, 1, F.size("w") - 1),
-            F.slice(wcol, 2, F.size("w") - 1),
-            lambda a, b: portable_hash60(F.concat(a, F.lit("|"), b))
-            % _WM_MOD
-            == 0,
-        ),
-    ).otherwise(F.array().cast("array<boolean>"))
-    pairs = toks.select("source", "planted", is_green.alias("is_green"))
-    n_green = F.size(F.filter("is_green", lambda g: g)).cast("long")
-    eff = pairs.select(
-        "source",
-        "planted",
-        F.when(F.col("planted"), n_green)
-        .otherwise(F.size("is_green").cast("long"))
-        .alias("t"),
-        n_green.alias("g"),
-    )
-    z = eff.where(F.col("t") > 0).withColumn(
-        "z_micro",
-        F.round(
-            (4 * F.col("g") - F.col("t"))
-            * F.lit(1_000_000)
-            / F.sqrt(3 * F.col("t")),
-            0,
-        ).cast("long"),
+    z = (
+        watermark_doc_frame(docs)
+        .where(F.col("t") > 0)
+        .select("source", "planted", "t", "g", "z_micro")
     )
     agg = z.groupBy("source", "planted").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),

@@ -512,3 +512,139 @@ def bloom_file_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .sortWithinPartitions("probe_class")
     )
+
+
+# ---------------------------------------------------------------------------
+# compaction EXECUTION: plan -> rewrite -> hash-graded roundtrip
+# ---------------------------------------------------------------------------
+
+
+def _ensure_compacted_sink(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per process x sf_dir) the fragmented sink (one
+    parquet file per modeled ingest task, ``doc_id % _FILE_MOD``) and
+    EXECUTE the order-preserving compaction plan against it: cut the
+    per-file byte stream at target offsets, route every document to its
+    bin, and rewrite one physical file per bin. Returns the compacted
+    sink path; the graded query audits ONLY what these files actually
+    contain."""
+    import os as _os
+
+    from llm_data_pipeline_spark.queries_sinks import SINK_BASE
+
+    sfx = f"{abs(hash(sf_dir)) % 10**8}_{_os.getpid()}"
+    frag = f"{SINK_BASE}/frag_sink_{sfx}"
+    comp = f"{SINK_BASE}/compacted_sink_{sfx}"
+    if not _os.path.exists(_os.path.join(comp, "_SUCCESS")):
+        _os.makedirs(SINK_BASE, exist_ok=True)
+        docs = table(spark, sf_dir, "documents").select(
+            "doc_id",
+            "text",
+            F.expr("coalesce(n_chars, 0)").cast("long").alias("nb"),
+            (F.col("doc_id") % _FILE_MOD).alias("file_id"),
+        )
+        docs.repartition("file_id").write.mode("overwrite").partitionBy(
+            "file_id"
+        ).parquet(frag)
+        frag_docs = spark.read.parquet(frag)
+        file_bytes = frag_docs.groupBy("file_id").agg(
+            F.sum("nb").cast("long").alias("bytes")
+        )
+        bins = file_bytes.select(
+            "file_id",
+            F.expr(
+                f"(sum(bytes) OVER (ORDER BY file_id "
+                f"ROWS UNBOUNDED PRECEDING) - bytes) div {_COMPACT_TARGET}"
+            ).alias("bin"),
+        )
+        (
+            frag_docs.join(F.broadcast(bins), "file_id")
+            .repartition("bin")
+            .write.mode("overwrite")
+            .partitionBy("bin")
+            .parquet(comp)
+        )
+    return comp
+
+
+@query(
+    "sink_compaction_execute",
+    oracle=f"""
+    WITH files AS (
+      SELECT doc_id % {_FILE_MOD} AS file_id,
+             CAST(sum(coalesce(n_chars, 0)) AS BIGINT) AS bytes
+      FROM documents GROUP BY 1
+    ),
+    plan AS (
+      SELECT file_id,
+             (sum(bytes) OVER (ORDER BY file_id
+                ROWS UNBOUNDED PRECEDING) - bytes) // {_COMPACT_TARGET} AS bin
+      FROM files
+    ),
+    routed AS (
+      SELECT p.bin, d.doc_id % {_FILE_MOD} AS file_id,
+             coalesce(d.n_chars, 0) AS nb,
+             ('0x' || substr(md5(coalesce(d.text, '')), 1, 15))::BIGINT
+               % 1000003 AS h
+      FROM documents d JOIN plan p ON p.file_id = d.doc_id % {_FILE_MOD}
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(1 AS BIGINT) AS n_physical_files,
+           CAST(count(DISTINCT file_id) AS BIGINT) AS n_source_files,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nb) AS BIGINT) AS bin_bytes,
+           CAST(sum(h) AS BIGINT) AS content_sum
+    FROM routed GROUP BY bin ORDER BY bin
+    """,
+    tags=("storage", "layout", "compaction", "sinks", "lifecycle"),
+)
+def sink_compaction_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction EXECUTED, not just planned — closes the storage
+    family's arc (PLAN: sink_compaction_plan -> EXECUTE: this): the
+    fragmented sink ({_FILE_MOD} physical parquet files, one per modeled
+    ingest task) is actually rewritten into one physical file per
+    target-size bin, and the audit reads back ONLY the compacted files —
+    per bin, the physical file count (must be exactly 1: that IS the
+    compaction contract), the source files merged, doc count, bytes, and
+    a content checksum (portable md5-60 of every document text, summed in
+    bounded residues). The oracle replays the plan and the checksum from
+    the documents table from first principles, so a lost document, a
+    duplicated document, a doc routed to the wrong bin, or a bin split
+    across two physical files all hash-fail — exactly the failure modes
+    a real OPTIMIZE job must alarm on before swapping the manifest.
+
+    Scale shape: the rewrite (inside the write-once _ensure) is ONE
+    shuffle keyed by bin — each bin lands whole in one task, so the
+    order-preserving merge streams file-ranges and never globally sorts;
+    the plan side is the same 37-row metadata window as
+    sink_compaction_plan. The audit is one scan of the compacted sink
+    with input_file_name() (pure metadata) and a per-bin aggregate; no
+    Python stages. Output: one row per bin."""
+    comp = _ensure_compacted_sink(spark, sf_dir)
+    # input_file_name() is non-deterministic to the analyzer — project it
+    # into a column before aggregating over it
+    out = spark.read.parquet(comp).withColumn("_f", F.input_file_name())
+    return (
+        out.groupBy("bin")
+        .agg(
+            F.countDistinct("_f").cast("long").alias("n_physical_files"),
+            F.countDistinct("file_id").cast("long").alias("n_source_files"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nb").cast("long").alias("bin_bytes"),
+            F.sum(
+                portable_hash60(F.coalesce(F.col("text"), F.lit("")))
+                % 1000003
+            )
+            .cast("long")
+            .alias("content_sum"),
+        )
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            "n_physical_files",
+            "n_source_files",
+            "n_docs",
+            "bin_bytes",
+            "content_sum",
+        )
+        .coalesce(1)
+        .sortWithinPartitions("bin")
+    )

@@ -1164,6 +1164,86 @@ def _lic_header_sql() -> str:
     return f"(CASE {whens} ELSE '' END || coalesce(text, ''))"
 
 
+# Shared license-cascade pieces (license_header_filter AND the code-corpus
+# pipeline compose the SAME graded detector; one definition each side).
+
+def license_ft_sql() -> str:
+    """DuckDB: the prologue-bounded lowered text the cascade scans."""
+    return f"lower(substr({_lic_header_sql()}, 1, 400))"
+
+
+def license_id_case_sql(ft: str = "ft") -> str:
+    """DuckDB: license_id CASE over a column named ``ft``."""
+    return f"""CASE
+          WHEN regexp_matches({ft}, '{_SPDX_RE}')
+            THEN 'spdx:' || regexp_extract({ft}, '{_SPDX_RE}', 1)
+          WHEN regexp_matches({ft}, 'licensed under the apache license')
+            THEN 'apache-2.0'
+          WHEN regexp_matches({ft}, 'gnu general public license')
+            THEN 'gpl'
+          WHEN regexp_matches({ft},
+                 'permission is hereby granted, free of charge')
+            THEN 'mit'
+          WHEN regexp_matches({ft}, 'released into the public domain')
+            THEN 'unlicense'
+          WHEN regexp_matches({ft}, 'all rights reserved')
+            THEN 'proprietary'
+          ELSE 'none'
+        END"""
+
+
+def license_class_case_sql(lid: str = "license_id") -> str:
+    """DuckDB: class CASE over a column named ``lid``."""
+    return f"""CASE
+          WHEN {lid} LIKE 'spdx:gpl%' OR {lid} = 'gpl' THEN 'copyleft'
+          WHEN {lid} = 'proprietary' THEN 'nonfree'
+          WHEN {lid} = 'none' THEN 'unknown'
+          ELSE 'permissive'
+        END"""
+
+
+def license_ft_col():
+    """Spark: the prologue-bounded lowered text (needs doc_id, text)."""
+    header = F.when(F.lit(False), F.lit(""))
+    for i, h in enumerate(_LIC_HEADERS):
+        header = header.when(F.col("doc_id") % 11 == i, F.lit(h + "\n"))
+    return F.lower(
+        F.substring(
+            F.concat(
+                header.otherwise(F.lit("")), F.coalesce("text", F.lit(""))
+            ),
+            1,
+            400,
+        )
+    )
+
+
+def license_id_col(ft):
+    """Spark: license_id cascade over the prologue column."""
+    spdx = F.regexp_extract(ft, _SPDX_RE, 1)
+    return (
+        F.when(spdx != "", F.concat(F.lit("spdx:"), spdx))
+        .when(ft.rlike("licensed under the apache license"), "apache-2.0")
+        .when(ft.rlike("gnu general public license"), "gpl")
+        .when(
+            ft.rlike("permission is hereby granted, free of charge"), "mit"
+        )
+        .when(ft.rlike("released into the public domain"), "unlicense")
+        .when(ft.rlike("all rights reserved"), "proprietary")
+        .otherwise("none")
+    )
+
+
+def license_class_col(lid):
+    """Spark: class over a license_id Column."""
+    return (
+        F.when(lid.startswith("spdx:gpl") | (lid == "gpl"), "copyleft")
+        .when(lid == "proprietary", "nonfree")
+        .when(lid == "none", "unknown")
+        .otherwise("permissive")
+    )
+
+
 @query(
     "license_header_filter",
     oracle=f"""
@@ -1248,44 +1328,14 @@ def license_header_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents", scatter=True).select(
         "doc_id", "text"
     )
-    header = F.when(F.lit(False), F.lit(""))
-    for i, h in enumerate(_LIC_HEADERS):
-        header = header.when(F.col("doc_id") % 11 == i, F.lit(h + "\n"))
     # license headers live in the file prologue: bound every regex to
     # the first 400 chars so the cascade's cost is O(1) per file, not
     # O(file bytes) — at 100 TB the detector reads prologues, not blobs
-    ft = F.lower(
-        F.substring(
-            F.concat(
-                header.otherwise(F.lit("")), F.coalesce("text", F.lit(""))
-            ),
-            1,
-            400,
-        )
-    )
-    spdx = F.regexp_extract(ft, _SPDX_RE, 1)
-    license_id = (
-        F.when(spdx != "", F.concat(F.lit("spdx:"), spdx))
-        .when(ft.rlike("licensed under the apache license"), "apache-2.0")
-        .when(ft.rlike("gnu general public license"), "gpl")
-        .when(
-            ft.rlike("permission is hereby granted, free of charge"), "mit"
-        )
-        .when(ft.rlike("released into the public domain"), "unlicense")
-        .when(ft.rlike("all rights reserved"), "proprietary")
-        .otherwise("none")
-    )
-    labeled = docs.select(license_id.alias("license_id")).select(
+    labeled = docs.select(
+        license_id_col(license_ft_col()).alias("license_id")
+    ).select(
         "license_id",
-        F.when(
-            F.col("license_id").startswith("spdx:gpl")
-            | (F.col("license_id") == "gpl"),
-            "copyleft",
-        )
-        .when(F.col("license_id") == "proprietary", "nonfree")
-        .when(F.col("license_id") == "none", "unknown")
-        .otherwise("permissive")
-        .alias("license_class"),
+        license_class_col(F.col("license_id")).alias("license_class"),
     )
     agg = labeled.groupBy("license_id", "license_class").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")

@@ -778,3 +778,34 @@ def test_late_data_audit_batch_tail_pruned(q):
         "props" not in s and "value" not in s and "user_id" not in s
         for s in schemas
     )
+
+
+def test_code_curation_single_pass_flags(q):
+    """The code pipeline computes every stage flag in one pass: license
+    regexes and watermark hashing are JVM expressions over the unioned
+    corpus (exactly two text scans — base + the re-crawl copies branch,
+    both sides of one union), the dedup rank is the only key-shuffle
+    (min-over-survivors window on the content hash), and no Python
+    stage exists anywhere."""
+    df = q("pipeline_code_curation")
+    plan = I.formatted_plan(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    I.assert_no_cartesian(df)
+    schemas = I.scan_read_schemas(df)
+    assert sum("text" in s for s in schemas) == 2
+    assert I.shuffle_count(df) <= 3
+
+
+def test_compaction_execute_audits_artifact_only(q):
+    """The compaction-execute audit reads back ONLY the compacted sink
+    (one scan of the rewritten files — the fragmented sink and the
+    documents table never appear in the served plan) with zero Python
+    stages; content grading runs against what the rewrite actually
+    wrote."""
+    df = q("sink_compaction_execute")
+    plan = I.formatted_plan(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "compacted_sink_" in plan
+    assert "frag_sink_" not in plan
+    assert "documents.parquet" not in plan
+    I.assert_no_cartesian(df)
