@@ -226,18 +226,18 @@ def connected_components(
     Both produce identical labels: union-by-min makes each DSU root the
     minimum member of its set, exactly the propagation fixpoint.
     """
-    edges = edges.persist()
+    # Eager localCheckpoint instead of persist(): the gate needs a count
+    # and then either a driver collect (DSU) or repeated propagation scans.
+    # With persist() BOTH the count and the next consumer re-plan the full
+    # pair-generation tree through Catalyst (the cache only dedups
+    # execution, not planning — measured ~0.3-0.5 s of driver time per
+    # extra planning pass on the dedup queries); the checkpoint cuts the
+    # lineage so every later action plans a trivial RDD scan. Blocks are
+    # freed by the ContextCleaner once the frame is garbage collected.
+    edges = edges.localCheckpoint(eager=True)
     if edges.count() <= driver_dsu_threshold:
-        try:
-            return _driver_dsu_components(edges)
-        finally:
-            edges.unpersist()
-    try:
-        return _propagation_components(edges, max_iterations)
-    finally:
-        # every round's count() materialized its localCheckpoint, so the
-        # returned frame no longer depends on the cached edge list
-        edges.unpersist()
+        return _driver_dsu_components(edges)
+    return _propagation_components(edges, max_iterations)
 
 
 def _propagation_components(
@@ -675,7 +675,12 @@ def minhash_dedup(
     # count-prefilter pass and the collect_list pass), and without a
     # boundary each pass re-runs the signature UDF upstream. Band rows are
     # far narrower than signatures (k/r sha1 strings vs k longs + text),
-    # so this is the cheapest place to pin one evaluation.
+    # so this is the cheapest place to pin one evaluation. Lazy, not eager:
+    # the two consumers are sibling map stages of the same first job and
+    # can each compute the subtree before blocks exist, but that duplicate
+    # overlaps on otherwise-idle cores — an eager checkpoint serializes the
+    # materialization into its own job and measured strictly slower
+    # (r9: steady 5.6 -> 9.6 s at sf0.1 with eager=True).
     bands = band_rows(df_sig, rows_per_band, id_col=id_col).localCheckpoint(
         eager=False
     )

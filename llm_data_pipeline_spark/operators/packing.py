@@ -276,9 +276,20 @@ def pack_chunks(
     )
 
 
-def packing_meta(df_chunks: DataFrame, seq_len: int, eos_id: int = EOS_ID) -> dict:
-    """packing_meta.json equivalent (T3; tokenizer/run.py:392-408)."""
-    n_chunks = df_chunks.count()
+def packing_meta(
+    df_chunks: DataFrame,
+    seq_len: int,
+    eos_id: int = EOS_ID,
+    n_chunks: int | None = None,
+) -> dict:
+    """packing_meta.json equivalent (T3; tokenizer/run.py:392-408).
+
+    ``n_chunks`` lets a caller that already aggregated the chunk frame
+    (e.g. the sink roundtrip report, whose S7 metrics count the same
+    read-back shards) pass the count instead of paying a second full
+    read of the chunk files for the identical number."""
+    if n_chunks is None:
+        n_chunks = df_chunks.count()
     return {
         "seq_len": seq_len,
         "eos_id": eos_id,

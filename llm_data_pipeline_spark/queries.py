@@ -44,6 +44,17 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     return deco
 
 
+# DataFrameReader.parquet() without an explicit schema re-infers it on the
+# driver EVERY call — file listing plus a footer read, measured ~110 ms per
+# call (cProfile: 0.57 s of tpch_q2's 0.84 s build was five table() reads).
+# The schema of an immutable input file is metadata, not data: infer it once
+# per (session, path) and hand it back explicitly on every later read, which
+# skips the footer pass entirely. Every query still scans the parquet for
+# its rows — only the schema round trip is saved (guide §6: explicit
+# schemas; the same reason schema inference is off for production JSONL).
+_SCHEMA_CACHE: dict[tuple, object] = {}
+
+
 def table(
     spark: SparkSession, sf_dir: str, name: str, scatter: bool = False
 ) -> DataFrame:
@@ -52,7 +63,13 @@ def table(
     # TIMESTAMP(NANOS) parquet (as longs) instead of failing
     # PARQUET_TYPE_ILLEGAL. Spark 4.1+ ignores it and reads NTZ natively.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    skey = (id(spark), path)
+    schema = _SCHEMA_CACHE.get(skey)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[skey] = schema
+    df = spark.read.schema(schema).parquet(path)
     # Canonicalize event time to TIMESTAMP_NTZ whatever the read produced
     # (long nanos / NTZ / instant) — tz-independent, matches DuckDB.
     from llm_data_pipeline_spark.functions.time import normalize_ts_ntz
@@ -63,11 +80,19 @@ def table(
         # signature UDFs, regex cleaning, vector math) ask for it — a blanket
         # repartition taxed cheap consumers with a full exchange (round-2
         # regression: multimodal 0.7→2.0 s, pack 3.2→5.2 s).
-        df = _scatter(df)
+        df = _scatter(df, _cache_key=(id(spark), sf_dir, name))
     return df
 
 
-def scatter(df: DataFrame) -> DataFrame:
+# scatter()'s under-parallelism probe (`df.rdd.getNumPartitions()`) forces
+# analysis + physical planning + an RDD conversion of the scan plan on the
+# DRIVER — ~20-40 ms per call, paid several times per query across the
+# 258-query gauntlet. The answer only depends on the immutable input file
+# layout and the session's parallelism, so memoize it per (session, path).
+_SCATTER_DECISION: dict[tuple, bool] = {}
+
+
+def scatter(df: DataFrame, _cache_key: tuple | None = None) -> DataFrame:
     """Restore parallelism lost to single-row-group test files.
 
     The driver's sf* parquet files hold one row group each, so a scan
@@ -80,7 +105,14 @@ def scatter(df: DataFrame) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
+    key = (_cache_key, target) if _cache_key is not None else None
+    if key is not None and key in _SCATTER_DECISION:
+        under_parallel = _SCATTER_DECISION[key]
+    else:
+        under_parallel = df.rdd.getNumPartitions() < max(2, target // 2)
+        if key is not None:
+            _SCATTER_DECISION[key] = under_parallel
+    if under_parallel:
         return df.repartition(target)
     return df
 

@@ -47,8 +47,18 @@ def _augmented(spark: SparkSession, sf_dir: str, scatter: bool = False) -> DataF
     """Augmented corpus. ``scatter=True`` for consumers that feed the text
     into CPU-heavy shingle/signature hashing (parallelize the narrow stage);
     leave False for cheap metadata branches (length/doc_id joins) so they
-    don't pay a full-text exchange."""
-    docs = table(spark, sf_dir, "documents", scatter=scatter).select("doc_id", "text")
+    don't pay a full-text exchange.
+
+    Scatter is applied ONCE, above the union — scattering each branch gave
+    the downstream UDF/codegen stages 2 x defaultParallelism tasks, and at
+    sf0.1 every Python-eval task carries a near-constant worker handshake
+    cost, so halving the task count halved the fixed overhead of every
+    Python stage in the dedup family (guide §4: control what crosses the
+    boundary — including how many times). On a real cluster the scan is
+    already well-partitioned and scatter() returns the union untouched."""
+    from llm_data_pipeline_spark.queries import scatter as _scatter_fn
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = F.split(
         F.trim(F.regexp_replace(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+", " ")),
         " ",
@@ -62,7 +72,10 @@ def _augmented(spark: SparkSession, sf_dir: str, scatter: bool = False) -> DataF
             ),
         )
     )
-    return docs.unionByName(variants)
+    out = docs.unionByName(variants)
+    if scatter:
+        out = _scatter_fn(out, _cache_key=(id(spark), sf_dir, "documents::aug"))
+    return out
 
 
 AUG_SQL = f"""
@@ -655,7 +668,10 @@ def lsh_band_stats(spark: SparkSession, sf_dir: str):
     that distinguishes a dedup run that can prove what the cap cost from
     one that silently lost recall (VERDICT r5 #3)."""
     aug = _augmented(spark, sf_dir, scatter=True)
-    mega = spark.range(_MEGA_N).select(
+    # one partition for the 30-row planted fixture: spark.range defaults to
+    # defaultParallelism slices, which added a full wave of near-empty
+    # Python-eval tasks to the signature stage after the union
+    mega = spark.range(0, _MEGA_N, 1, 1).select(
         (F.col("id") + _MEGA_OFFSET).alias("doc_id"),
         F.lit(_MEGA_TEXT).alias("text"),
     )
@@ -736,7 +752,10 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str):
     # Lazy checkpoint of the (doc_id, simhash) projection: the candidate
     # join references the frame on both sides plus the bucket window, and
     # each branch would otherwise recompute the 64-filter majority fold
-    # (2x the query's steady-state cost at sf0.1).
+    # (2x the query's steady-state cost at sf0.1). Lazy, not eager: the
+    # sibling join sides race and may both compute the fold, but that
+    # duplicate overlaps on otherwise-idle cores; eager serialization
+    # measured slower (r9: steady 3.7 -> 4.0-5.9 s at sf0.1).
     sim = (
         add_simhash(aug, hash_fn=portable_hash64)
         .select("doc_id", "simhash")
@@ -806,7 +825,10 @@ def simhash_band_stats(spark: SparkSession, sf_dir: str):
     from llm_data_pipeline_spark.operators.dedup import simhash_chunk_stats
 
     aug = _augmented(spark, sf_dir, scatter=True)
-    mega = spark.range(_MEGA_N).select(
+    # one partition for the 30-row planted fixture: spark.range defaults to
+    # defaultParallelism slices, which added a full wave of near-empty
+    # Python-eval tasks to the signature stage after the union
+    mega = spark.range(0, _MEGA_N, 1, 1).select(
         (F.col("id") + _MEGA_OFFSET).alias("doc_id"),
         F.lit(_MEGA_TEXT).alias("text"),
     )
@@ -2126,12 +2148,33 @@ def minhash_lsh_recall_eval(spark: SparkSession, sf_dir: str):
     from llm_data_pipeline_spark.functions.intmath import rounded_div_col
     from llm_data_pipeline_spark.operators.lsh import band_rows, candidate_pairs
     from llm_data_pipeline_spark.operators.minhash import (
-        add_minhash_md5,
+        make_md5_signature_udf,
         shingle_array,
     )
 
     aug = _augmented(spark, sf_dir, scatter=True)
-    sigs = add_minhash_md5(aug)
+    # ONE shingling pass shared by both evaluation sides: the LSH chain
+    # (signature UDF over the shingles) and the exact-Jaccard truth (the
+    # same shingle arrays) used to shingle the corpus independently —
+    # staging the arrays once behind a lazy checkpoint removes a full
+    # normalize+shingle pass per execution (same content as
+    # add_minhash_md5's internal staging, shared instead of private).
+    text = F.coalesce(F.col("text"), F.lit(""))
+    staged = aug.select(
+        "doc_id",
+        F.length(text).alias("length"),
+        shingle_array(text).alias("_sh"),
+        (F.length(F.trim(text)) == 0).alias("_empty"),
+    ).localCheckpoint(eager=False)
+    sig_udf = make_md5_signature_udf()
+    zero = F.array_repeat(F.lit(0).cast("long"), 128)
+    sigs = staged.select(
+        "doc_id",
+        "length",
+        F.when(F.col("_empty"), zero)
+        .otherwise(sig_udf(F.col("_sh")))
+        .alias("signature"),
+    )
     cands = candidate_pairs(band_rows(sigs, rows_per_band=8))
     planted = (
         table(spark, sf_dir, "documents")
@@ -2142,9 +2185,8 @@ def minhash_lsh_recall_eval(spark: SparkSession, sf_dir: str):
         )
     )
     pairs_all = cands.select("u", "v").unionByName(planted).distinct()
-    text = F.coalesce(F.col("text"), F.lit(""))
-    sets = aug.where(F.length(F.trim(text)) > 0).select(
-        "doc_id", shingle_array(text).alias("sh")
+    sets = staged.where(~F.col("_empty")).select(
+        "doc_id", F.col("_sh").alias("sh")
     )
     su = sets.select(F.col("doc_id").alias("u"), F.col("sh").alias("sh_u"))
     sv = sets.select(F.col("doc_id").alias("v"), F.col("sh").alias("sh_v"))
@@ -3118,13 +3160,22 @@ def dedup_cascade_funnel(spark: SparkSession, sf_dir: str):
     components, (length desc, doc_id desc) canonical)."""
     from llm_data_pipeline_spark.functions.text import norm_ws
 
-    docs = table(spark, sf_dir, "documents", scatter=True).select(
-        "doc_id", "text"
-    )
-    corpus = _augmented(spark, sf_dir, scatter=True).unionByName(
-        docs.where((F.col("doc_id") >= 50) & (F.col("doc_id") < 80)).select(
-            (F.col("doc_id") + _CASCADE_EXACT_OFFSET).alias("doc_id"), "text"
-        )
+    from llm_data_pipeline_spark.queries import scatter as _scatter_fn
+
+    # scatter ONCE above the full union (augmented corpus + planted exact
+    # re-ingests): scattering each branch gave the shingle/digest stages
+    # 3 x defaultParallelism tasks of mostly fixed per-task overhead
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = _scatter_fn(
+        _augmented(spark, sf_dir).unionByName(
+            docs.where(
+                (F.col("doc_id") >= 50) & (F.col("doc_id") < 80)
+            ).select(
+                (F.col("doc_id") + _CASCADE_EXACT_OFFSET).alias("doc_id"),
+                "text",
+            )
+        ),
+        _cache_key=(id(spark), sf_dir, "documents::cascade"),
     )
     keyed = corpus.withColumn("_k", F.md5(norm_ws(F.col("text"))))
     keepers = keyed.groupBy("_k").agg(F.min("doc_id").alias("doc_id"))
@@ -3294,12 +3345,30 @@ def lsh_scurve_calibration(spark: SparkSession, sf_dir: str):
     from llm_data_pipeline_spark.functions.intmath import rounded_div_col
     from llm_data_pipeline_spark.operators.lsh import band_rows
     from llm_data_pipeline_spark.operators.minhash import (
-        add_minhash_md5,
+        make_md5_signature_udf,
         shingle_array,
     )
 
     aug = _augmented(spark, sf_dir, scatter=True)
-    sigs = add_minhash_md5(aug)
+    # ONE shingling pass shared by the banding chain and the exact-Jaccard
+    # truth (same staged-share as minhash_lsh_recall_eval): the signature
+    # UDF and the `sets` side both read the staged shingle arrays.
+    text0 = F.coalesce(F.col("text"), F.lit(""))
+    staged = aug.select(
+        "doc_id",
+        F.length(text0).alias("length"),
+        shingle_array(text0).alias("_sh"),
+        (F.length(F.trim(text0)) == 0).alias("_empty"),
+    ).localCheckpoint(eager=False)
+    sig_udf = make_md5_signature_udf()
+    zero = F.array_repeat(F.lit(0).cast("long"), 128)
+    sigs = staged.select(
+        "doc_id",
+        "length",
+        F.when(F.col("_empty"), zero)
+        .otherwise(sig_udf(F.col("_sh")))
+        .alias("signature"),
+    )
     # capture membership for the 50 PLANTED pairs only: a pair is caught
     # iff some band bucket holds both sides AND that bucket survives the
     # production cap — semantically identical to membership in
@@ -3335,9 +3404,8 @@ def lsh_scurve_calibration(spark: SparkSession, sf_dir: str):
             (F.col("doc_id") + VARIANT_OFFSET).alias("v"),
         )
     )
-    text = F.coalesce(F.col("text"), F.lit(""))
-    sets = aug.where(F.length(F.trim(text)) > 0).select(
-        "doc_id", shingle_array(text).alias("sh")
+    sets = staged.where(~F.col("_empty")).select(
+        "doc_id", F.col("_sh").alias("sh")
     )
     su = sets.select(F.col("doc_id").alias("u"), F.col("sh").alias("sh_u"))
     sv = sets.select(F.col("doc_id").alias("v"), F.col("sh").alias("sh_v"))

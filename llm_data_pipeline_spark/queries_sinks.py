@@ -136,57 +136,84 @@ def sink_roundtrip_report(spark: SparkSession, sf_dir: str):
     os.makedirs(SINK_BASE, exist_ok=True)
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
 
-    # S5: overwrite parquet of the scored frame, observe-counted write
-    scored = score_documents(docs).select("doc_id", "text", "drop_reason")
-    p5 = os.path.join(SINK_BASE, "scored_parquet")
-    write_parquet_counted(scored, p5)
-    back5 = spark.read.parquet(p5)
-    s5 = back5.agg(
-        F.count("*").alias("s5_rows"),
-        _hsum(
-            F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("drop_reason"))
-        ).alias("s5_reason_hashsum"),
-    )
+    # The three sink legs are fully independent write->read->aggregate
+    # chains; running them from a small thread pool lets each leg's tail
+    # back-fill executors freed by the others (guide §2.6 — actions are
+    # only sequential because driver code calls them sequentially).
+    # Results are identical: each leg still writes its own directory,
+    # reads back its own files, and reduces to the same scalars.
+    def _leg5():
+        # S5: overwrite parquet of the scored frame, observe-counted write
+        spark.sparkContext.setJobDescription("sink_roundtrip: S5 parquet")
+        scored = score_documents(docs).select("doc_id", "text", "drop_reason")
+        p5 = os.path.join(SINK_BASE, "scored_parquet")
+        write_parquet_counted(scored, p5)
+        back5 = spark.read.parquet(p5)
+        return back5.agg(
+            F.count("*").alias("s5_rows"),
+            _hsum(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("drop_reason"),
+                )
+            ).alias("s5_reason_hashsum"),
+        ).collect()[0]
 
-    # S6: newline-flattened text shards, read back as text lines
-    p6 = os.path.join(SINK_BASE, "text_shards")
-    write_text_shards(docs, p6, n_shards=8)
-    back6 = spark.read.text(p6)
-    s6 = back6.agg(
-        F.count("*").alias("s6_lines"),
-        F.sum(F.length("value")).cast("long").alias("s6_chars"),
-        _hsum(F.col("value")).alias("s6_line_hashsum"),
-    )
+    def _leg6():
+        # S6: newline-flattened text shards, read back as text lines
+        spark.sparkContext.setJobDescription("sink_roundtrip: S6 text shards")
+        p6 = os.path.join(SINK_BASE, "text_shards")
+        write_text_shards(docs, p6, n_shards=8)
+        back6 = spark.read.text(p6)
+        return back6.agg(
+            F.count("*").alias("s6_lines"),
+            F.sum(F.length("value")).cast("long").alias("s6_chars"),
+            _hsum(F.col("value")).alias("s6_line_hashsum"),
+        ).collect()[0]
 
-    # S7: packed chunk shards (zstd, maxRecordsPerFile), read back
-    vocab = train_word_vocab(docs, vocab_size=VOCAB_SIZE)
-    chunks = pack_chunks(
-        encode_via_udf(docs, vocab), seq_len=SEQ_LEN, eos_id=2, add_eos=True,
-        ensure_eos=True, drop_remainder=True, order_col="doc_id",
-    )
-    p7 = os.path.join(SINK_BASE, "packed_parquet")
-    write_packed_parquet(chunks, p7, shard_chunks=16)
-    back7 = spark.read.parquet(p7)
-    checksum = F.aggregate(
-        F.zip_with(
-            F.col("input_ids"),
-            F.sequence(F.lit(1), F.size("input_ids")),
-            lambda x, i: x.cast("long") * i,
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    s7 = back7.agg(
-        F.count("*").alias("s7_chunks"),
-        F.sum(checksum).cast("long").alias("s7_ids_checksum_sum"),
-    )
+    def _leg7():
+        # S7: packed chunk shards (zstd, maxRecordsPerFile), read back;
+        # S9: packing meta over the same read-back shards
+        spark.sparkContext.setJobDescription("sink_roundtrip: S7 packed")
+        vocab = train_word_vocab(docs, vocab_size=VOCAB_SIZE)
+        chunks = pack_chunks(
+            encode_via_udf(docs, vocab), seq_len=SEQ_LEN, eos_id=2,
+            add_eos=True, ensure_eos=True, drop_remainder=True,
+            order_col="doc_id",
+        )
+        p7 = os.path.join(SINK_BASE, "packed_parquet")
+        write_packed_parquet(chunks, p7, shard_chunks=16)
+        back7 = spark.read.parquet(p7)
+        checksum = F.aggregate(
+            F.zip_with(
+                F.col("input_ids"),
+                F.sequence(F.lit(1), F.size("input_ids")),
+                lambda x, i: x.cast("long") * i,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        rows7 = back7.agg(
+            F.count("*").alias("s7_chunks"),
+            F.sum(checksum).cast("long").alias("s7_ids_checksum_sum"),
+        ).collect()[0]
+        # S9's total_chunks is a count of the SAME read-back frame the S7
+        # aggregate just scanned — pass it through instead of re-reading
+        # the shard files for an identical number (one pass, not two)
+        meta = packing_meta(
+            back7, seq_len=SEQ_LEN, eos_id=2,
+            n_chunks=int(rows7["s7_chunks"]),
+        )
+        return rows7, meta
 
-    # S9: packing meta (the stats-json values) over the read-back shards
-    meta = packing_meta(back7, seq_len=SEQ_LEN, eos_id=2)
+    from concurrent.futures import ThreadPoolExecutor
 
-    rows5 = s5.collect()[0]
-    rows6 = s6.collect()[0]
-    rows7 = s7.collect()[0]
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f5, f6, f7 = pool.submit(_leg5), pool.submit(_leg6), pool.submit(_leg7)
+        rows5, rows6 = f5.result(), f6.result()
+        rows7, meta = f7.result()
+    spark.sparkContext.setJobDescription(None)
     data = [
         ("s5_reason_hashsum", int(rows5["s5_reason_hashsum"])),
         ("s5_rows", int(rows5["s5_rows"])),
@@ -292,12 +319,21 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("key"), "l_extendedprice", "l_discount"
     )
-    write_bucketed(
-        orders, t_orders, "key", _BKT_N, path=f"{SINK_BASE}/{t_orders}"
-    )
-    write_bucketed(
-        items, t_items, "key", _BKT_N, path=f"{SINK_BASE}/{t_items}"
-    )
+    # The two bucketed writes are independent — overlap them from a thread
+    # pool (guide §2.6) so the smaller orders write back-fills executors
+    # during the lineitem write's tail. Output tables are byte-identical.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fo = pool.submit(
+            write_bucketed, orders, t_orders, "key", _BKT_N,
+            path=f"{SINK_BASE}/{t_orders}",
+        )
+        fi = pool.submit(
+            write_bucketed, items, t_items, "key", _BKT_N,
+            path=f"{SINK_BASE}/{t_items}",
+        )
+        fo.result(), fi.result()
     joined = (
         spark.table(t_orders)
         .hint("merge")
