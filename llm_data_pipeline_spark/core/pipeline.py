@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from llm_data_pipeline_spark.core.config import PipelineConfig, step_output_dir
 from llm_data_pipeline_spark.core.stage import Stage
+from llm_data_pipeline_spark.functions.checkpoint import cut_lineage
 
 
 def _ingest(spark, df_in, config, base):
@@ -59,7 +60,7 @@ def _clean(spark, df_in, config, base):
 
     # localCheckpoint (not persist): kept is returned lazily, so an
     # unpersist here is impossible; checkpoint blocks are GC-scoped.
-    scored = score_documents(df_in, rules=config.clean_rules).localCheckpoint(
+    scored = score_documents(df_in, rules=config.clean_rules).transform(cut_lineage, 
         eager=False
     )
     kept, dropped = split_kept(scored)
@@ -116,7 +117,7 @@ def _clustering(spark, df_in, config, base):
     total = df_in.count()
     # localCheckpoint (not persist): kept is returned lazily for the stage
     # write, so the cache could never be unpersisted here; GC-scoped blocks.
-    kept = kept.localCheckpoint(eager=False)
+    kept = kept.transform(cut_lineage, eager=False)
     n_kept_sampleable = kept.count()
     removed = total - n_kept_sampleable
     return kept, {

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from llm_data_pipeline_spark.functions.text import norm_ws
+from llm_data_pipeline_spark.functions.checkpoint import cut_lineage
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -296,7 +297,7 @@ def _shingled_docs(
         # executor storage for the rest of the app; checkpoint blocks are
         # RDD-level and the ContextCleaner frees them once the result frame
         # is garbage-collected. eager=False defers the job to first action.
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage, eager=False)
     )
 
 
@@ -806,7 +807,7 @@ def _span_tokenize(
             lambda x: x != "",
         ).alias("_toks"),
     )
-    return out.localCheckpoint(eager=False) if checkpoint else out
+    return out.transform(cut_lineage, eager=False) if checkpoint else out
 
 
 def _span_windows(toked: DataFrame, w: int) -> DataFrame:

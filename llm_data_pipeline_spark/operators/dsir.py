@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 
 from llm_data_pipeline_spark.functions.hashing import portable_hash60
 from llm_data_pipeline_spark.functions.text import norm_ws
+from llm_data_pipeline_spark.functions.checkpoint import cut_lineage
 
 DEFAULT_BUCKETS = 10_000
 DEFAULT_SALT = "dsir-v1:"
@@ -109,7 +110,7 @@ def dsir_importance_scores(
     """
     doc_counts = _doc_bucket_counts(
         df, text_col, id_col, n_buckets, salt
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage, eager=False)
     raw = doc_counts.groupBy("bucket").agg(F.sum("c").alias("cr"))
     tgt = (
         _doc_bucket_counts(target, text_col, id_col, n_buckets, salt)

@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from llm_data_pipeline_spark.functions.intmath import rounded_div
+from llm_data_pipeline_spark.functions.checkpoint import cut_lineage
 
 MICRO = 1_000_000
 
@@ -80,7 +81,7 @@ def kmeans_fit(
     so callers can score without re-quantizing."""
     base = df.select(
         F.col(id_col).alias("vec_id"), quantize_micro(F.col(vec_col)).alias("xq")
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage, eager=False)
     init = base.orderBy("vec_id").limit(k).collect()  # k smallest ids, any id space
     centroids = [list(r["xq"]) for r in init]
     if not centroids:

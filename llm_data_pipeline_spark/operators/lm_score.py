@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from llm_data_pipeline_spark.functions.text import norm_ws
+from llm_data_pipeline_spark.functions.checkpoint import cut_lineage
 
 DEFAULT_SMOOTH_K = 0.1
 
@@ -70,7 +71,7 @@ def add_lm_score(
     analog of CCNet's trusted-LM ranking; to score against a reference
     corpus, train the count tables there and join them here unchanged).
     """
-    bigrams = _doc_bigrams(df, text_col, id_col).localCheckpoint(eager=False)
+    bigrams = _doc_bigrams(df, text_col, id_col).transform(cut_lineage, eager=False)
     bg_counts = (
         bigrams.where(F.col("w1").isNotNull())
         .groupBy("w1", "w2")

@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 
 from llm_data_pipeline_spark.functions.intmath import rounded_div
 from llm_data_pipeline_spark.operators.dsir import _doc_bucket_counts
+from llm_data_pipeline_spark.functions.checkpoint import cut_lineage
 
 DEFAULT_BUCKETS = 512
 DEFAULT_SALT = "qcls-v1:"
@@ -84,7 +85,7 @@ def train_quality_classifier(
     feats = (
         _doc_bucket_counts(docs, text_col, id_col, n_buckets, salt)
         .repartition("doc_id")
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage, eager=False)
     )
     labels = docs.select(
         F.col(id_col).alias("doc_id"), F.col(label_col).cast("int").alias("y")

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from llm_data_pipeline_spark.functions.checkpoint import cut_lineage
 
 DEFAULT_ROWS_PER_BAND = 4
 DEFAULT_BUCKET_CAP = 500
@@ -234,7 +235,7 @@ def connected_components(
     # extra planning pass on the dedup queries); the checkpoint cuts the
     # lineage so every later action plans a trivial RDD scan. Blocks are
     # freed by the ContextCleaner once the frame is garbage collected.
-    edges = edges.localCheckpoint(eager=True)
+    edges = edges.transform(cut_lineage, eager=True)
     if edges.count() <= driver_dsu_threshold:
         return _driver_dsu_components(edges)
     return _propagation_components(edges, max_iterations)
@@ -266,12 +267,12 @@ def _propagation_components(
     )
     # lazy checkpoints: the first iteration's count materializes them, so
     # lineage truncation costs no extra jobs
-    sym = sym.localCheckpoint(eager=False)
+    sym = sym.transform(cut_lineage, eager=False)
     labels = (
         sym.select(F.col("u").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage, eager=False)
     )
     rounds = 0
     n_changed = -1  # sentinel: loop never ran -> converged False
@@ -308,10 +309,10 @@ def _propagation_components(
                         F.col("component"), F.coalesce("jcomp", "component")
                     ).alias("component"),
                 )
-                .localCheckpoint(eager=False)
+                .transform(cut_lineage, eager=False)
             )
         else:
-            updated = stepped.localCheckpoint(eager=False)
+            updated = stepped.transform(cut_lineage, eager=False)
         # convergence: any label lowered this round? (join against the
         # previous labels; both frames are checkpointed, so this is one
         # cheap job, not a lineage replay)
@@ -402,10 +403,10 @@ def minhash_incremental_dedup(
     degenerate bucket (e.g. the all-zero empty-text signature) is dropped
     consistently regardless of which side its members came from.
     """
-    bb = band_rows(base_sig, rows_per_band, id_col=id_col).localCheckpoint(
+    bb = band_rows(base_sig, rows_per_band, id_col=id_col).transform(cut_lineage, 
         eager=False
     )
-    bn = band_rows(new_sig, rows_per_band, id_col=id_col).localCheckpoint(
+    bn = band_rows(new_sig, rows_per_band, id_col=id_col).transform(cut_lineage, 
         eager=False
     )
     keys = ["band_id", "band_hash"]
@@ -579,7 +580,7 @@ def minhash_incremental_dedup_indexed(
             .select("bh")
         )
     bbs = bb.join(sizes, "bh", "left_semi")
-    bns = bn.join(sizes, "bh", "left_semi").localCheckpoint(eager=False)
+    bns = bn.join(sizes, "bh", "left_semi").transform(cut_lineage, eager=False)
     nb = (
         bns.select("bh", F.col("doc_id").alias("u"))
         .join(bbs.select("bh", F.col("doc_id").alias("v")), "bh")
@@ -681,7 +682,7 @@ def minhash_dedup(
     # overlaps on otherwise-idle cores — an eager checkpoint serializes the
     # materialization into its own job and measured strictly slower
     # (r9: steady 5.6 -> 9.6 s at sf0.1 with eager=True).
-    bands = band_rows(df_sig, rows_per_band, id_col=id_col).localCheckpoint(
+    bands = band_rows(df_sig, rows_per_band, id_col=id_col).transform(cut_lineage, 
         eager=False
     )
     edges = candidate_pairs(bands, bucket_cap)

@@ -26,6 +26,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
+from llm_data_pipeline_spark.functions.checkpoint import cut_lineage
 
 DEFAULT_K = 128
 DEFAULT_SEED = 42
@@ -186,7 +187,7 @@ def add_minhash_md5(
         df.withColumn("length", F.length(text))
         .withColumn("_sh", shingle_array(text, ngram))
         .withColumn("_empty", F.length(F.trim(text)) == 0)
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage, eager=False)
     )
     return staged.withColumn(
         signature_col,
@@ -230,7 +231,7 @@ def add_minhash(
             "_mh", shingle_hashes(text, ngram, hash_fn)
         ).withColumn(
             "_empty", F.length(F.trim(text)) == 0
-        ).localCheckpoint(eager=False)
+        ).transform(cut_lineage, eager=False)
         return staged.withColumn(
             signature_col,
             F.when(F.col("_empty"), zero).otherwise(sig_udf(F.col("_mh"))),

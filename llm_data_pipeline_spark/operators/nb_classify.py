@@ -41,6 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from llm_data_pipeline_spark.functions.checkpoint import cut_lineage
 
 MICRO = 1_000_000
 
@@ -121,7 +122,7 @@ def train_nb(
     gram_counts = (
         grams.groupBy("label", "gram")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage, eager=False)
     )
     totals = gram_counts.groupBy("label").agg(F.sum("c").alias("t"))
     vocab = gram_counts.select("gram").distinct().agg(

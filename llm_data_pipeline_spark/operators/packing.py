@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from llm_data_pipeline_spark.operators.tokenizer import EOS_ID
+from llm_data_pipeline_spark.functions.checkpoint import cut_lineage
 
 
 def _with_eos(ids: F.Column, eos_id: int, add_eos: bool, ensure_eos: bool) -> F.Column:
@@ -107,7 +108,7 @@ def add_global_offsets(
         # so there is no point at which this function could unpersist; the
         # pass-1 collect below materializes the blocks and the
         # ContextCleaner frees them when the result is GC'd.
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage, eager=False)
     )
     # Pass 1: per-partition totals -> exclusive bases (n_partitions rows of
     # two longs — driver-side cost is O(n_partitions), never O(rows)).

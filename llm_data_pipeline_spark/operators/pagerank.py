@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from llm_data_pipeline_spark.functions.checkpoint import cut_lineage
 
 MICRO = 1_000_000
 DAMP_PCT = 85
@@ -63,12 +64,12 @@ def pagerank_integer(
     # reads them, and without the checkpoint each of the `iters` jobs would
     # re-run the whole upstream edge construction (scan, joins, aggregate) —
     # measured 10x recompute before this pin.
-    e = e.join(outw, "_src").localCheckpoint(eager=False)
+    e = e.join(outw, "_src").transform(cut_lineage, eager=False)
     nodes = (
         e.select(F.col("_src").alias("node"))
         .union(e.select(F.col("_dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage, eager=False)
     )
     ranks = nodes.select("node", F.lit(MICRO).cast("long").alias("rank"))
     for it in range(iters):
@@ -89,5 +90,5 @@ def pagerank_integer(
             .alias("rank"),
         )
         if ckpt_every and (it + 1) % ckpt_every == 0 and (it + 1) < iters:
-            ranks = ranks.localCheckpoint(eager=False)
+            ranks = ranks.transform(cut_lineage, eager=False)
     return ranks

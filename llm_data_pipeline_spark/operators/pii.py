@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from llm_data_pipeline_spark.functions import pii as P
+from llm_data_pipeline_spark.functions.checkpoint import cut_lineage
 
 _NER_SUPPORTED_LANGS = ("en", "zh")
 
@@ -112,7 +113,7 @@ def apply_person_ner(
     # Both branches scan df; localCheckpoint (not persist) shares the single
     # materialization without leaving a permanent CacheManager entry — the
     # ContextCleaner frees the blocks when the result frame is GC'd.
-    df = df.localCheckpoint(eager=False)
+    df = df.transform(cut_lineage, eager=False)
     fast = df.filter(~gated)
     slow = df.filter(gated)
 

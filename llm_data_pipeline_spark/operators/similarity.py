@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 from pyspark.sql.window import Window
 
+from llm_data_pipeline_spark.functions.checkpoint import cut_lineage
 from llm_data_pipeline_spark.functions.vectors import (
     cosine,
     cosine_arrow,
@@ -1320,7 +1321,7 @@ def margin_knn_mining(
         # expensive Arrow-UDF scoring feeds two differently-keyed window
         # branches; pin it once (perf rule: checkpoint only genuinely
         # expensive non-exchange subtrees with multiple consumers)
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage, eager=False)
     )
     wx = Window.partitionBy("src_id").orderBy(F.desc("cos_mu"), F.asc("tgt_id"))
     wy = Window.partitionBy("tgt_id").orderBy(F.desc("cos_mu"), F.asc("src_id"))
@@ -1428,7 +1429,7 @@ def kcenter_selection(
     mind = (
         base.where(F.col("vec_id") != seed_id)
         .select("vec_id", "v", dist_to(seed_v).alias("mind"))
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage, eager=False)
     )
     for r in range(1, k):
         top = mind.orderBy(F.desc("mind"), F.asc("vec_id")).limit(1).collect()
@@ -1445,7 +1446,7 @@ def kcenter_selection(
                 "v",
                 F.least(F.col("mind"), dist_to(sel_v)).alias("mind"),
             )
-            .localCheckpoint(eager=False)
+            .transform(cut_lineage, eager=False)
         )
     return spark.createDataFrame(
         picked, "sel_rank int, vec_id long, radius_mu long"
@@ -1520,7 +1521,7 @@ def kcenter_selection_batched(
     mind = (
         base.where(F.col("vec_id") != seed_id)
         .select("vec_id", "v", dist_to(seed_v).alias("mind"))
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage, eager=False)
     )
     while len(picked) < k:
         want = k - len(picked)
@@ -1556,7 +1557,7 @@ def kcenter_selection_batched(
                     F.col("mind"), *[dist_to(sel_vecs[i]) for i in new_ids]
                 ).alias("mind"),
             )
-            .localCheckpoint(eager=False)
+            .transform(cut_lineage, eager=False)
         )
     return spark.createDataFrame(
         picked, "sel_rank int, vec_id long, radius_mu long"

@@ -18,6 +18,7 @@ from llm_data_pipeline_spark.functions.hashing import DUCKDB_HASH60, portable_ha
 from llm_data_pipeline_spark.functions import analysis as A
 from llm_data_pipeline_spark.functions.intmath import rounded_div_col, rounded_div_sql
 from llm_data_pipeline_spark.queries import query, table
+from llm_data_pipeline_spark.functions.checkpoint import cut_lineage
 
 # ---------------------------------------------------------------------------
 # frequent n-gram mining (exact heavy hitters)
@@ -1165,7 +1166,7 @@ def cm_frequency_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = toks.select(
         F.explode(word_ngrams_all(F.col("_toks"), _HH_N)).alias("gram")
     )
-    grams = grams.localCheckpoint(eager=False)  # 3 consumers: N, build, top-k
+    grams = grams.transform(cut_lineage, eager=False)  # 3 consumers: N, build, top-k
     n_row = grams.agg(F.count("*").cast("long").alias("n"))
     counters = cm_build(grams, "gram")
     exact = grams.groupBy("gram").agg(F.count("*").cast("long").alias("true_cnt"))

@@ -21,6 +21,7 @@ from llm_data_pipeline_spark.queries_dedup import AUG_SQL, _augmented
 from llm_data_pipeline_spark.queries_text import TEXT_BASE_SQL as _TEXT_BASE_SQL
 from llm_data_pipeline_spark.queries_text import _QUALITY_SCORE as _QSCORE
 from pyspark.sql.window import Window
+from llm_data_pipeline_spark.functions.checkpoint import cut_lineage
 
 # n-gram shingles of length N over norm_ws-normalized text, as SQL.
 _DECON_N = 5
@@ -1143,7 +1144,7 @@ def doremi_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the corpus text is scanned ONCE and everything downstream is
     # vocabulary-bounded (the dedup_method_agreement pattern; lazy
     # checkpoints race multi-consumer materialization).
-    dw = dw.localCheckpoint(eager=True)
+    dw = dw.transform(cut_lineage, eager=True)
     d = dw.groupBy("source").agg(F.sum("c_dw").cast("long").alias("c_d"))
     wt = dw.groupBy("w").agg(F.sum("c_dw").cast("long").alias("c_w"))
     tot = dw.agg(F.sum("c_dw").cast("long").alias("t"))

@@ -35,6 +35,7 @@ from llm_data_pipeline_spark.operators.lsh import (
 from llm_data_pipeline_spark.operators.minhash import add_minhash, add_minhash_md5
 from llm_data_pipeline_spark.functions.intmath import rounded_div_sql
 from llm_data_pipeline_spark.queries import query, table
+from llm_data_pipeline_spark.functions.checkpoint import cut_lineage
 
 VARIANT_OFFSET = 100_000
 
@@ -375,7 +376,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str):
     # sample pass reads 128-long arrays from block storage.
     staged = sig.select(
         "doc_id", F.col("length").cast("long").alias("length"), "signature"
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage, eager=False)
     return staged.select(
         "doc_id", "length", F.posexplode("signature").alias("pos", "sig_val")
     ).orderBy("doc_id", "pos")
@@ -577,11 +578,11 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str):
     signature -> banding -> components -> histogram chain."""
     aug = _augmented(spark, sf_dir, scatter=True)
     sig = add_minhash_md5(aug)
-    bands = band_rows(sig, rows_per_band=8).localCheckpoint(eager=False)
+    bands = band_rows(sig, rows_per_band=8).transform(cut_lineage, eager=False)
     edges = candidate_pairs(bands, bucket_cap=500)
     # comps feeds two consumers (size histogram + singleton anti-join);
     # pin it so neither replays the pair-generation/CC chain
-    comps = connected_components(edges).localCheckpoint(eager=False)
+    comps = connected_components(edges).transform(cut_lineage, eager=False)
     csizes = comps.groupBy("component").agg(F.count("*").alias("csize"))
     multi = csizes.groupBy("csize").agg(F.count("*").alias("n_clusters")).select(
         F.col("csize").cast("long").alias("cluster_size"),
@@ -759,7 +760,7 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str):
     sim = (
         add_simhash(aug, hash_fn=portable_hash64)
         .select("doc_id", "simhash")
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage, eager=False)
     )
     return simhash_candidate_pairs(sim, max_hamming=3, bucket_cap=None).orderBy(
         "u", "v"
@@ -939,7 +940,7 @@ def minhash_jaccard_estimate_error(spark: SparkSession, sf_dir: str):
         "u",
         shingle_array(F.col("t_u")).alias("sh_u"),
         shingle_array(F.col("t_v")).alias("sh_v"),
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage, eager=False)
     est = staged.select(
         "u",
         F.size("sh_u").cast("long").alias("n_su"),
@@ -2165,7 +2166,7 @@ def minhash_lsh_recall_eval(spark: SparkSession, sf_dir: str):
         F.length(text).alias("length"),
         shingle_array(text).alias("_sh"),
         (F.length(F.trim(text)) == 0).alias("_empty"),
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage, eager=False)
     sig_udf = make_md5_signature_udf()
     zero = F.array_repeat(F.lit(0).cast("long"), 128)
     sigs = staged.select(
@@ -2497,7 +2498,7 @@ def takedown_cluster_propagation(spark: SparkSession, sf_dir: str):
     )
     aug = _augmented(spark, sf_dir, scatter=True)
     edges = ngram_jaccard_pairs(aug, threshold=0.5, n=3).select("u", "v")
-    comps = connected_components(edges).localCheckpoint(eager=False)
+    comps = connected_components(edges).transform(cut_lineage, eager=False)
     hit_comps = (
         comps.join(req, "doc_id", "left_semi")
         .select("component")
@@ -2831,7 +2832,7 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str):
     # lazy checkpoint those references race to materialize the lineage
     # concurrently inside the one job (measured 25 s steady vs 4 s for
     # the parts), while eager pins the 1.2k-row pair set once.
-    allp = _agreement_all_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    allp = _agreement_all_pairs(spark, sf_dir).transform(cut_lineage, eager=True)
     # JVM-side 3-row literal (explode over range), NOT createDataFrame:
     # the python-RDD scan a local createDataFrame plants in the final
     # plan intermittently wedged on a reused pyspark worker (observed:
@@ -3181,7 +3182,7 @@ def dedup_cascade_funnel(spark: SparkSession, sf_dir: str):
     keepers = keyed.groupBy("_k").agg(F.min("doc_id").alias("doc_id"))
     survivors = corpus.join(
         keepers.select("doc_id"), "doc_id", "left_semi"
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage, eager=False)
     edges = ngram_jaccard_pairs(survivors, threshold=0.5, n=3).select(
         "u", "v"
     )
@@ -3359,7 +3360,7 @@ def lsh_scurve_calibration(spark: SparkSession, sf_dir: str):
         F.length(text0).alias("length"),
         shingle_array(text0).alias("_sh"),
         (F.length(F.trim(text0)) == 0).alias("_empty"),
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage, eager=False)
     sig_udf = make_md5_signature_udf()
     zero = F.array_repeat(F.lit(0).cast("long"), 128)
     sigs = staged.select(

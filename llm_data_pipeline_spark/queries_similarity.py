@@ -27,6 +27,7 @@ from llm_data_pipeline_spark.operators.similarity import (
     near_dup_pairs_blocked,
 )
 from llm_data_pipeline_spark.queries import query, table
+from llm_data_pipeline_spark.functions.checkpoint import cut_lineage
 
 
 def _ann_books(emb) -> dict:
@@ -1186,7 +1187,7 @@ def text_hashed_embedding_near_dups(spark: SparkSession, sf_dir: str):
         # pin the (tiny) pair set before the deterministic final sort so
         # orderBy's range-sampling pass reads blocks instead of
         # re-running the embed+GEMM chain (README perf rule #3)
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage, eager=False)
     )
     return out.orderBy("u", "v")
 
@@ -2016,7 +2017,7 @@ def semantic_dedup_threshold_sweep(spark: SparkSession, sf_dir: str):
     # multi-consumer race measured at 25s-vs-4s in dedup_method_agreement)
     pairs = near_dup_pairs_blocked(
         emb, threshold=0.30, rows_per_block=256
-    ).localCheckpoint(eager=True)
+    ).transform(cut_lineage, eager=True)
     th = spark.range(1).select(
         F.explode(F.array(*[F.lit(c) for c in _SWEEP_TCS])).alias("tc")
     )

@@ -17,6 +17,7 @@ from llm_data_pipeline_spark.operators.unigram_lm import (
 from llm_data_pipeline_spark.queries import query
 from llm_data_pipeline_spark.queries_pipeline import CLEAN_METRICS_SQL
 from llm_data_pipeline_spark.streaming.state import user_running_totals
+from llm_data_pipeline_spark.functions.checkpoint import cut_lineage
 from llm_data_pipeline_spark.streaming.stream import (
     clean_stream,
     hourly_rollup_stream,
@@ -987,7 +988,7 @@ def _ensure_late_feed(spark: SparkSession, sf_dir: str) -> str:
         )
         # four wave writes follow — pin the ntile'd frame so the global
         # sort runs once, not once per wave file
-        waved = waved.localCheckpoint(eager=True)
+        waved = waved.transform(cut_lineage, eager=True)
         t0 = _time.time()
         for k in range(1, _LATE_WAVES + 1):
             tmp = f"{path}__w{k}"

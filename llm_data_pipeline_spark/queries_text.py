@@ -13,6 +13,7 @@ from llm_data_pipeline_spark.functions.intmath import rounded_div_sql
 from pyspark.sql.window import Window
 from llm_data_pipeline_spark.operators.quality import run_quality
 from llm_data_pipeline_spark.queries import query, table
+from llm_data_pipeline_spark.functions.checkpoint import cut_lineage
 
 # ---------------------------------------------------------------------------
 # SQL twins
@@ -586,7 +587,7 @@ def nb_language_classifier(spark: SparkSession, sf_dir: str):
         # orderBy's range-sampling pass re-executes its child plan; pin
         # the (|test docs|-row) result first so the sort reads blocks
         # instead of re-running train+predict (README perf rule #3).
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage, eager=False)
     )
     return out.orderBy("doc_id")
 
@@ -1609,7 +1610,7 @@ def winnow_candidate_pairs(spark: SparkSession, sf_dir: str):
     fp = A.add_winnow_fingerprints(allw, k=8, w=4)
     fps = fp.select(
         "doc_id", F.explode(F.array_distinct("fingerprints")).alias("fp")
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage, eager=False)
     rare = (
         fps.groupBy("fp")
         .agg(F.count("*").alias("nd"))

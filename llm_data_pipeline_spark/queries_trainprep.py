@@ -20,6 +20,7 @@ from llm_data_pipeline_spark.functions.intmath import (
     rounded_div_sql,
 )
 from llm_data_pipeline_spark.queries import query, table
+from llm_data_pipeline_spark.functions.checkpoint import cut_lineage
 
 _NORM = "trim(regexp_replace(lower(coalesce(text,'')), '\\s+', ' ', 'g'))"
 _TOKS = f"list_filter(string_split({_NORM}, ' '), x -> x <> '')"
@@ -314,7 +315,7 @@ def skipgram_training_pairs(spark: SparkSession, sf_dir: str):
     toks = F.filter(F.split(norm_ws(F.col("text")), " "), lambda x: x != "")
     pos = docs.select(
         "doc_id", F.posexplode(toks).alias("p", "w")
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage, eager=False)
     c = pos.select(
         "doc_id", F.col("p").alias("center_pos"), F.col("w").alias("center")
     )

@@ -25,6 +25,7 @@ from llm_data_pipeline_spark.functions.hashing import DUCKDB_HASH60
 from llm_data_pipeline_spark.functions.intmath import rounded_div_sql
 from llm_data_pipeline_spark.functions.repetition import words_of
 from llm_data_pipeline_spark.queries import query, table
+from llm_data_pipeline_spark.functions.checkpoint import cut_lineage
 
 _HEADER = "home navigation menu."
 _FOOTER = "contact us at corp example."
@@ -503,7 +504,7 @@ def pipeline_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Three consumers re-execute this regex-heavy narrow pipeline otherwise
     # (boilerplate's freq + rebuild branches, then the dedup window) —
     # measured 6.9 s steady unpinned at sf0.1, 2.9 s pinned.
-    surv = surv.localCheckpoint(eager=False)
+    surv = surv.transform(cut_lineage, eager=False)
     stripped = remove_boilerplate_lines(
         surv, key_col="doc_id", text_col="text", min_docs=_BP_MIN_DOCS
     ).select("doc_id", F.col("clean_text").alias("ftext"))

@@ -755,3 +755,26 @@ def test_update_component_index_matches_full_recompute(spark):
     want.setdefault(12, 12)
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 1, 5: 5, 11: 5, 12: 12}
     assert got == want
+
+
+def test_reliable_checkpoint_mode_identical(spark, tmp_path):
+    """engine.checkpoint.mode=reliable (DataFrame.checkpoint into a real
+    checkpoint dir — survives executor loss at cluster scale) must produce
+    the exact rows local mode does on a full dedup run; only block
+    placement/recoverability differ (functions/checkpoint.py)."""
+    sig = add_minhash(_corpus(spark), stage_hashes=True)
+
+    def run():
+        kept, comps = minhash_dedup(sig, rows_per_band=8)
+        return (
+            sorted(r["doc_id"] for r in kept.select("doc_id").collect()),
+            sorted(map(tuple, comps.collect())),
+        )
+
+    base = run()
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    spark.conf.set("engine.checkpoint.mode", "reliable")
+    try:
+        assert run() == base
+    finally:
+        spark.conf.set("engine.checkpoint.mode", "local")
