@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from llm_data_pipeline_spark.core.config import PipelineConfig, step_output_dir
 from llm_data_pipeline_spark.core.stage import Stage
 from llm_data_pipeline_spark.functions.checkpoint import cut_lineage
+from llm_data_pipeline_spark.functions.localframe import local_df
 
 
 def _ingest(spark, df_in, config, base):
@@ -143,11 +144,11 @@ def _train_tokenizer(spark, df_in, config, base):
             n_merges=config.bpe_merges,
             min_pair_freq=config.bpe_min_pair_freq,
         )
-        spark.createDataFrame(
+        local_df(spark, 
             [(i, a, b) for i, (a, b) in enumerate(merges)],
             schema="merge_rank bigint, lhs string, rhs string",
         ).write.mode("overwrite").parquet(f"{base}/bpe_merges_parquet")
-        vocab = spark.createDataFrame(
+        vocab = local_df(spark, 
             pieces, schema="token string, id bigint"
         )
         return vocab, {"tokenizer": "bpe", "n_merges": len(merges)}

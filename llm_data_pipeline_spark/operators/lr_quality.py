@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 from llm_data_pipeline_spark.functions.intmath import rounded_div
 from llm_data_pipeline_spark.operators.dsir import _doc_bucket_counts
 from llm_data_pipeline_spark.functions.checkpoint import cut_lineage
+from llm_data_pipeline_spark.functions.localframe import local_df
 
 DEFAULT_BUCKETS = 512
 DEFAULT_SALT = "qcls-v1:"
@@ -97,7 +98,7 @@ def train_quality_classifier(
     w: dict[int, int] = {}
     for _ in range(iters):
         if w:
-            wdf = spark.createDataFrame(
+            wdf = local_df(spark, 
                 sorted(w.items()), "bucket long, w long"
             )
             margins = (
@@ -135,7 +136,7 @@ def quality_classifier_scores(
     docs with no tokens score 0 (the link's decision point)."""
     spark = docs.sparkSession
     feats = _doc_bucket_counts(docs, text_col, id_col, n_buckets, salt)
-    wdf = spark.createDataFrame(
+    wdf = local_df(spark, 
         sorted(weights.items()) or [(0, 0)], "bucket long, w long"
     )
     scored = (

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 from llm_data_pipeline_spark.functions.checkpoint import cut_lineage
+from llm_data_pipeline_spark.functions.localframe import local_df
 
 DEFAULT_ROWS_PER_BAND = 4
 DEFAULT_BUCKET_CAP = 500
@@ -363,7 +364,7 @@ def _driver_dsu_components(edges: DataFrame) -> DataFrame:
 
     id_type = dict(edges.dtypes)["u"]
     spark = edges.sparkSession
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(x, find(x)) for x in parent],
         schema=f"doc_id {id_type}, component {id_type}",
     )

@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from llm_data_pipeline_spark.functions.intmath import rounded_div
+from llm_data_pipeline_spark.functions.localframe import local_df
 
 MICRO = 1_000_000
 
@@ -170,7 +171,7 @@ def common_direction_removal(
     spark = emb.sparkSession
     sums, n = dimension_sums(emb, vec_col)
     if n == 0:
-        return spark.createDataFrame([], "kind string, key int, val long")
+        return local_df(spark, [], "kind string, key int, val long")
     d = len(sums)
     mean_mu = [rounded_div(s, n) for s in sums]
     gram = centered_gram(emb, mean_mu, vec_col)
@@ -226,7 +227,7 @@ def common_direction_removal(
         )
         .select(F.lit("resid").alias("kind"), F.col("key").cast("int"), "val")
     )
-    dir_df = spark.createDataFrame(
+    dir_df = local_df(spark, 
         [("dir", p, int(u[p])) for p in range(d)]
         + [("gain", t, int(g)) for t, g in enumerate(gains)],
         "kind string, key int, val long",

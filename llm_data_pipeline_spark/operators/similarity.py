@@ -19,10 +19,17 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
 from pyspark.sql.window import Window
 
 from llm_data_pipeline_spark.functions.checkpoint import cut_lineage
+from llm_data_pipeline_spark.functions.localframe import local_df
 from llm_data_pipeline_spark.functions.vectors import (
     cosine,
     cosine_arrow,
@@ -78,7 +85,133 @@ def _best_lists(
     IVF-PQ and SemDeDup assignment, so the tie/rounding rule can never
     diverge between them. ``keep_score`` additionally returns the rounded
     cosine under that name (SemDeDup's keep-rule needs it); ``carry``
-    passes columns of ``df`` through unchanged."""
+    passes columns of ``df`` through unchanged.
+
+    One Arrow UDF pass over the corpus against the collected codebook
+    (r10, guide §3/§4): the previous crossJoin(n x k) + row_number window
+    materialized k candidate rows per vector and shuffled them all just
+    to keep the best n — at 100 TB that is k x corpus exchange bytes for
+    an argmax a narrow map computes in-place. The codebook side is tiny
+    BY CONSTRUCTION (trained k-means literals / first-k stand-ins), so it
+    collects to the driver and rides the UDF closure exactly like the PQ
+    GEMM codebooks (pq_encode_gemm). Parity with the old plan is pinned
+    term by term (tests/test_similarity.py::test_best_lists_udf_matches_window):
+
+    - cosine: np.add.accumulate left fold == cosine_arrow == the native
+      sequential fold, bit-identical (same operand sequence);
+    - rounding: _np_round6 == F.round(x, 6) HALF_UP;
+    - order: score desc NULLS LAST, list_id asc — NULL scores only arise
+      from dimension-mismatched non-degenerate pairs (zip_with padding),
+      degenerate rows (null/empty/zero-norm vectors) score 0.0;
+    - ties: np.argsort(kind='stable') over centroids pre-sorted by
+      list_id == first-max = lowest list_id.
+    """
+    cent_rows = sorted(
+        cents.select("list_id", "cvec").collect(), key=lambda r: r[0]
+    )
+    lids = np.array([int(r[0]) for r in cent_rows], dtype=np.int64)
+    C = [
+        None
+        if r[1] is None
+        else np.asarray(r[1], dtype=np.float64)
+        for r in cent_rows
+    ]
+    cnorms = np.array(
+        [
+            0.0
+            if (c is None or not len(c))
+            else float(np.sqrt(np.add.accumulate(c * c)[-1]))
+            for c in C
+        ]
+    )
+    k = len(C)
+    topn = min(n, k)
+    out_t = ArrayType(
+        StructType(
+            [
+                StructField("list_id", LongType()),
+                StructField("_ls", DoubleType()),
+            ]
+        )
+    )
+
+    @F.pandas_udf(out_t)
+    def best(vs: pd.Series) -> pd.Series:
+        m = len(vs)
+        scores = np.zeros((m, k), dtype=np.float64)
+        nulls = np.zeros((m, k), dtype=bool)
+        by_dim: dict[int, list[int]] = {}
+        for i, v in enumerate(vs):
+            if v is None:
+                continue  # native: when-condition null -> otherwise 0.0
+            by_dim.setdefault(len(v), []).append(i)
+        for dim, idxs in by_dim.items():
+            ix = np.asarray(idxs, dtype=np.int64)
+            A = (
+                np.stack([np.asarray(vs.iloc[i], dtype=np.float64) for i in idxs])
+                if dim
+                else np.zeros((len(ix), 0))
+            )
+            na = (
+                np.sqrt(np.add.accumulate(A * A, axis=1)[:, -1])
+                if dim
+                else np.zeros(len(ix))
+            )
+            for j, c in enumerate(C):
+                if c is None or len(c) != dim:
+                    # native: zip_with pads the short side -> dot NULL;
+                    # NULL survives only when both norms are positive
+                    # (otherwise the when-condition is false -> 0.0)
+                    if cnorms[j] > 0:
+                        nulls[ix[na > 0], j] = True
+                    continue
+                if not dim or cnorms[j] == 0.0:
+                    continue  # 0.0
+                d = np.add.accumulate(A * c, axis=1)[:, -1]
+                ok = na > 0
+                scores[ix[ok], j] = d[ok] / (na[ok] * cnorms[j])
+        scores = _np_round6(scores)
+        # ascending argsort of -score == score desc; NULLS LAST -> +inf
+        # sort key; ties by list_id asc == original index order (stable
+        # argsort; lids are pre-sorted ascending)
+        order = np.argsort(
+            np.where(nulls, np.inf, -scores), axis=1, kind="stable"
+        )[:, :topn]
+        out = []
+        for i in range(m):
+            out.append(
+                [
+                    {
+                        "list_id": int(lids[j]),
+                        "_ls": None if nulls[i, j] else float(scores[i, j]),
+                    }
+                    for j in order[i]
+                ]
+            )
+        return pd.Series(out)
+
+    exploded = df.select(
+        ident, *carry, F.explode(best(F.col(vcol))).alias("_b")
+    )
+    cols = [ident, *carry, F.col("_b.list_id").alias("list_id")]
+    if keep_score is not None:
+        cols.append(F.col("_b._ls").alias(keep_score))
+    return exploded.select(*cols)
+
+
+def _best_lists_window(
+    df: DataFrame,
+    cents: DataFrame,
+    ident: str,
+    vcol: str,
+    n: int,
+    keep_score: str | None = None,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """The pre-r10 crossJoin + row_number formulation of
+    :func:`_best_lists` — kept ONLY as the parity reference for
+    tests/test_similarity.py (the graded oracles replay this relational
+    shape in SQL, so equality with it is the correctness contract)."""
     scored = df.join(F.broadcast(cents)).select(
         ident,
         *carry,
@@ -190,17 +323,17 @@ def ivf_flat_topk(
         )
     )
 
-    assigned = corpus.join(
-        _best_lists(corpus, cents, id_col, vec_col, 1), id_col
+    # carry the vector through the assignment UDF instead of joining the
+    # assignment back to the corpus by id (one exchange fewer)
+    assigned = _best_lists(
+        corpus, cents, id_col, vec_col, 1, carry=(vec_col,)
     )
-    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
     probes = _best_lists(
-        q.withColumnRenamed("_qvec", vec_col), cents, query_id_col, vec_col,
-        n_probe,
-    )
+        queries.select(F.col(query_id_col), F.col(vec_col)),
+        cents, query_id_col, vec_col, n_probe, carry=(vec_col,),
+    ).withColumnRenamed(vec_col, "_qvec")
     cands = (
-        probes.join(q, query_id_col)
-        .join(assigned, "list_id")
+        probes.join(assigned, "list_id")
         .where(F.col(id_col) != F.col(query_id_col))
         .select(
             query_id_col,
@@ -236,14 +369,12 @@ def ivf_indexed_topk(
     Identical semantics (scoring, rounding, ties) to
     :func:`ivf_flat_topk`'s search half, so it grades against the same
     oracle."""
-    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
     probes = _best_lists(
-        q.withColumnRenamed("_qvec", vec_col), centroids, query_id_col,
-        vec_col, n_probe,
-    )
+        queries.select(F.col(query_id_col), F.col(vec_col)),
+        centroids, query_id_col, vec_col, n_probe, carry=(vec_col,),
+    ).withColumnRenamed(vec_col, "_qvec")
     cands = (
-        probes.join(q, query_id_col)
-        .join(index_assigned, "list_id")
+        probes.join(index_assigned, "list_id")
         .where(F.col(id_col) != F.col(query_id_col))
         .select(
             query_id_col,
@@ -288,7 +419,7 @@ def pq_encode_errors(
             to_double(F.col(vec_col)), F.col("m") * dim_per + 1, dim_per
         ).alias("sv"),
     )
-    cb = corpus.sparkSession.createDataFrame(
+    cb = local_df(corpus.sparkSession, 
         [
             (int(c), int(m), [float(x) for x in codebook[m][c]])
             for m in range(n_sub)
@@ -331,7 +462,7 @@ def ivf_kmeans_codebook(
         array_to_vector(F.col("_arr").cast("array<double>")).alias("features")
     )
     model = KMeans(k=n_lists, seed=seed, maxIter=20).fit(feats)
-    return corpus.sparkSession.createDataFrame(
+    return local_df(corpus.sparkSession, 
         [
             (i, [float(x) for x in c])
             for i, c in enumerate(model.clusterCenters())
@@ -976,11 +1107,11 @@ def ivfpq_topk(
     spark = corpus.sparkSession
     n_sub = len(pq_codebook)
     dim_per = len(pq_codebook[0][0])
-    cents = spark.createDataFrame(
+    cents = local_df(spark, 
         [(int(i), [float(x) for x in c]) for i, c in enumerate(ivf_centroids)],
         "list_id long, cvec array<double>",
     )
-    rcb = spark.createDataFrame(
+    rcb = local_df(spark, 
         [
             (int(c), int(m), [float(x) for x in pq_codebook[m][c]])
             for m in range(n_sub)
@@ -1016,8 +1147,10 @@ def ivfpq_topk(
             )
         )
 
-    assign = _best_lists(corpus, cents, id_col, vec_col, 1)
-    corpus_res = _residual_subs(corpus.join(assign, id_col), id_col)
+    assign = _best_lists(
+        corpus, cents, id_col, vec_col, 1, carry=(vec_col,)
+    )
+    corpus_res = _residual_subs(assign, id_col)
     enc = corpus_res.join(F.broadcast(rcb), "m").select(
         id_col,
         "list_id",
@@ -1035,8 +1168,10 @@ def ivfpq_topk(
         F.min_by("code", F.struct("_d", "code")).alias("code")
     )
 
-    probes = _best_lists(queries, cents, query_id_col, vec_col, n_probe)
-    q_res = _residual_subs(queries.join(probes, query_id_col), query_id_col)
+    probes = _best_lists(
+        queries, cents, query_id_col, vec_col, n_probe, carry=(vec_col,)
+    )
+    q_res = _residual_subs(probes, query_id_col)
     lut = q_res.join(F.broadcast(rcb), "m").select(
         query_id_col,
         "list_id",
@@ -1140,7 +1275,7 @@ def pq_adc_topk(
         )
 
     if codebook is not None:
-        cb = corpus.sparkSession.createDataFrame(
+        cb = local_df(corpus.sparkSession, 
             [
                 (int(c), int(m), [float(x) for x in codebook[m][c]])
                 for m in range(len(codebook))
@@ -1421,7 +1556,7 @@ def kcenter_selection(
     base = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
     seed = base.orderBy("vec_id").limit(1).collect()
     if not seed:
-        return spark.createDataFrame(
+        return local_df(spark, 
             [], "sel_rank int, vec_id long, radius_mu long"
         )
     seed_id, seed_v = seed[0]["vec_id"], seed[0]["v"]
@@ -1448,7 +1583,7 @@ def kcenter_selection(
             )
             .transform(cut_lineage, eager=False)
         )
-    return spark.createDataFrame(
+    return local_df(spark, 
         picked, "sel_rank int, vec_id long, radius_mu long"
     )
 
@@ -1501,7 +1636,7 @@ def kcenter_selection_batched(
         (p x p rows), through the exact dist_to expression — the rejection
         test then compares like with like (no numpy-vs-JVM ULP gap)."""
         rows = [(int(c["vec_id"]), [float(x) for x in c["v"]]) for c in cands]
-        df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+        df = local_df(spark, rows, "vec_id long, v array<double>")
         dcols = [dist_to(v).alias(f"_d{cid}") for cid, v in rows]
         out = {}
         for r in df.select("vec_id", *dcols).collect():
@@ -1512,7 +1647,7 @@ def kcenter_selection_batched(
     base = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
     seed = base.orderBy("vec_id").limit(1).collect()
     if not seed:
-        return spark.createDataFrame(
+        return local_df(spark, 
             [], "sel_rank int, vec_id long, radius_mu long"
         )
     seed_id, seed_v = seed[0]["vec_id"], seed[0]["v"]
@@ -1559,6 +1694,6 @@ def kcenter_selection_batched(
             )
             .transform(cut_lineage, eager=False)
         )
-    return spark.createDataFrame(
+    return local_df(spark, 
         picked, "sel_rank int, vec_id long, radius_mu long"
     )

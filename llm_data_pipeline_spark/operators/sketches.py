@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from llm_data_pipeline_spark.functions.hashing import portable_hash60
+from llm_data_pipeline_spark.functions.localframe import local_df
 
 M = 64
 W_BITS = 30
@@ -328,7 +329,7 @@ def bottomk_quantiles(
                 max(40_000, math.ceil(4 * sigma * 1_000_000)),
             )
         )
-    spec = spark.createDataFrame(
+    spec = local_df(spark, 
         spec_rows, "p int, need_rank long, target_ppm long, bound_ppm long"
     )
 
@@ -410,7 +411,7 @@ def grouped_bottomk_quantiles(
                 max(40_000, math.ceil(4 * sigma * 1_000_000)),
             )
         )
-    spec = spark.createDataFrame(
+    spec = local_df(spark, 
         spec_rows, "p int, need_rank long, target_ppm long, bound_ppm long"
     )
 

@@ -36,6 +36,7 @@ from llm_data_pipeline_spark.operators.minhash import add_minhash, add_minhash_m
 from llm_data_pipeline_spark.functions.intmath import rounded_div_sql
 from llm_data_pipeline_spark.queries import query, table
 from llm_data_pipeline_spark.functions.checkpoint import cut_lineage
+from llm_data_pipeline_spark.functions.localframe import local_df
 
 VARIANT_OFFSET = 100_000
 
@@ -1408,42 +1409,100 @@ def minhash_incremental_dedup_query(spark: SparkSession, sf_dir: str):
     new-side-only edge restriction, recursive-CTE components, the
     has-base drop rule and the (length desc, doc_id desc) canonical
     tie-break in all-new components."""
-    base = table(spark, sf_dir, "documents", scatter=True).select("doc_id", "text")
+    from llm_data_pipeline_spark.queries import scatter as _scatter_fn
+
+    # Sign base ∪ increment in ONE pass (r10, guide §4): the two sides
+    # used to run separate shingle+signature pipelines (two staged shingle
+    # checkpoints, two Arrow stages); a side tag lets one add_minhash_md5
+    # serve both — its internal staged-shingle checkpoint is shared, and
+    # the _inc filter (independent of the UDF output) pushes below the
+    # signature UDF so each side still signs exactly its own rows. Scatter
+    # once above the union, same as _augmented's r9 rule.
+    base = table(spark, sf_dir, "documents").select("doc_id", "text")
     inc = _increment(spark, sf_dir)
+    tagged = _scatter_fn(
+        base.withColumn("_inc", F.lit(False)).unionByName(
+            inc.withColumn("_inc", F.lit(True))
+        ),
+        _cache_key=(id(spark), sf_dir, "documents::base+inc"),
+    )
+    signed = add_minhash_md5(tagged)
     out = minhash_incremental_dedup(
-        add_minhash_md5(base), add_minhash_md5(inc), rows_per_band=8
+        signed.where(~F.col("_inc")).drop("_inc"),
+        signed.where(F.col("_inc")).drop("_inc"),
+        rows_per_band=8,
     )
     return out.select("doc_id", "kept").coalesce(1).sortWithinPartitions(
         "doc_id"
     )
 
 
-def _ensure_band_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
-    """Build (once per process x sf_dir) the persisted band index of the
-    base corpus: a bucketed+sorted table on ``bh`` plus the per-bucket
-    counts companion. Returns (index_table_name, counts_path). The
-    existence check makes every later caller a pure SERVE — in deployment
-    the index is the nightly backfill artifact; daily runs only read it.
+def _ensure_signature_artifacts(spark: SparkSession, sf_dir: str) -> dict:
+    """Build (once per process x sf_dir) EVERY signature-derived nightly
+    artifact from ONE signing pass (r10, guide §4/§2.6). The three
+    artifacts — the base corpus's bucketed band index (+ per-bucket counts
+    companion), the daily increment's write-once signatures, and the
+    planted variants' band rows (the daily append leg) — each used to run
+    its own shingle+signature pipeline on first touch (three staged
+    shingle checkpoints, three Arrow stages, ~8 s of the artifact family's
+    first-pass-vs-steady gap in BENCH terms). Nightly they are ONE job:
+    sign base ∪ increment ∪ variants once behind an eager checkpoint
+    (signatures are per-row, so values are identical to per-side signing),
+    then the three independent writes overlap from a thread pool (guide
+    §2.6 — the next write's tasks back-fill executors freed by the
+    current write's tail). Returns
+    {t_index, counts_path, inc_path, var_path}.
     """
     import os as _os
+    from concurrent.futures import ThreadPoolExecutor
 
+    from llm_data_pipeline_spark.functions.checkpoint import cut_lineage
     from llm_data_pipeline_spark.operators.lsh import (
         band_index_counts,
         band_index_rows,
     )
     from llm_data_pipeline_spark.operators.skew import write_bucketed
+    from llm_data_pipeline_spark.queries import scatter as _scatter_fn
     from llm_data_pipeline_spark.queries_sinks import SINK_BASE
 
     sfx = f"{abs(hash(sf_dir)) % 10**8}_{_os.getpid()}"
     t_index = f"bkt_band_index_{sfx}"
-    counts_path = f"{SINK_BASE}/bkt_band_counts_{sfx}"
-    if not spark.catalog.tableExists(t_index):
-        base = table(spark, sf_dir, "documents", scatter=True).select(
-            "doc_id", "text"
-        )
-        bands = band_index_rows(add_minhash_md5(base), rows_per_band=8)
+    out = {
+        "t_index": t_index,
+        "counts_path": f"{SINK_BASE}/bkt_band_counts_{sfx}",
+        "inc_path": f"{SINK_BASE}/signed_increment_{sfx}",
+        "var_path": f"{SINK_BASE}/variant_band_rows_{sfx}",
+    }
+    done = spark.catalog.tableExists(t_index) and all(
+        _os.path.exists(_os.path.join(p, "_SUCCESS"))
+        for k, p in out.items()
+        if k != "t_index"
+    )
+    if done:
+        return out
+    _os.makedirs(SINK_BASE, exist_ok=True)
+    base = table(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = _augmented(spark, sf_dir).where(
+        F.col("doc_id") >= VARIANT_OFFSET
+    )
+    tagged = _scatter_fn(
+        base.withColumn("_side", F.lit("b"))
+        .unionByName(_increment(spark, sf_dir).withColumn("_side", F.lit("i")))
+        .unionByName(variants.withColumn("_side", F.lit("v"))),
+        _cache_key=(id(spark), sf_dir, "documents::b+i+v"),
+    )
+    signed = cut_lineage(
+        add_minhash_md5(tagged).select(
+            "_side", "doc_id",
+            F.col("length").cast("long").alias("length"), "signature",
+        ),
+        eager=True,  # three writer jobs read it — materialize once
+    )
+
+    def _write_index() -> None:
         write_bucketed(
-            bands, t_index, "bh", 32, path=f"{SINK_BASE}/{t_index}"
+            band_index_rows(signed.where(F.col("_side") == "b"), rows_per_band=8),
+            t_index, "bh", 32, path=f"{SINK_BASE}/{t_index}",
         )
         # the per-bucket count companion is derived from the WRITTEN index
         # (one narrow aggregate at build time, never at serve time); plain
@@ -1451,8 +1510,33 @@ def _ensure_band_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         # counts, so bucketing would buy nothing
         band_index_counts(spark.table(t_index)).write.mode(
             "overwrite"
-        ).parquet(counts_path)
-    return t_index, counts_path
+        ).parquet(out["counts_path"])
+
+    def _write_inc() -> None:
+        signed.where(F.col("_side") == "i").select(
+            "doc_id", "length", "signature"
+        ).write.mode("overwrite").parquet(out["inc_path"])
+
+    def _write_var() -> None:
+        band_index_rows(
+            signed.where(F.col("_side") == "v"), rows_per_band=8
+        ).write.mode("overwrite").parquet(out["var_path"])
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        for f in [pool.submit(w) for w in (_write_index, _write_inc, _write_var)]:
+            f.result()
+    return out
+
+
+def _ensure_band_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """The persisted band index of the base corpus: a bucketed+sorted
+    table on ``bh`` plus the per-bucket counts companion. Returns
+    (index_table_name, counts_path). Built by the shared one-signing-pass
+    nightly job (_ensure_signature_artifacts); every later caller is a
+    pure SERVE — in deployment the index is the nightly backfill
+    artifact; daily runs only read it."""
+    a = _ensure_signature_artifacts(spark, sf_dir)
+    return a["t_index"], a["counts_path"]
 
 
 def _ensure_signed_increment(spark: SparkSession, sf_dir: str) -> str:
@@ -1464,21 +1548,9 @@ def _ensure_signed_increment(spark: SparkSession, sf_dir: str) -> str:
     increment on every serve pass (an Arrow-batched md5 UDF) was the
     residual cost that kept the indexed serve slower than the in-memory
     variant at sf0.1 even though it wins at 10x base (round-7 judge
-    task #2)."""
-    import os as _os
-
-    from llm_data_pipeline_spark.queries_sinks import SINK_BASE
-
-    sfx = f"{abs(hash(sf_dir)) % 10**8}_{_os.getpid()}"
-    path = f"{SINK_BASE}/signed_increment_{sfx}"
-    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
-        _os.makedirs(SINK_BASE, exist_ok=True)
-        inc = _increment(spark, sf_dir)
-        add_minhash_md5(inc).select(
-            "doc_id", F.col("length").cast("long").alias("length"),
-            "signature",
-        ).write.mode("overwrite").parquet(path)
-    return path
+    task #2). Built by the shared one-signing-pass nightly job
+    (_ensure_signature_artifacts)."""
+    return _ensure_signature_artifacts(spark, sf_dir)["inc_path"]
 
 
 def _ensure_variant_band_rows(spark: SparkSession, sf_dir: str) -> str:
@@ -1486,23 +1558,10 @@ def _ensure_variant_band_rows(spark: SparkSession, sf_dir: str) -> str:
     rows (bh, doc_id) — the variants' contribution to the band index,
     i.e. exactly what the daily append leg writes in deployment. Lets
     the agreement audit's LSH leg serve from the persisted base index
-    plus this tiny side table without signing a single document."""
-    import os as _os
-
-    from llm_data_pipeline_spark.operators.lsh import band_index_rows
-    from llm_data_pipeline_spark.queries_sinks import SINK_BASE
-
-    sfx = f"{abs(hash(sf_dir)) % 10**8}_{_os.getpid()}"
-    path = f"{SINK_BASE}/variant_band_rows_{sfx}"
-    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
-        _os.makedirs(SINK_BASE, exist_ok=True)
-        variants = _augmented(spark, sf_dir, scatter=True).where(
-            F.col("doc_id") >= VARIANT_OFFSET
-        )
-        band_index_rows(add_minhash_md5(variants), rows_per_band=8).write.mode(
-            "overwrite"
-        ).parquet(path)
-    return path
+    plus this tiny side table without signing a single document. Built by
+    the shared one-signing-pass nightly job
+    (_ensure_signature_artifacts)."""
+    return _ensure_signature_artifacts(spark, sf_dir)["var_path"]
 
 
 def _ensure_screen_pairs(spark: SparkSession, sf_dir: str) -> str:
@@ -2493,7 +2552,7 @@ def takedown_cluster_propagation(spark: SparkSession, sf_dir: str):
     'near_dup_of_requested'. Deletion stays a distributed semi-join —
     never a driver list. The oracle replays shingling, the pair graph,
     recursive components, and the expansion."""
-    req = spark.createDataFrame(
+    req = local_df(spark, 
         [(i,) for i in _TAKEDOWN_IDS], "doc_id long"
     )
     aug = _augmented(spark, sf_dir, scatter=True)
@@ -2563,7 +2622,7 @@ def takedown_indexed(spark: SparkSession, sf_dir: str):
     recomputed the entire graph each run, 9.6 s steady; this serves in
     ~1-2 s and the map scan never shuffles). Same answers, so it grades
     against the IDENTICAL oracle."""
-    req = spark.createDataFrame(
+    req = local_df(spark, 
         [(i,) for i in _TAKEDOWN_IDS], "doc_id long"
     )
     comps = spark.read.parquet(_ensure_component_index(spark, sf_dir))
@@ -3432,7 +3491,7 @@ def lsh_scurve_calibration(spark: SparkSession, sf_dir: str):
             "is_cand",
         )
     )
-    curve = spark.createDataFrame(
+    curve = local_df(spark, 
         sorted(_SCURVE.items()), "bin long, analytic_ppm long"
     )
     g = binned.groupBy("bin").agg(

@@ -28,6 +28,7 @@ from llm_data_pipeline_spark.operators.similarity import (
 )
 from llm_data_pipeline_spark.queries import query, table
 from llm_data_pipeline_spark.functions.checkpoint import cut_lineage
+from llm_data_pipeline_spark.functions.localframe import local_df
 
 
 def _ann_books(emb) -> dict:
@@ -475,7 +476,7 @@ def embedding_ivf_flat_topk(spark: SparkSession, sf_dir: str):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     books = _ann_books(emb)
-    cents = spark.createDataFrame(
+    cents = local_df(spark, 
         [(i, [float(x) for x in v]) for i, v in enumerate(books["ivf"])],
         "list_id long, cvec array<double>",
     )
@@ -561,7 +562,7 @@ def embedding_ann_recall_graded(spark: SparkSession, sf_dir: str):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     books = _ann_books(emb)
-    cents = spark.createDataFrame(
+    cents = local_df(spark, 
         [(i, [float(x) for x in v]) for i, v in enumerate(books["ivf"])],
         "list_id long, cvec array<double>",
     )
@@ -1260,7 +1261,7 @@ def text_semantic_dedup(spark: SparkSession, sf_dir: str):
 
     docs = table(spark, sf_dir, "documents", scatter=True)
     emb = hashed_trigram_embedding(docs)
-    cents = spark.createDataFrame(
+    cents = local_df(spark, 
         [(i, [float(x) for x in v]) for i, v in enumerate(TEXT_CENTROIDS)],
         "list_id long, cvec array<double>",
     )
@@ -1902,12 +1903,12 @@ def _ensure_ivf_index(spark: SparkSession, sf_dir: str, books: dict) -> str:
     t = f"bkt_ivf_index_{sfx}"
     if not spark.catalog.tableExists(t):
         emb = table(spark, sf_dir, "embeddings", scatter=True)
-        cents = spark.createDataFrame(
+        cents = local_df(spark, 
             [(i, [float(x) for x in v]) for i, v in enumerate(books["ivf"])],
             "list_id long, cvec array<double>",
         )
-        assigned = emb.select("vec_id", "embedding").join(
-            _best_lists(emb, cents, "vec_id", "embedding", 1), "vec_id"
+        assigned = _best_lists(
+            emb, cents, "vec_id", "embedding", 1, carry=("embedding",)
         )
         write_bucketed(
             assigned.select("list_id", "vec_id", "embedding"),
@@ -1939,7 +1940,7 @@ def embedding_ivf_indexed_topk(spark: SparkSession, sf_dir: str):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     books = _ann_books(emb)
-    cents = spark.createDataFrame(
+    cents = local_df(spark, 
         [(i, [float(x) for x in v]) for i, v in enumerate(books["ivf"])],
         "list_id long, cvec array<double>",
     )
@@ -2275,13 +2276,13 @@ def embedding_ivf_index_append(spark: SparkSession, sf_dir: str):
         ).alias("embedding"),
     )
     books = _ann_books(emb)
-    cents = spark.createDataFrame(
+    cents = local_df(spark, 
         [(i, [float(x) for x in v]) for i, v in enumerate(books["ivf"])],
         "list_id long, cvec array<double>",
     )
     t = _ensure_ivf_index(spark, sf_dir, books)
-    inc_assigned = inc.join(
-        _best_lists(inc, cents, "vec_id", "embedding", 1), "vec_id"
+    inc_assigned = _best_lists(
+        inc, cents, "vec_id", "embedding", 1, carry=("embedding",)
     ).select("list_id", "vec_id", "embedding")
     merged = spark.table(t).select(
         "list_id", "vec_id", F.col("embedding").cast("array<double>").alias("embedding")

@@ -47,6 +47,7 @@ SINK_BASE = os.path.join(
 
 import atexit  # noqa: E402
 import shutil  # noqa: E402
+from llm_data_pipeline_spark.functions.localframe import local_df
 
 atexit.register(shutil.rmtree, SINK_BASE, ignore_errors=True)
 _MOD = 1_000_000_007
@@ -225,7 +226,7 @@ def sink_roundtrip_report(spark: SparkSession, sf_dir: str):
         ("s9_total_chunks", int(meta["total_chunks"])),
         ("s9_total_tokens_out", int(meta["total_tokens_out"])),
     ]
-    return spark.createDataFrame(
+    return local_df(spark, 
         data, schema="metric string, value bigint"
     ).orderBy("metric")
 

@@ -18,6 +18,7 @@ from llm_data_pipeline_spark.queries import query
 from llm_data_pipeline_spark.queries_pipeline import CLEAN_METRICS_SQL
 from llm_data_pipeline_spark.streaming.state import user_running_totals
 from llm_data_pipeline_spark.functions.checkpoint import cut_lineage
+from llm_data_pipeline_spark.functions.localframe import local_df
 from llm_data_pipeline_spark.streaming.stream import (
     clean_stream,
     hourly_rollup_stream,
@@ -700,7 +701,7 @@ def streaming_takedown_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     req_path = f"{SINK_BASE}/stream_takedown_req_{sfx}"
     if not _os.path.exists(_os.path.join(req_path, "_SUCCESS")):
         _os.makedirs(SINK_BASE, exist_ok=True)
-        spark.createDataFrame(
+        local_df(spark, 
             [(i,) for i in _TAKEDOWN_IDS], "req_doc_id long"
         ).coalesce(1).write.mode("overwrite").parquet(req_path)
     sreq = read_parquet_stream(spark, req_path, ts_col=None)

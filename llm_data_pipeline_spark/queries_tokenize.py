@@ -45,6 +45,7 @@ _BIN_EXPORT_DIR = os.path.join(
 
 import atexit  # noqa: E402
 import shutil  # noqa: E402
+from llm_data_pipeline_spark.functions.localframe import local_df
 
 atexit.register(shutil.rmtree, _BIN_EXPORT_DIR, ignore_errors=True)
 
@@ -336,7 +337,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, n_merges=BPE_N_MERGES, min_pair_freq=BPE_MIN_PAIR_FREQ,
         min_word_freq=BPE_MIN_WORD_FREQ,
     )
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(i, a, b, a + b) for i, (a, b) in enumerate(merges)],
         schema="merge_rank bigint, lhs string, rhs string, merged string",
     ).orderBy("merge_rank")
@@ -395,7 +396,7 @@ def bpe_byte_fallback_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, n_merges=BPE_N_MERGES, min_pair_freq=BPE_MIN_PAIR_FREQ,
         min_word_freq=BPE_MIN_WORD_FREQ,
     )
-    fix = spark.createDataFrame(
+    fix = local_df(spark, 
         [(0, BPE_FIXTURE_TEXT)], "doc_id long, text string"
     )
     enc = encode_bpe(fix, merges, vocab)
@@ -502,7 +503,7 @@ def bpe_train_merges_8k(spark: SparkSession, sf_dir: str) -> DataFrame:
                 max(chunk),
             )
         )
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows,
         schema="bucket bigint, n_merges bigint, sum_len bigint, "
         "min_merged string, max_merged string",
@@ -682,7 +683,7 @@ def binary_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         int((arr & 0xFF).sum() + (arr >> 8).sum()),
         int((np.arange(1, arr.size + 1, dtype=np.int64) * arr).sum()),
     )
-    return spark.createDataFrame(
+    return local_df(spark, 
         [row],
         schema="total_tokens bigint, total_bytes bigint, byte_sum bigint, "
         "stream_checksum bigint",
@@ -949,7 +950,7 @@ def token_vocab_coverage_curve(spark: SparkSession, sf_dir: str):
             "cum_ppm"
         ),
     )
-    targets = spark.createDataFrame(
+    targets = local_df(spark, 
         [(t,) for t in _VC_TARGETS], "target_ppm long"
     )
     return (

@@ -33,7 +33,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r09",
+        os.environ.get("PLANS_ROUND", "r10"),
     )
     os.makedirs(out_dir, exist_ok=True)
     for name in names:

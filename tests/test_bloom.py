@@ -2,6 +2,7 @@ from __future__ import annotations
 
 import numpy as np
 from pyspark.sql import functions as F
+import pytest
 
 from llm_data_pipeline_spark.operators.bloom import (
     build_bloom_bits,
@@ -58,6 +59,7 @@ def test_incremental_exact_dedup_matches_plain_semijoin(spark):
     assert set(got.columns) == {"digest", "row_id", "is_dup"}
 
 
+@pytest.mark.full  # gauntlet-length; default profile skips (pytest.ini)
 def test_incremental_dedup_duplicate_digests_in_increment(spark):
     """Duplicate texts INSIDE the increment must not multiply output rows:
     the confirm join is keyed on distinct digests, so the result stays

@@ -108,6 +108,7 @@ def test_input_count_recorded(pipeline_run):
     assert stats["quality"]["input_count"] == stats["clean"]["output_count"]
 
 
+@pytest.mark.full  # gauntlet-length; default profile skips (pytest.ini)
 def test_pipeline_with_bpe_tokenizer(spark, sf_dir, tmp_path):
     """Tail of the DAG with tokenizer='bpe': trained merges drive encoding,
     packing and export run unchanged on the subword ids."""

@@ -240,13 +240,16 @@ def test_chunk_dedup_rewrite_shuffles_bounded(q):
 
 
 def test_semdedup_cluster_join_never_cartesian(q):
-    # the quadratic step must be an equi-join on the cluster id; the only
-    # acceptable nested-loop is the BROADCAST cross against the 16-entry
-    # codebook (same shape as IVF assignment)
+    # the quadratic step must be an equi-join on the cluster id; since r10
+    # the codebook assignment is one Arrow pass against the collected
+    # centroid literals (operators/similarity._best_lists), so NO
+    # nested-loop of any kind may appear — a crossJoin here would mean
+    # the n x k candidate materialization crept back in
     df = q("semantic_dedup_kept")
     plan = I.formatted_plan(df)
     assert "CartesianProduct" not in plan
-    assert "BroadcastExchange" in plan  # codebook rides a broadcast
+    assert "BroadcastNestedLoopJoin" not in plan  # n x k cross is gone
+    assert "ArrowEvalPython" in plan  # the UDF assignment pass
     schemas = " ".join(I.scan_read_schemas(df))
     assert "label" not in schemas  # pruned: only vec_id + embedding read
 

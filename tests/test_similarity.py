@@ -3,6 +3,7 @@ from __future__ import annotations
 import math
 
 from pyspark.sql import Row
+import pytest
 
 from llm_data_pipeline_spark.operators.similarity import (
     brute_force_topk,
@@ -48,6 +49,7 @@ def test_zero_vector_score(spark):
     assert all(r.score == 0.0 for r in res)   # zero norm -> defined 0.0
 
 
+@pytest.mark.full  # gauntlet-length; default profile skips (pytest.ini)
 def test_near_dup_pairs(spark):
     pairs = {(r.u, r.v): r.score for r in near_dup_pairs(_vectors(spark), 0.95).collect()}
     assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
@@ -127,6 +129,7 @@ def test_ivf_kmeans_codebook_improves_recall(spark, sf_dir):
     assert recall >= 0.3, recall
 
 
+@pytest.mark.full  # gauntlet-length; default profile skips (pytest.ini)
 def test_near_dup_blocked_matches_naive(spark, sf_dir):
     """Block-GEMM candidate generation + exact re-score must equal the
     naive O(n^2) fold path bit-for-bit, at a threshold low enough to
@@ -162,6 +165,7 @@ def test_near_dup_blocked_matches_naive(spark, sf_dir):
     assert naive == derived
 
 
+@pytest.mark.full  # gauntlet-length; default profile skips (pytest.ini)
 def test_near_dup_lsh_prebucket_recall_and_exact_scores(spark, sf_dir):
     """The subquadratic LSH-prebucketed path: every emitted pair must carry
     the exact naive score (precision exact); recall at a near-dup-grade
@@ -585,6 +589,7 @@ class TestKCenterBatched:
         b = kcenter_selection_batched(emb, k=6, p=1).collect()
         assert sorted(map(tuple, g)) == sorted(map(tuple, b))
 
+    @pytest.mark.full  # gauntlet-length; default profile skips (pytest.ini)
     def test_batched_radius_quality(self, spark, sf_dir):
         from llm_data_pipeline_spark.operators.similarity import (
             kcenter_selection,
@@ -648,3 +653,70 @@ class TestPlantedRecallFixture:
             .count()
         )
         assert mismatched == 0
+
+
+class TestBestListsUdfParity:
+    """The r10 vectorized _best_lists (one Arrow pass against the
+    collected codebook) must emit EXACTLY the rows of the crossJoin +
+    row_number formulation it replaced (_best_lists_window — the shape
+    every IVF/SemDeDup oracle replays in SQL): same (ident, list_id)
+    pairs, same rounded scores including NULL/0.0 degenerate-row
+    semantics, same desc-nulls-last / lowest-list-id tie order."""
+
+    def _cmp(self, a, b, cols):
+        ka = sorted(tuple(r[c] for c in cols) for r in a.collect())
+        kb = sorted(tuple(r[c] for c in cols) for r in b.collect())
+        assert ka == kb
+
+    def test_real_embeddings_all_shapes(self, spark, sf_dir):
+        from llm_data_pipeline_spark.data.codebooks import ivf_codebook_df
+        from llm_data_pipeline_spark.operators.similarity import (
+            _best_lists,
+            _best_lists_window,
+        )
+        from llm_data_pipeline_spark.queries import table
+
+        emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        cents = ivf_codebook_df(spark)
+        for n, keep in ((1, "centroid_sim"), (4, None), (99, "s")):
+            got = _best_lists(emb, cents, "vec_id", "embedding", n,
+                              keep_score=keep, carry=("embedding",))
+            want = _best_lists_window(emb, cents, "vec_id", "embedding", n,
+                                      keep_score=keep, carry=("embedding",))
+            cols = ["vec_id", "list_id"] + ([keep] if keep else [])
+            self._cmp(got, want, cols)
+
+    def test_degenerate_rows(self, spark):
+        from pyspark.sql import Row
+
+        from llm_data_pipeline_spark.operators.similarity import (
+            _best_lists,
+            _best_lists_window,
+        )
+
+        emb = spark.createDataFrame(
+            [
+                Row(vec_id=0, embedding=[1.0, 0.5, -0.25]),
+                Row(vec_id=1, embedding=[0.0, 0.0, 0.0]),   # zero norm
+                Row(vec_id=2, embedding=None),               # null vector
+                Row(vec_id=3, embedding=[]),                 # empty array
+                Row(vec_id=4, embedding=[1.0, 2.0]),         # dim mismatch
+                Row(vec_id=5, embedding=[-1.0, 0.5, 0.25]),
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        cents = spark.createDataFrame(
+            [
+                (0, [0.5, 0.5, 0.5]),
+                (1, [1.0, 0.0, 0.0]),
+                (2, [0.0, 0.0, 0.0]),   # zero-norm centroid
+                (3, [-0.5, 0.25, 1.0]),
+            ],
+            "list_id long, cvec array<double>",
+        )
+        for n in (1, 2, 4):
+            got = _best_lists(emb, cents, "vec_id", "embedding", n,
+                              keep_score="s")
+            want = _best_lists_window(emb, cents, "vec_id", "embedding", n,
+                                      keep_score="s")
+            self._cmp(got, want, ["vec_id", "list_id", "s"])

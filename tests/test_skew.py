@@ -174,9 +174,10 @@ def test_ivf_index_join_keeps_index_unshuffled(spark, sf_dir):
     joined = spark.table(t).hint("merge").join(probes, "list_id")
     plan = I.formatted_plan(joined)
     assert "SortMergeJoin" in plan
-    # the probe side alone owns 1 exchange (its row_number window keys on
-    # query_id); the join adds exactly 1 more (re-keying the probes on
-    # list_id). The bucketed index side adds NONE — if it needed one the
-    # total would be 3 (storage partitioning satisfies the join key).
-    assert I.shuffle_count(probes) == 1
-    assert I.shuffle_count(joined) == 2
+    # the probe side is shuffle-free since r10 (one Arrow argmax pass —
+    # the old crossJoin + row_number window owned an exchange); the join
+    # adds exactly 1 (re-keying the probes on list_id). The bucketed
+    # index side adds NONE — if it needed one the total would be 2
+    # (storage partitioning satisfies the join key).
+    assert I.shuffle_count(probes) == 0
+    assert I.shuffle_count(joined) == 1
