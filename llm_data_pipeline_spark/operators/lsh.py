@@ -33,15 +33,18 @@ def band_rows(
     id_col: str = "doc_id",
     signature_col: str = "signature",
     hash_fn=None,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Explode each document into one row per band:
-    (band_id, band_hash, doc_id, ts, length).
+    (band_id, band_hash, doc_id, ts, length[, carry...]).
 
     band_hash = sha1 of the comma-joined signature slice (reference
     dedup/dedup.py:18-24 — signed-long string rendering here, equality-only
     use makes the representation irrelevant). ``hash_fn`` overrides the
     digest (band_index_rows passes F.md5 so the PERSISTED index key is
     DuckDB-replayable); semantics are unchanged under any injective digest.
+    ``carry`` passes extra columns of ``df_sig`` through unchanged (the
+    tagged-union incremental path keeps its side flag on the band rows).
     """
     hash_fn = hash_fn or F.sha1
     ts = F.col("ts") if "ts" in df_sig.columns else F.lit(0).cast("long")
@@ -54,6 +57,7 @@ def band_rows(
     return (
         df_sig.select(
             F.col(id_col).alias("doc_id"),
+            *carry,
             ts.alias("ts"),
             length.cast("long").alias("length"),
             F.posexplode(
@@ -436,6 +440,60 @@ def minhash_incremental_dedup(
     )
     return _incremental_keep(
         base_sig.select(F.col(id_col)), new_sig, nb.unionByName(nn), id_col
+    )
+
+
+def minhash_incremental_dedup_tagged(
+    sig: DataFrame,
+    new_col: str,
+    rows_per_band: int = DEFAULT_ROWS_PER_BAND,
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`minhash_incremental_dedup` over ONE signed frame carrying a
+    boolean side flag (``new_col``) — the shape that lets base ∪ increment
+    be signed in a single Arrow pass (r10, guide §4). The two-frame
+    variant banded each filtered side separately, so the bucket-size union
+    was a 2 x parallelism-task Python stage re-running the signature UDF
+    on both branches (measured: the dominant stage of
+    minhash_incremental_dedup, ~0.8 s/task of fixed Arrow overhead x 64
+    tasks). Here the band rows are exploded ONCE over the whole frame
+    (side flag carried through), pinned behind one lazy checkpoint, and
+    every later consumer — the cap union, both semi-join sides, the edge
+    joins — filters the checkpointed band rows instead of re-deriving
+    them. Identical edges, caps and keep rule; same oracle."""
+    bands = band_rows(
+        sig, rows_per_band, id_col=id_col, carry=(new_col,)
+    ).transform(cut_lineage, eager=False)
+    bb = bands.where(~F.col(new_col))
+    bn = bands.where(F.col(new_col))
+    keys = ["band_id", "band_hash"]
+    sizes = (
+        bands.groupBy(*keys)
+        .agg(F.count("*").alias("n"))
+        .where((F.col("n") >= 2) & (F.col("n") <= bucket_cap))
+        .select(*keys)
+    )
+    bbs = bb.join(sizes, keys, "left_semi")
+    bns = bn.join(sizes, keys, "left_semi")
+    nb = (
+        bns.select(*keys, F.col("doc_id").alias("u"))
+        .join(bbs.select(*keys, F.col("doc_id").alias("v")), keys)
+        .select("u", "v")
+        .dropDuplicates(["u", "v"])
+    )
+    nn = (
+        bns.select(*keys, F.col("doc_id").alias("u"))
+        .join(bns.select(*keys, F.col("doc_id").alias("v")), keys)
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .dropDuplicates(["u", "v"])
+    )
+    return _incremental_keep(
+        sig.where(~F.col(new_col)).select(F.col(id_col)),
+        sig.where(F.col(new_col)).drop(new_col),
+        nb.unionByName(nn),
+        id_col,
     )
 
 

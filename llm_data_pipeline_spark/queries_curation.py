@@ -1342,7 +1342,9 @@ def pipeline_code_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         license_id_col,
     )
 
-    base = table(spark, sf_dir, "documents", scatter=True).select(
+    from llm_data_pipeline_spark.queries import scatter as _scatter_fn
+
+    base = table(spark, sf_dir, "documents").select(
         "doc_id", "text", "n_chars"
     )
     copies = base.where(F.col("doc_id") % _CODE_DUP_MOD == 0).select(
@@ -1350,7 +1352,13 @@ def pipeline_code_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         "n_chars",
     )
-    corpus = base.unionByName(copies)
+    # scatter ONCE above the union (r9 rule): scattering the base before
+    # deriving copies doubled the task count of the license/watermark
+    # expression stage (64 tasks for the same rows)
+    corpus = _scatter_fn(
+        base.unionByName(copies),
+        _cache_key=(id(spark), sf_dir, "documents::code_curation"),
+    )
     lic_keep = license_class_col(
         license_id_col(license_ft_col())
     ).isin("permissive", "unknown")

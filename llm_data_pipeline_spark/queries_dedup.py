@@ -31,6 +31,7 @@ from llm_data_pipeline_spark.operators.lsh import (
     connected_components,
     minhash_dedup,
     minhash_incremental_dedup,
+    minhash_incremental_dedup_tagged,
 )
 from llm_data_pipeline_spark.operators.minhash import add_minhash, add_minhash_md5
 from llm_data_pipeline_spark.functions.intmath import rounded_div_sql
@@ -1427,11 +1428,7 @@ def minhash_incremental_dedup_query(spark: SparkSession, sf_dir: str):
         _cache_key=(id(spark), sf_dir, "documents::base+inc"),
     )
     signed = add_minhash_md5(tagged)
-    out = minhash_incremental_dedup(
-        signed.where(~F.col("_inc")).drop("_inc"),
-        signed.where(F.col("_inc")).drop("_inc"),
-        rows_per_band=8,
-    )
+    out = minhash_incremental_dedup_tagged(signed, "_inc", rows_per_band=8)
     return out.select("doc_id", "kept").coalesce(1).sortWithinPartitions(
         "doc_id"
     )

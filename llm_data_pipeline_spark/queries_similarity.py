@@ -31,7 +31,10 @@ from llm_data_pipeline_spark.functions.checkpoint import cut_lineage
 from llm_data_pipeline_spark.functions.localframe import local_df
 
 
-def _ann_books(emb) -> dict:
+_ANN_COUNT_CACHE: dict = {}
+
+
+def _ann_books(emb, _count_key: tuple | None = None) -> dict:
     """Pick codebooks + geometry by CORPUS SIZE (operators/similarity.py:
     ann_geometry — the ~sqrt(n) rule). Corpora up to 1000 vectors use the
     committed small-tier literals the DuckDB oracles replay (the graded
@@ -54,7 +57,14 @@ def _ann_books(emb) -> dict:
 
     from llm_data_pipeline_spark.operators.similarity import ann_geometry
 
-    n = emb.count()
+    # the tier decision depends only on the immutable corpus size: memoize
+    # the count per (session, sf_dir) so the ~15 ANN queries stop paying a
+    # count job per build (same rationale as queries.table's schema cache)
+    n = _ANN_COUNT_CACHE.get(_count_key) if _count_key else None
+    if n is None:
+        n = emb.count()
+        if _count_key:
+            _ANN_COUNT_CACHE[_count_key] = n
     geo = ann_geometry(n)
     if geo["tier"] != "small" and _os.environ.get("SPARK_GRAFT_BENCH") != "1":
         raise RuntimeError(
@@ -475,7 +485,7 @@ def embedding_ivf_flat_topk(spark: SparkSession, sf_dir: str):
     queries = emb.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    books = _ann_books(emb)
+    books = _ann_books(emb, _count_key=(id(spark), sf_dir))
     cents = local_df(spark, 
         [(i, [float(x) for x in v]) for i, v in enumerate(books["ivf"])],
         "list_id long, cvec array<double>",
@@ -561,7 +571,7 @@ def embedding_ann_recall_graded(spark: SparkSession, sf_dir: str):
     queries = emb.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    books = _ann_books(emb)
+    books = _ann_books(emb, _count_key=(id(spark), sf_dir))
     cents = local_df(spark, 
         [(i, [float(x) for x in v]) for i, v in enumerate(books["ivf"])],
         "list_id long, cvec array<double>",
@@ -817,7 +827,7 @@ def embedding_pq_adc_topk(spark: SparkSession, sf_dir: str):
     queries = emb.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = pq_adc_topk(emb, queries, k=10, codebook=_ann_books(emb)["pq"])
+    out = pq_adc_topk(emb, queries, k=10, codebook=_ann_books(emb, _count_key=(id(spark), sf_dir))["pq"])
     return out.select(
         "query_id", "vec_id", "adist", F.col("rank").cast("long").alias("rank")
     ).orderBy("query_id", "rank")
@@ -891,7 +901,7 @@ def embedding_pq_rerank_topk(spark: SparkSession, sf_dir: str):
     queries = emb.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    books = _ann_books(emb)
+    books = _ann_books(emb, _count_key=(id(spark), sf_dir))
     out = pq_rerank_topk(emb, queries, k=10,
                          shortlist=books["geo"]["shortlist"],
                          codebook=books["pq"])
@@ -998,7 +1008,7 @@ def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str):
     queries = emb.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    books = _ann_books(emb)
+    books = _ann_books(emb, _count_key=(id(spark), sf_dir))
     out = ivfpq_topk(
         emb, queries, books["ivf"], books["rpq"], k=10,
         n_probe=books["geo"]["n_probe_ivfpq"],
@@ -1939,7 +1949,7 @@ def embedding_ivf_indexed_topk(spark: SparkSession, sf_dir: str):
     queries = emb.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    books = _ann_books(emb)
+    books = _ann_books(emb, _count_key=(id(spark), sf_dir))
     cents = local_df(spark, 
         [(i, [float(x) for x in v]) for i, v in enumerate(books["ivf"])],
         "list_id long, cvec array<double>",
@@ -2101,7 +2111,7 @@ def ivf_list_balance(spark: SparkSession, sf_dir: str):
     from llm_data_pipeline_spark.functions.intmath import rounded_div_col
 
     emb = table(spark, sf_dir, "embeddings", scatter=True)
-    books = _ann_books(emb)
+    books = _ann_books(emb, _count_key=(id(spark), sf_dir))
     t = _ensure_ivf_index(spark, sf_dir, books)
     ls = spark.table(t).groupBy("list_id").agg(
         F.count(F.lit(1)).alias("n_vecs")
@@ -2177,7 +2187,7 @@ def pq_reconstruction_error(spark: SparkSession, sf_dir: str):
     from llm_data_pipeline_spark.operators.similarity import pq_encode_errors
 
     emb = table(spark, sf_dir, "embeddings", scatter=True)
-    errs = pq_encode_errors(emb, _ann_books(emb)["pq"])
+    errs = pq_encode_errors(emb, _ann_books(emb, _count_key=(id(spark), sf_dir))["pq"])
     return (
         errs.groupBy("m")
         .agg(
@@ -2275,7 +2285,7 @@ def embedding_ivf_index_append(spark: SparkSession, sf_dir: str):
             F.slice("embedding", 2, 63), F.slice("embedding", 1, 1)
         ).alias("embedding"),
     )
-    books = _ann_books(emb)
+    books = _ann_books(emb, _count_key=(id(spark), sf_dir))
     cents = local_df(spark, 
         [(i, [float(x) for x in v]) for i, v in enumerate(books["ivf"])],
         "list_id long, cvec array<double>",
@@ -2418,7 +2428,7 @@ def ivf_probe_recall_sweep(spark: SparkSession, sf_dir: str):
     from llm_data_pipeline_spark.functions.vectors import cosine_arrow
 
     emb = table(spark, sf_dir, "embeddings", scatter=True)
-    books = _ann_books(emb)
+    books = _ann_books(emb, _count_key=(id(spark), sf_dir))
     t = _ensure_ivf_index(spark, sf_dir, books)
     assign = spark.table(t).select("vec_id", "list_id")
     queries = emb.where(F.col("vec_id") % 100 == 0).select(
