@@ -443,6 +443,29 @@ def main() -> None:
             if prev_path and run_steady and not extra
             else {}
         ),
+        # Window-health gate (r10, ADVICE item): the README's noisy-window
+        # signature — depressed PRE-gauntlet tokenize throughput — is now
+        # flagged by CODE, not eyeball, so a capture can be invalidated
+        # self-arbitratingly (r9's opt_cap1 read 1.04 M tok/s and +26%
+        # first-pass but passed the steady-only outlier gate). Floor set
+        # at 6.5 M: clean windows on this host read 8-10 M, loaded ones
+        # 4-5 M. Reported alongside, never alters any timing.
+        **(
+            {
+                "window_health": {
+                    "tokenize_pre_gauntlet": throughput.get(
+                        "tokenize_tokens_per_sec"
+                    ),
+                    "tokenize_floor": 6_500_000,
+                    "window_clean": (
+                        throughput.get("tokenize_tokens_per_sec") is None
+                        or throughput["tokenize_tokens_per_sec"] >= 6_500_000
+                    ),
+                }
+            }
+            if not extra
+            else {}
+        ),
         "total_all_queries": round(sum(times.values()), 3),
         **(
             {"steady_total_all_queries": round(sum(steady.values()), 3)}
